@@ -1,0 +1,128 @@
+"""Runtime configuration.
+
+TPU-native replacement for the reference's flat ``RAGConfig`` dataclass
+(local_rag_complete.py:56-86). Behavioral parity: same retrieval depths
+(bm25_top_k=100, colbert_top_k=100, fusion -> 50 candidates, final_top_k=10,
+RRF k=60), same chunking bounds (min 256 / max 1024 tokens, overlap 128),
+same model-name / path / Ollama knobs. The reference's single ``device``
+string (mps-or-cpu, local_rag_complete.py:86) is replaced by ``MeshConfig``:
+a device-mesh + sharding + dtype/quantization spec.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Optional, Tuple
+
+
+@dataclass
+class MeshConfig:
+    """Device mesh / sharding / numerics spec (new in the TPU build).
+
+    The dense index's document axis is sharded over the ``data`` mesh axis
+    (SURVEY.md section 5: 'index sharding across ICI ... per-shard top-k +
+    allgather-of-candidates before fusion').
+    """
+
+    # Mesh shape: (data/doc-shard axis, model/tensor axis). ``None`` -> use
+    # all visible devices on the doc axis.
+    mesh_shape: Optional[Tuple[int, int]] = None
+    axis_names: Tuple[str, str] = ("data", "model")
+
+    # Numerics for the dense index + scoring kernels.
+    index_dtype: str = "int8"          # "int8" | "bfloat16" | "float32"
+    compute_dtype: str = "bfloat16"    # kernel accumulate is always fp32
+    # Padding buckets for document token counts (static XLA shapes).
+    doc_token_buckets: Tuple[int, ...] = (64, 128, 256)
+
+    def resolved_mesh_shape(self, n_devices: int) -> Tuple[int, int]:
+        if self.mesh_shape is not None:
+            return self.mesh_shape
+        return (n_devices, 1)
+
+
+@dataclass
+class RAGConfig:
+    """Flat runtime config — parity with reference RAGConfig
+    (local_rag_complete.py:56-86) plus TPU-specific fields."""
+
+    # Database (reference: db_path, local_rag_complete.py:60)
+    db_path: str = "rag_local.db"
+
+    # Chunking (local_rag_complete.py:63-65)
+    min_chunk_size: int = 256
+    max_chunk_size: int = 1024
+    chunk_overlap: int = 128
+
+    # Retrieval (local_rag_complete.py:68-70; candidate depth of 50 is
+    # hard-coded at local_rag_complete.py:916 — here it's a config field)
+    bm25_top_k: int = 100
+    colbert_top_k: int = 100
+    fusion_candidates: int = 50
+    final_top_k: int = 10
+    rrf_k: int = 60  # reference hard-codes k=60 (local_rag_complete.py:964)
+
+    # Models (local_rag_complete.py:73-75)
+    chat_model: str = "llama3.2:3b"
+    vision_model: str = "llava:7b"
+    embedding_model: str = "jinaai/jina-colbert-v2"
+
+    # Ollama / generation sidecar (local_rag_complete.py:78)
+    ollama_url: str = "http://localhost:11434"
+    ollama_timeout_s: float = 120.0
+
+    # Paths (local_rag_complete.py:81-83)
+    bm25_index_path: str = "indexes/bm25"
+    colbert_index_path: str = "indexes/colbert"
+    images_dir: str = "extracted_images"
+    tokenizer_path: str = "indexes/tokenizer.json"
+
+    # Encoder limits (ColBERT-style: fixed query length w/ augmentation).
+    query_max_tokens: int = 32
+    doc_max_tokens: int = 256
+
+    # TPU mesh / numerics.
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    # ------------------------------------------------------------------
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, s: str) -> "RAGConfig":
+        d = json.loads(s)
+        mesh = d.pop("mesh", None)
+        cfg = cls(**{k: v for k, v in d.items() if k in _FIELD_NAMES})
+        if mesh:
+            if mesh.get("mesh_shape") is not None:
+                mesh["mesh_shape"] = tuple(mesh["mesh_shape"])
+            mesh["axis_names"] = tuple(mesh.get("axis_names", ("data", "model")))
+            mesh["doc_token_buckets"] = tuple(
+                mesh.get("doc_token_buckets", (64, 128, 256))
+            )
+            cfg.mesh = MeshConfig(**mesh)
+        return cfg
+
+    def save(self, path: str | Path) -> None:
+        Path(path).write_text(self.to_json())
+
+    @classmethod
+    def load(cls, path: str | Path) -> "RAGConfig":
+        return cls.from_json(Path(path).read_text())
+
+    def validate(self) -> None:
+        if self.min_chunk_size >= self.max_chunk_size:
+            raise ValueError("min_chunk_size must be < max_chunk_size")
+        if self.final_top_k > self.fusion_candidates:
+            raise ValueError("final_top_k must be <= fusion_candidates")
+        if self.query_max_tokens % 32 != 0:
+            raise ValueError("query_max_tokens must be a multiple of 32 (TPU lanes)")
+        for b in self.mesh.doc_token_buckets:
+            if b % 32 != 0:
+                raise ValueError("doc token buckets must be multiples of 32")
+
+
+_FIELD_NAMES = {f.name for f in dataclasses.fields(RAGConfig)}

@@ -1,0 +1,189 @@
+"""Dense ColBERT token-embedding index — HBM-resident, padded, quantizable.
+
+Replaces the reference's ``JinaColBERTRetriever`` index (a raw ``torch.save``
+of fp32 pooled vectors + the corpus text, local_rag_complete.py:728-753).
+Here the index is the real late-interaction structure: every document's
+*token-level* embeddings, padded to a static token count ``doc_len`` (XLA
+needs static shapes), stored token-major as ``(N_pad * doc_len, D)`` so the
+MaxSim kernel (ops/maxsim.py) streams it through the MXU in large tiles.
+
+Numerics: ``float32`` / ``bfloat16`` store raw embeddings; ``int8`` stores
+symmetric absmax-quantized rows + per-token-row fp32 scales (ops/quant.py),
+dequantized inside the scoring kernel. 1M chunks x 256 tokens x 128 dim at
+int8 is ~33 GB -> sharded over the mesh's doc axis (parallel/).
+
+Unlike the reference, rerank does NOT re-encode candidate texts
+(local_rag_complete.py:779-800 re-encodes all 50 candidates per query);
+``gather_docs`` pulls the already-indexed embeddings for exact rescoring.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.maxsim import maxsim_scores, maxsim_scores_exact, maxsim_scores_int8
+from ..ops.quant import quantize_int8_rows
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def pick_bucket(max_len: int, buckets: Sequence[int]) -> int:
+    """Smallest configured bucket covering max_len (largest bucket if none)."""
+    for b in sorted(buckets):
+        if max_len <= b:
+            return b
+    return max(buckets)
+
+
+@dataclass
+class DenseTokenIndex:
+    """Padded token-embedding index over one global doc-id space."""
+
+    emb_flat: jax.Array          # (N_pad * L, D) bf16/f32 or int8
+    doc_lengths: jax.Array       # (N_pad,) int32 (0 for padding docs)
+    n_docs: int
+    doc_len: int                 # L — static padded token count
+    dim: int
+    scales: Optional[jax.Array] = None  # (N_pad * L,) f32 when int8
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def build(
+        cls,
+        token_embs: jax.Array,    # (N, L_in, D) — padded doc token embeddings
+        lengths: jax.Array,       # (N,) int32 true token counts
+        *,
+        doc_len: int,
+        dtype: str = "bfloat16",
+        docs_pad_multiple: int = 128,
+    ) -> "DenseTokenIndex":
+        n, l_in, d = token_embs.shape
+        lengths = jnp.minimum(lengths.astype(jnp.int32), doc_len)
+        if l_in < doc_len:
+            token_embs = jnp.pad(token_embs, ((0, 0), (0, doc_len - l_in), (0, 0)))
+        elif l_in > doc_len:
+            token_embs = token_embs[:, :doc_len, :]
+        # zero out padding token rows so quantization scales are 0 there
+        tok = jnp.arange(doc_len, dtype=jnp.int32)
+        mask = (tok[None, :] < lengths[:, None]).astype(token_embs.dtype)
+        token_embs = token_embs * mask[:, :, None]
+
+        n_pad = _round_up(max(n, 1), docs_pad_multiple)
+        if n_pad > n:
+            token_embs = jnp.pad(token_embs, ((0, n_pad - n), (0, 0), (0, 0)))
+            lengths = jnp.pad(lengths, (0, n_pad - n))
+        flat = token_embs.reshape(n_pad * doc_len, d)
+
+        scales = None
+        if dtype == "int8":
+            flat, scales = quantize_int8_rows(flat)
+        else:
+            flat = flat.astype(jnp.dtype(dtype))
+        return cls(
+            emb_flat=flat,
+            doc_lengths=lengths,
+            n_docs=n,
+            doc_len=doc_len,
+            dim=d,
+            scales=scales,
+        )
+
+    # ------------------------------------------------------------------
+    @property
+    def is_int8(self) -> bool:
+        return self.scales is not None
+
+    @property
+    def n_pad(self) -> int:
+        return self.doc_lengths.shape[0]
+
+    def memory_bytes(self) -> int:
+        total = self.emb_flat.size * self.emb_flat.dtype.itemsize
+        total += self.doc_lengths.size * 4
+        if self.scales is not None:
+            total += self.scales.size * 4
+        return total
+
+    # ------------------------------------------------------------------
+    def search_scores(self, queries: jax.Array) -> jax.Array:
+        """(B, Lq, D) query token embeddings -> (B, n_docs) MaxSim scores."""
+        if self.is_int8:
+            s = maxsim_scores_int8(
+                queries, self.emb_flat, self.scales,
+                self.doc_lengths, doc_len=self.doc_len,
+            )
+        else:
+            s = maxsim_scores(
+                queries, self.emb_flat.astype(jnp.bfloat16),
+                self.doc_lengths, doc_len=self.doc_len,
+            )
+        return s[:, : self.n_docs]
+
+    def gather_docs(self, ids: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """Gather (ids…, L, D) fp32 embeddings + lengths for reranking.
+
+        ``ids`` < 0 (missing candidates) are redirected to padding doc slots
+        (zero-length -> scores NEG_INF in the rerank, so they never surface).
+        """
+        safe = jnp.where(ids >= 0, ids, self.n_pad - 1)
+        embs3 = self.emb_flat.reshape(self.n_pad, self.doc_len, self.dim)
+        gathered = embs3[safe].astype(jnp.float32)
+        if self.is_int8:
+            sc = self.scales.reshape(self.n_pad, self.doc_len)[safe]
+            gathered = gathered * sc[..., None]
+        lens = jnp.where(ids >= 0, self.doc_lengths[safe], 0)
+        return gathered, lens
+
+    def rerank_scores(self, queries: jax.Array, ids: jax.Array) -> jax.Array:
+        """Exact fp32 MaxSim over gathered candidates.
+
+        queries: (B, Lq, D); ids: (B, K) -> (B, K) scores.
+        """
+        def one(q, cand_ids):
+            docs, lens = self.gather_docs(cand_ids)      # (K, L, D), (K,)
+            return maxsim_scores_exact(q[None], docs, lens)[0]
+        return jax.vmap(one)(queries, ids)
+
+    # ------------------------------------------------------------------
+    def save(self, path: str | Path) -> None:
+        path = Path(path)
+        path.mkdir(parents=True, exist_ok=True)
+        arrs = {
+            "emb_flat": np.asarray(self.emb_flat),
+            "doc_lengths": np.asarray(self.doc_lengths),
+        }
+        if self.scales is not None:
+            arrs["scales"] = np.asarray(self.scales)
+        np.savez(path / "dense.npz", **arrs)
+        meta = {
+            "n_docs": self.n_docs,
+            "doc_len": self.doc_len,
+            "dim": self.dim,
+            "dtype": str(self.emb_flat.dtype),
+        }
+        (path / "meta.json").write_text(json.dumps(meta))
+
+    @classmethod
+    def load(cls, path: str | Path) -> "DenseTokenIndex":
+        path = Path(path)
+        arrs = np.load(path / "dense.npz")
+        meta = json.loads((path / "meta.json").read_text())
+        emb = jnp.asarray(arrs["emb_flat"])
+        scales = jnp.asarray(arrs["scales"]) if "scales" in arrs else None
+        return cls(
+            emb_flat=emb,
+            doc_lengths=jnp.asarray(arrs["doc_lengths"]),
+            n_docs=meta["n_docs"],
+            doc_len=meta["doc_len"],
+            dim=meta["dim"],
+            scales=scales,
+        )

@@ -1,0 +1,105 @@
+"""Index manager — owns both indexes over one chunk corpus.
+
+TPU-native equivalent of the reference's ``DualIndexer``
+(local_rag_complete.py:838-879): builds the lexical (BM25 CSR) and dense
+(ColBERT token-embedding) indexes from a single corpus, persists both, and
+reloads them. One global chunk-id space: corpus row index, shared by both
+indexes and the chunk store (fixes the reference's corpus-position vs DB-id
+mismatch, SURVEY.md section 2).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional, Protocol, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RAGConfig
+from ..utils.logging import StageTimer, get_logger
+from .dense import DenseTokenIndex, pick_bucket
+from .lexical import LexicalIndex
+
+log = get_logger(__name__)
+
+
+class DocEncoder(Protocol):
+    """What the manager needs from an encoder (models/colbert.py provides it)."""
+
+    def encode_docs(self, texts: Sequence[str]) -> Tuple[jax.Array, jax.Array]:
+        """-> (token_embs (N, L, D), lengths (N,))"""
+        ...
+
+    def encode_queries(self, texts: Sequence[str]) -> jax.Array:
+        """-> (B, Lq, D) with zero rows for padding."""
+        ...
+
+
+class IndexManager:
+    """Builds / persists / serves the lexical + dense index pair."""
+
+    def __init__(self, config: RAGConfig, encoder: Optional[DocEncoder] = None):
+        self.config = config
+        self.encoder = encoder
+        self.lexical: Optional[LexicalIndex] = None
+        self.dense: Optional[DenseTokenIndex] = None
+        self.corpus: Optional[list] = None
+        self.timer = StageTimer()
+
+    # ------------------------------------------------------------------
+    def build_lexical(self, corpus: Sequence[str]) -> LexicalIndex:
+        """Reference: DualIndexer.build_bm25_index (local_rag_complete.py:846)."""
+        with self.timer.stage("bm25_build"):
+            self.lexical = LexicalIndex.build(list(corpus))
+            self.lexical.save(self.config.bm25_index_path)
+        log.info(
+            "BM25 index: %d docs, %d terms, %.2f MB (%.2fs)",
+            self.lexical.n_docs, len(self.lexical.vocab),
+            self.lexical.memory_bytes() / 2**20,
+            self.timer.timings["bm25_build"],
+        )
+        return self.lexical
+
+    def build_dense(self, corpus: Sequence[str]) -> DenseTokenIndex:
+        """Reference: DualIndexer.build_colbert_index (local_rag_complete.py:866)
+        -> JinaColBERTRetriever.index (:728). Encodes the corpus with the
+        jitted encoder and lays the token embeddings into the padded index."""
+        if self.encoder is None:
+            raise RuntimeError("IndexManager needs an encoder to build the dense index")
+        with self.timer.stage("colbert_encode"):
+            embs, lengths = self.encoder.encode_docs(list(corpus))
+        with self.timer.stage("colbert_build"):
+            max_len = int(jnp.max(lengths)) if lengths.shape[0] else 1
+            bucket = pick_bucket(max_len, self.config.mesh.doc_token_buckets)
+            self.dense = DenseTokenIndex.build(
+                embs, lengths, doc_len=bucket,
+                dtype=self.config.mesh.index_dtype,
+            )
+            self.dense.save(self.config.colbert_index_path)
+        log.info(
+            "Dense index: %d docs x %d tokens x %d dim [%s], %.2f MB "
+            "(encode %.2fs, build %.2fs)",
+            self.dense.n_docs, self.dense.doc_len, self.dense.dim,
+            self.dense.emb_flat.dtype, self.dense.memory_bytes() / 2**20,
+            self.timer.timings["colbert_encode"],
+            self.timer.timings["colbert_build"],
+        )
+        return self.dense
+
+    def build_all(self, corpus: Sequence[str]) -> None:
+        self.corpus = list(corpus)
+        self.build_lexical(self.corpus)
+        self.build_dense(self.corpus)
+
+    # ------------------------------------------------------------------
+    def load(self) -> None:
+        """Reference: DualIndexer.load_indexes (local_rag_complete.py:876)."""
+        self.lexical = LexicalIndex.load(self.config.bm25_index_path)
+        self.dense = DenseTokenIndex.load(self.config.colbert_index_path)
+
+    def is_built(self) -> bool:
+        return (
+            Path(self.config.bm25_index_path, "meta.json").exists()
+            and Path(self.config.colbert_index_path, "meta.json").exists()
+        )

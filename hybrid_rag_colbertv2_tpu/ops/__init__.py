@@ -1,0 +1,8 @@
+from .maxsim import (  # noqa: F401
+    maxsim_scores_exact,
+    maxsim_scores,
+    maxsim_scores_int8,
+)
+from .fusion import reciprocal_rank_fusion, rrf_from_topk  # noqa: F401
+from .bm25 import bm25_scores_device  # noqa: F401
+from .quant import quantize_int8_rows, dequantize_int8_rows  # noqa: F401

@@ -1,0 +1,265 @@
+"""True MaxSim (late-interaction) scoring kernels.
+
+The reference *claims* MaxSim but implements mean-pool cosine
+(``_maxsim_score``, local_rag_complete.py:802-831: mean over the sequence
+dim at :821-822, pairwise cosine at :825-829). These kernels implement the
+real ColBERT late-interaction score the reference's docstring
+(local_rag_complete.py:807-812) and README describe:
+
+    score(q, d) = sum_i  max_j  q_i . d_j
+
+with proper masking of padded document tokens, fp32 accumulation, and
+bf16 / int8 operands. This is the single hottest op in the framework
+(SURVEY.md section 2 #8): it powers both the first-stage dense scan and the
+top-50 rerank (the reference re-encodes candidates for rerank,
+local_rag_complete.py:779-800 — here rerank reuses indexed embeddings).
+
+Index layout (see index/dense.py): documents are length-bucketed and padded
+to a static ``L`` tokens; embeddings are stored flattened as ``(N * L, D)``
+(token-major) so the kernel is one big ``(rows, D) x (D, Lq)`` matmul per
+tile — ideal for the MXU — followed by a per-doc max/sum reduction.
+
+Masking convention (shared with ``maxsim_scores_exact`` so numerics tests
+compare like for like):
+  * padded document tokens (j >= doc_length) are excluded from the max via a
+    -1e30 bias;
+  * padded query rows are all-zero vectors, so their max over *valid* doc
+    tokens is exactly 0 and they contribute nothing to the sum. Documents
+    with length 0 (padding docs) score ~-1e30 * Lq and can never enter
+    top-k.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _default_interpret() -> bool:
+    # Pallas TPU kernels only compile on TPU; interpret elsewhere (CI runs
+    # on a virtual CPU mesh, SURVEY.md section 4c).
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Exact jnp reference (any backend). Used for numerics tests and as the
+# fallback path for odd shapes.
+# ---------------------------------------------------------------------------
+
+def maxsim_scores_exact(
+    queries: jax.Array,       # (B, Lq, D) — padded query rows must be zero
+    doc_embs: jax.Array,      # (N, L, D)
+    doc_lengths: jax.Array,   # (N,) int32
+) -> jax.Array:               # (B, N) float32
+    """Brute-force MaxSim in plain jnp (einsum); fp32 accumulation."""
+    q = queries.astype(jnp.float32)
+    d = doc_embs.astype(jnp.float32)
+    # sims: (B, N, Lq, L)
+    sims = jnp.einsum("bqd,nld->bnql", q, d, preferred_element_type=jnp.float32)
+    tok_idx = jnp.arange(d.shape[1], dtype=jnp.int32)  # (L,)
+    valid = tok_idx[None, :] < doc_lengths[:, None]    # (N, L)
+    sims = jnp.where(valid[None, :, None, :], sims, NEG_INF)
+    per_q = jnp.max(sims, axis=-1)                     # (B, N, Lq)
+    # padded query rows are zero vectors -> max over valid doc tokens == 0,
+    # except for zero-length (padding) docs where everything is NEG_INF.
+    return jnp.sum(per_q, axis=-1)                     # (B, N)
+
+
+# ---------------------------------------------------------------------------
+# Pallas tiled kernel — bf16/f32 operands
+# ---------------------------------------------------------------------------
+
+def _pick_docs_per_tile(doc_len: int, rows_target: int = 8192) -> int:
+    t = max(1, rows_target // doc_len)
+    # keep the doc-tile a power of two for clean grids
+    p = 1
+    while p * 2 <= t:
+        p *= 2
+    return p
+
+
+def _maxsim_kernel(q_ref, emb_ref, len_ref, out_ref, *, docs_per_tile, doc_len):
+    """One (query b, doc-tile t) cell.
+
+    q_ref:   (Lq, D)            — query token embeddings (zero-padded rows)
+    emb_ref: (docs_per_tile * L, D) — flattened doc-token embeddings
+    len_ref: (1, docs_per_tile) int32 — true token counts per doc
+    out_ref: (1, docs_per_tile) f32  — MaxSim scores
+    """
+    lq = q_ref.shape[0]
+    # (rows, D) @ (D, Lq) -> (rows, Lq); MXU, fp32 accumulate.
+    sims = jax.lax.dot_general(
+        emb_ref[:],
+        q_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    sims3 = sims.reshape(docs_per_tile, doc_len, lq)
+    tok = jax.lax.broadcasted_iota(jnp.int32, (docs_per_tile, doc_len, lq), 1)
+    lens = len_ref[0, :].reshape(docs_per_tile, 1, 1)
+    sims3 = jnp.where(tok < lens, sims3, NEG_INF)
+    per_q = jnp.max(sims3, axis=1)           # (docs_per_tile, Lq)
+    out_ref[0, :] = jnp.sum(per_q, axis=1)   # (docs_per_tile,)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("doc_len", "docs_per_tile", "interpret"),
+)
+def maxsim_scores(
+    queries: jax.Array,       # (B, Lq, D)
+    emb_flat: jax.Array,      # (N * L, D)  bf16/f32, token-major
+    doc_lengths: jax.Array,   # (N,) int32
+    *,
+    doc_len: int,
+    docs_per_tile: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:               # (B, N) float32
+    """Tiled Pallas MaxSim over a flattened padded index."""
+    if interpret is None:
+        interpret = _default_interpret()
+    b, lq, d = queries.shape
+    n = doc_lengths.shape[0]
+    assert emb_flat.shape[0] == n * doc_len, (emb_flat.shape, n, doc_len)
+    t = docs_per_tile or _pick_docs_per_tile(doc_len)
+    if n % t != 0:
+        # pad docs (zero embeddings, zero lengths -> never retrieved)
+        n_pad = (t - n % t) * 1
+        emb_flat = jnp.pad(emb_flat, ((0, n_pad * doc_len), (0, 0)))
+        doc_lengths = jnp.pad(doc_lengths, (0, n_pad))
+        n_full = n + n_pad
+    else:
+        n_full = n
+    num_tiles = n_full // t
+    lens2d = doc_lengths.reshape(num_tiles, t)
+
+    grid = (num_tiles, b)  # b innermost so the big doc tile stays resident
+    rows = t * doc_len
+    out = pl.pallas_call(
+        functools.partial(_maxsim_kernel, docs_per_tile=t, doc_len=doc_len),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, lq, d), lambda ti, bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, d), lambda ti, bi: (ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, t), lambda ti, bi: (ti, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, 1, t), lambda ti, bi: (bi, ti, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, num_tiles, t), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(100 * 1024 * 1024),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n_full * doc_len * d * lq,
+            bytes_accessed=emb_flat.size * emb_flat.dtype.itemsize
+            + b * lq * d * 4 + b * n_full * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(queries, emb_flat, lens2d.reshape(num_tiles, 1, t))
+    return out.reshape(b, n_full)[:, :n]
+
+
+# ---------------------------------------------------------------------------
+# Pallas tiled kernel — int8 operands with per-token-row scales
+# ---------------------------------------------------------------------------
+
+def _maxsim_int8_kernel(q_ref, emb_ref, scale_ref, len_ref, out_ref, *,
+                        docs_per_tile, doc_len):
+    """int8 variant: sims row r is dequantized by scale[r] after the matmul.
+
+    scale_ref: (1, rows) f32 — per doc-token-row quantization scale.
+    """
+    lq = q_ref.shape[0]
+    rows = docs_per_tile * doc_len
+    emb = emb_ref[:].astype(jnp.bfloat16)
+    sims = jax.lax.dot_general(
+        emb,
+        q_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    sims = sims * scale_ref[0, :].reshape(rows, 1)
+    sims3 = sims.reshape(docs_per_tile, doc_len, lq)
+    tok = jax.lax.broadcasted_iota(jnp.int32, (docs_per_tile, doc_len, lq), 1)
+    lens = len_ref[0, :].reshape(docs_per_tile, 1, 1)
+    sims3 = jnp.where(tok < lens, sims3, NEG_INF)
+    per_q = jnp.max(sims3, axis=1)
+    out_ref[0, :] = jnp.sum(per_q, axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("doc_len", "docs_per_tile", "interpret"),
+)
+def maxsim_scores_int8(
+    queries: jax.Array,       # (B, Lq, D) bf16/f32
+    emb_flat: jax.Array,      # (N * L, D) int8
+    scales: jax.Array,        # (N * L,) float32 per-row dequant scale
+    doc_lengths: jax.Array,   # (N,) int32
+    *,
+    doc_len: int,
+    docs_per_tile: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:               # (B, N) float32
+    if interpret is None:
+        interpret = _default_interpret()
+    b, lq, d = queries.shape
+    n = doc_lengths.shape[0]
+    t = docs_per_tile or _pick_docs_per_tile(doc_len)
+    if n % t != 0:
+        n_pad = t - n % t
+        emb_flat = jnp.pad(emb_flat, ((0, n_pad * doc_len), (0, 0)))
+        scales = jnp.pad(scales, (0, n_pad * doc_len))
+        doc_lengths = jnp.pad(doc_lengths, (0, n_pad))
+        n_full = n + n_pad
+    else:
+        n_full = n
+    num_tiles = n_full // t
+    rows = t * doc_len
+    queries = queries.astype(jnp.bfloat16)
+
+    out = pl.pallas_call(
+        functools.partial(_maxsim_int8_kernel, docs_per_tile=t,
+                          doc_len=doc_len),
+        grid=(num_tiles, b),
+        in_specs=[
+            pl.BlockSpec((None, lq, d), lambda ti, bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, d), lambda ti, bi: (ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, rows), lambda ti, bi: (ti, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, t), lambda ti, bi: (ti, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, 1, t), lambda ti, bi: (bi, ti, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, num_tiles, t), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(100 * 1024 * 1024),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n_full * doc_len * d * lq,
+            bytes_accessed=emb_flat.size + scales.size * 4
+            + b * lq * d * 2 + b * n_full * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        queries,
+        emb_flat,
+        scales.reshape(num_tiles, 1, rows),
+        doc_lengths.reshape(num_tiles, 1, t),
+    )
+    return out.reshape(b, n_full)[:, :n]

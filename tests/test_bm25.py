@@ -1,0 +1,131 @@
+"""BM25: tokenizer/stemmer behavior, textbook-formula check, device kernel
+vs host CSR scorer (SURVEY.md section 4(b))."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from hybrid_rag_colbertv2_tpu.index.lexical import LexicalIndex
+from hybrid_rag_colbertv2_tpu.index.textproc import (
+    PorterStemmer,
+    tokenize_lexical,
+)
+from hybrid_rag_colbertv2_tpu.ops.bm25 import bm25_scores_device
+
+CORPUS = [
+    "The quick brown fox jumps over the lazy dog",
+    "A fast auburn fox leaped over sleeping hounds",
+    "TPUs multiply matrices using a systolic array called the MXU",
+    "JAX compiles numerical programs with XLA for TPUs and GPUs",
+    "The dog sleeps while the fox runs through the forest",
+    "Systolic arrays stream operands through a grid of multipliers",
+    "Information retrieval ranks documents by relevance to a query",
+    "BM25 is a classic lexical ranking function for retrieval",
+]
+
+
+def test_porter_stemmer_known_words():
+    st = PorterStemmer()
+    cases = {
+        "caresses": "caress",
+        "ponies": "poni",
+        "cats": "cat",
+        "feed": "feed",
+        "agreed": "agre",
+        "plastered": "plaster",
+        "motoring": "motor",
+        "happy": "happi",
+        "relational": "relat",
+        "conditional": "condit",
+        "rational": "ration",
+        "digitizer": "digit",
+        "operator": "oper",
+        "feudalism": "feudal",
+        "hopefulness": "hope",
+        "formaliti": "formal",
+        "electriciti": "electr",
+        "electrical": "electr",
+        "hopeful": "hope",
+        "goodness": "good",
+        "revival": "reviv",
+        "allowance": "allow",
+        "inference": "infer",
+        "airliner": "airlin",
+        "adjustment": "adjust",
+        "dependent": "depend",
+        "adoption": "adopt",
+        "activate": "activ",
+        "effective": "effect",
+        "probate": "probat",
+        "rate": "rate",
+        "controll": "control",
+        "roll": "roll",
+    }
+    for w, expect in cases.items():
+        assert st.stem(w) == expect, (w, st.stem(w), expect)
+
+
+def test_tokenize_removes_stopwords_and_stems():
+    toks = tokenize_lexical("The foxes were running quickly over the dogs!")
+    assert "the" not in toks and "were" not in toks and "over" not in toks
+    assert "fox" in toks and "run" in toks and "dog" in toks
+
+
+def test_bm25_weights_match_textbook_formula():
+    idx = LexicalIndex.build(CORPUS)
+    n = len(CORPUS)
+    doc_toks = [tokenize_lexical(t) for t in CORPUS]
+    avgdl = sum(len(t) for t in doc_toks) / n
+    term = "fox"
+    tid = idx.vocab[term]
+    df = sum(1 for toks in doc_toks if term in toks)
+    idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    s, e = idx.indptr[tid], idx.indptr[tid + 1]
+    assert e - s == df
+    for pos in range(s, e):
+        d = int(idx.post_docs[pos])
+        tf = doc_toks[d].count(term)
+        dl = len(doc_toks[d])
+        expect = idf * tf * 2.5 / (tf + 1.5 * (1 - 0.75 + 0.75 * dl / avgdl))
+        np.testing.assert_allclose(idx.post_weights[pos], expect, rtol=1e-5)
+
+
+def test_device_scores_match_host():
+    idx = LexicalIndex.build(CORPUS)
+    queries = [
+        "fox jumping over dog",
+        "systolic array matrix multiply",
+        "lexical retrieval ranking",
+        "nonexistentterm anotherunknown",
+    ]
+    q_ids = np.stack([idx.encode_query(q) for q in queries])
+    got = bm25_scores_device(
+        jnp.asarray(q_ids),
+        jnp.asarray(idx.indptr),
+        jnp.asarray(idx.post_docs),
+        jnp.asarray(idx.post_weights),
+        n_docs=idx.n_docs,
+        max_postings=idx.max_postings,
+    )
+    for i, q in enumerate(queries):
+        host = idx.score_host(q)
+        np.testing.assert_allclose(np.asarray(got[i]), host,
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_bm25_ranking_sanity():
+    idx = LexicalIndex.build(CORPUS)
+    scores = idx.score_host("fox jumps over the lazy dog")
+    assert int(np.argmax(scores)) == 0  # doc 0 is the near-exact match
+    scores2 = idx.score_host("systolic array MXU")
+    assert int(np.argmax(scores2)) in (2, 5)
+
+
+def test_save_load_roundtrip(tmp_path):
+    idx = LexicalIndex.build(CORPUS)
+    idx.save(tmp_path / "bm25")
+    idx2 = LexicalIndex.load(tmp_path / "bm25")
+    q = "fox and dog in the forest"
+    np.testing.assert_allclose(idx.score_host(q), idx2.score_host(q))
+    assert idx2.max_postings == idx.max_postings

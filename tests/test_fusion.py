@@ -1,0 +1,76 @@
+"""RRF fusion kernel vs the pure-Python oracle mirroring the reference's
+dict-based RRF (local_rag_complete.py:960-978)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from hybrid_rag_colbertv2_tpu.ops.fusion import (
+    reciprocal_rank_fusion,
+    rrf_from_topk,
+    rrf_reference_py,
+)
+
+
+def test_rrf_matches_python_oracle(rng):
+    n = 200
+    ids_a = rng.permutation(n)[:20].astype(np.int32)
+    ids_b = rng.permutation(n)[:20].astype(np.int32)
+    scores, ids = rrf_from_topk(
+        jnp.asarray(ids_a)[None], jnp.asarray(ids_b)[None], n, k=50
+    )
+    oracle = rrf_reference_py(ids_a.tolist(), ids_b.tolist())
+    got = [(int(i), float(s)) for i, s in zip(ids[0], scores[0]) if i >= 0]
+    assert len(got) == len(oracle)
+    # same fused scores per id
+    oracle_map = dict(oracle)
+    for cid, s in got:
+        np.testing.assert_allclose(s, oracle_map[cid], rtol=1e-6)
+    # descending order
+    vals = [s for _, s in got]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_rrf_overlap_accumulates():
+    ids_a = jnp.asarray([[5, 3, 1]], dtype=jnp.int32)
+    ids_b = jnp.asarray([[3, 7, 5]], dtype=jnp.int32)
+    scores, ids = rrf_from_topk(ids_a, ids_b, 10, k=4)
+    got = {int(i): float(s) for i, s in zip(ids[0], scores[0]) if i >= 0}
+    np.testing.assert_allclose(got[3], 1 / 62 + 1 / 61, rtol=1e-6)
+    np.testing.assert_allclose(got[5], 1 / 61 + 1 / 63, rtol=1e-6)
+    np.testing.assert_allclose(got[1], 1 / 63, rtol=1e-6)
+    np.testing.assert_allclose(got[7], 1 / 62, rtol=1e-6)
+    # doc 3 fused highest
+    assert int(ids[0][0]) == 3
+
+
+def test_rrf_ignores_negative_ids():
+    ids_a = jnp.asarray([[4, -1, -1]], dtype=jnp.int32)
+    ids_b = jnp.asarray([[-1, -1, -1]], dtype=jnp.int32)
+    scores, ids = rrf_from_topk(ids_a, ids_b, 10, k=3)
+    kept = [int(i) for i in ids[0] if i >= 0]
+    assert kept == [4]
+
+
+def test_full_fusion_pipeline(rng):
+    b, n = 2, 500
+    sa = rng.standard_normal((b, n)).astype(np.float32)
+    sb = rng.standard_normal((b, n)).astype(np.float32)
+    scores, ids = reciprocal_rank_fusion(
+        jnp.asarray(sa), jnp.asarray(sb), k_each=100, k_out=50
+    )
+    assert scores.shape == (b, 50) and ids.shape == (b, 50)
+    for bi in range(b):
+        ra = np.argsort(-sa[bi])[:100]
+        rb = np.argsort(-sb[bi])[:100]
+        oracle = dict(rrf_reference_py(ra.tolist(), rb.tolist()))
+        got = [(int(i), float(s)) for i, s in zip(ids[bi], scores[bi])
+               if i >= 0]
+        # every returned id carries its exact oracle fused score
+        for gid, gsc in got:
+            np.testing.assert_allclose(gsc, oracle[gid], rtol=1e-5)
+        # and the returned scores are the 50 largest fused values
+        # (ties may reorder ids, so compare score multisets)
+        top_vals = sorted(oracle.values(), reverse=True)[:50]
+        np.testing.assert_allclose(
+            sorted((s for _, s in got), reverse=True), top_vals, rtol=1e-5
+        )
