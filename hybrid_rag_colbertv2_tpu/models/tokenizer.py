@@ -1,0 +1,142 @@
+"""Subword tokenizer for the ColBERT encoder + chunker token counting.
+
+The reference uses two HF tokenizers downloaded from the hub: bert-base
+-uncased for chunk token counting (local_rag_complete.py:245) and the
+jina-colbert-v2 sentencepiece model inside sentence-transformers. This
+environment has no network access, so the framework owns its tokenizer:
+
+  * if a pretrained ``tokenizer.json`` (HF *fast* format) is available, load
+    it — this is the path for real jina-colbert-v2 checkpoints;
+  * otherwise TRAIN a byte-level BPE on the corpus being indexed (the HF
+    ``tokenizers`` wheel trains fully offline) — the self-contained mode
+    used by tests and local corpora;
+  * a last-resort hash tokenizer keeps the framework importable even
+    without the ``tokenizers`` wheel.
+
+Special-token protocol (ColBERT): ``[Q]`` / ``[D]`` marker tokens right
+after BOS; queries are [MASK]-padded to the fixed query length (query
+augmentation); docs are <pad>-padded and masked.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from pathlib import Path
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+try:
+    from tokenizers import Tokenizer, models, pre_tokenizers, trainers, decoders
+    HAVE_TOKENIZERS = True
+except Exception:  # pragma: no cover
+    HAVE_TOKENIZERS = False
+
+SPECIAL_TOKENS = ["<s>", "<pad>", "</s>", "<unk>", "<mask>", "[Q]", "[D]"]
+BOS, PAD, EOS, UNK, MASK, QMARK, DMARK = range(7)
+
+
+class ColBERTTokenizer:
+    """Thin wrapper with the encoder's query/doc protocols baked in."""
+
+    def __init__(self, tok=None, vocab_size: int = 0):
+        self._tok = tok
+        self.vocab_size = vocab_size
+        if tok is not None:
+            # special ids as actually assigned by the loaded/trained model
+            self.bos = tok.token_to_id("<s>")
+            self.pad = tok.token_to_id("<pad>")
+            self.eos = tok.token_to_id("</s>")
+            self.mask = tok.token_to_id("<mask>")
+            self.qmark = tok.token_to_id("[Q]")
+            self.dmark = tok.token_to_id("[D]")
+            for name, tid in [("<s>", self.bos), ("<pad>", self.pad),
+                              ("</s>", self.eos), ("<mask>", self.mask)]:
+                if tid is None:
+                    raise ValueError(f"tokenizer missing special token {name}")
+            # pretrained checkpoints may lack [Q]/[D]; fall back to unused
+            # ids at the end of the vocab (official ColBERT uses [unused0/1])
+            if self.qmark is None:
+                self.qmark = self.mask
+            if self.dmark is None:
+                self.dmark = self.mask
+        else:
+            self.bos, self.pad, self.eos = BOS, PAD, EOS
+            self.mask, self.qmark, self.dmark = MASK, QMARK, DMARK
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def train_bpe(cls, corpus: Sequence[str], vocab_size: int = 8192
+                  ) -> "ColBERTTokenizer":
+        """Train a byte-level BPE on the corpus (fully offline)."""
+        if not HAVE_TOKENIZERS:
+            return HashTokenizer(vocab_size)
+        tok = Tokenizer(models.BPE(unk_token="<unk>"))
+        tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=True)
+        tok.decoder = decoders.ByteLevel()
+        trainer = trainers.BpeTrainer(
+            vocab_size=vocab_size,
+            special_tokens=SPECIAL_TOKENS,
+            initial_alphabet=pre_tokenizers.ByteLevel.alphabet(),
+            show_progress=False,
+        )
+        tok.train_from_iterator(iter(corpus), trainer=trainer)
+        return cls(tok, tok.get_vocab_size())
+
+    @classmethod
+    def load(cls, path: str | Path) -> "ColBERTTokenizer":
+        if not HAVE_TOKENIZERS:
+            raise RuntimeError("tokenizers wheel unavailable")
+        tok = Tokenizer.from_file(str(path))
+        return cls(tok, tok.get_vocab_size())
+
+    def save(self, path: str | Path) -> None:
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        self._tok.save(str(path))
+
+    # ------------------------------------------------------------------
+    def _ids(self, text: str) -> List[int]:
+        return self._tok.encode(text).ids
+
+    def count_tokens(self, text: str) -> int:
+        """Subword token count (chunker budget, reference
+        local_rag_complete.py:463-465)."""
+        return len(self._ids(text))
+
+    def encode_query(self, text: str, max_len: int) -> np.ndarray:
+        """[BOS] [Q] tokens [EOS], then [MASK]-augmented to max_len."""
+        ids = [self.bos, self.qmark] + self._ids(text)[: max_len - 3] + [self.eos]
+        out = np.full((max_len,), self.mask, np.int32)
+        out[: len(ids)] = ids
+        return out
+
+    def encode_doc(self, text: str, max_len: int):
+        """[BOS] [D] tokens [EOS], <pad>-padded. -> (ids (max_len,), n)."""
+        ids = [self.bos, self.dmark] + self._ids(text)[: max_len - 3] + [self.eos]
+        out = np.full((max_len,), self.pad, np.int32)
+        out[: len(ids)] = ids
+        return out, len(ids)
+
+
+class HashTokenizer(ColBERTTokenizer):
+    """Deterministic hash-bucket tokenizer — emergency fallback only."""
+
+    def __init__(self, vocab_size: int = 8192):
+        super().__init__(None, vocab_size)
+        self._n_special = len(SPECIAL_TOKENS)
+
+    def _ids(self, text: str) -> List[int]:
+        out = []
+        for w in text.lower().split():
+            h = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+            out.append(self._n_special
+                       + h % (self.vocab_size - self._n_special))
+        return out
+
+    def count_tokens(self, text: str) -> int:
+        return len(text.split())
+
+    def save(self, path) -> None:  # nothing to persist
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        Path(path).write_text('{"type": "hash", "vocab_size": %d}'
+                              % self.vocab_size)

@@ -1,0 +1,59 @@
+"""Device mesh + index sharding layout.
+
+The reference has NO distributed machinery (single-process MPS-or-CPU,
+local_rag_complete.py:86; SURVEY.md section 2 'Parallelism strategies:
+NONE'). This is the TPU build's replacement: a ``jax.sharding.Mesh`` whose
+``data`` axis shards the *document* dimension of both the dense token index
+and the per-document arrays across ICI, while queries and the small BM25
+CSR stay replicated. Per-shard top-k keeps the full k so the post-allgather
+global top-k is exact (SURVEY.md section 7, 'Sharded top-k correctness').
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import MeshConfig
+from ..index.dense import DenseTokenIndex
+
+
+def make_mesh(
+    mesh_cfg: Optional[MeshConfig] = None,
+    devices=None,
+) -> Mesh:
+    mesh_cfg = mesh_cfg or MeshConfig()
+    devices = devices if devices is not None else jax.devices()
+    shape = mesh_cfg.resolved_mesh_shape(len(devices))
+    if shape[0] * shape[1] > len(devices):
+        raise ValueError(f"mesh {shape} needs more than {len(devices)} devices")
+    arr = np.asarray(devices[: shape[0] * shape[1]]).reshape(shape)
+    return Mesh(arr, mesh_cfg.axis_names)
+
+
+def shard_dense_index(dense: DenseTokenIndex, mesh: Mesh,
+                      axis: str = "data") -> DenseTokenIndex:
+    """Re-place a dense index with its doc axis sharded over ``axis``.
+
+    The index builder pads n_docs to a multiple of 128, which divides
+    evenly for any power-of-two shard count <= 128.
+    """
+    import jax.numpy as jnp
+
+    n_shards = mesh.shape[axis]
+    if dense.n_pad % n_shards != 0:
+        raise ValueError(
+            f"n_pad={dense.n_pad} not divisible by {n_shards} shards")
+    row_sharding = NamedSharding(mesh, P(axis, None))
+    vec_sharding = NamedSharding(mesh, P(axis))
+    emb = jax.device_put(dense.emb_flat, row_sharding)
+    lengths = jax.device_put(dense.doc_lengths, vec_sharding)
+    scales = (jax.device_put(dense.scales, vec_sharding)
+              if dense.scales is not None else None)
+    return DenseTokenIndex(
+        emb_flat=emb, doc_lengths=lengths, n_docs=dense.n_docs,
+        doc_len=dense.doc_len, dim=dense.dim, scales=scales,
+    )

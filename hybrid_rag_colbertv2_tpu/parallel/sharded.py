@@ -1,0 +1,204 @@
+"""Sharded hybrid cascade: the single-chip cascade scaled over an ICI mesh.
+
+Algorithm (SURVEY.md section 5, 'Distributed communication backend'):
+
+  1. queries + BM25 CSR replicated; dense index sharded on the doc axis;
+  2. each shard runs the Pallas MaxSim scan over its local docs and takes a
+     *full-k* local top-k (k, not k/shards — exactness requires it);
+  3. ``all_gather`` of (score, global-id) candidate sets over ICI
+     -> global top-k identical on every shard;
+  4. BM25 scores + RRF fusion computed replicated (identical per shard);
+  5. rerank: each shard exact-rescoring the fused candidates IT OWNS
+     (gather from local index rows), others contribute 0 -> ``psum``
+     reassembles full rerank scores; final top-k replicated.
+
+The only collectives are one all_gather of (B, k) pairs and one psum of
+(B, k_fuse) — both tiny next to the sharded MaxSim scan, and both ride ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..config import RAGConfig
+from ..index.dense import DenseTokenIndex
+from ..index.lexical import LexicalIndex
+from ..ops.bm25 import bm25_scores_device
+from ..ops.fusion import rrf_from_topk
+from ..ops.maxsim import maxsim_scores, maxsim_scores_exact, maxsim_scores_int8
+from ..utils.logging import StageTimer, get_logger
+
+log = get_logger(__name__)
+NEG_INF = -1e30
+
+
+def make_sharded_cascade(
+    mesh: Mesh,
+    *,
+    n_docs: int,
+    n_pad: int,
+    doc_len: int,
+    max_postings: int,
+    is_int8: bool,
+    k_each: int = 100,
+    k_fuse: int = 50,
+    k_final: int = 10,
+    rrf_k: int = 60,
+    axis: str = "data",
+    interpret: Optional[bool] = None,
+):
+    """Build the jitted sharded cascade fn for a fixed index geometry.
+
+    Returns fn(q_emb, q_terms, indptr, post_docs, post_weights,
+               emb_flat, scales, doc_lengths) -> (final_ids, final_scores).
+    """
+    n_shards = mesh.shape[axis]
+    assert n_pad % n_shards == 0
+    n_local = n_pad // n_shards
+    ke = min(k_each, n_local)  # full k per shard (exactness), capped by shard
+    kf = min(k_fuse, n_docs)
+    kfin = min(k_final, kf)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    def body(q_emb, q_terms, indptr, post_docs, post_weights,
+             emb_flat_local, scales_local, doc_lengths_local):
+        shard = jax.lax.axis_index(axis)
+        offset = (shard * n_local).astype(jnp.int32)
+
+        # --- stage 2 (sharded): local MaxSim scan + local top-k ----------
+        if is_int8:
+            ms_local = maxsim_scores_int8(
+                q_emb, emb_flat_local, scales_local, doc_lengths_local,
+                doc_len=doc_len, interpret=interpret)
+        else:
+            ms_local = maxsim_scores(
+                q_emb, emb_flat_local, doc_lengths_local,
+                doc_len=doc_len, interpret=interpret)
+        lv, li = jax.lax.top_k(ms_local, ke)               # (B, ke) local
+        gi = (li + offset).astype(jnp.int32)               # global ids
+        lv = jnp.where(gi < n_docs, lv, NEG_INF)           # mask pad docs
+
+        # --- allgather candidates, replicated global top-k ---------------
+        av = jax.lax.all_gather(lv, axis, axis=1, tiled=True)  # (B, S*ke)
+        ai = jax.lax.all_gather(gi, axis, axis=1, tiled=True)
+        keg = min(k_each, n_docs, av.shape[1])
+        ms_vals, pos = jax.lax.top_k(av, keg)
+        ms_ids = jnp.take_along_axis(ai, pos, axis=1)
+        ms_ids = jnp.where(ms_vals > NEG_INF / 2, ms_ids, -1)
+
+        # --- stage 1 (replicated): BM25 over the full corpus -------------
+        bm25 = bm25_scores_device(
+            q_terms, indptr, post_docs, post_weights,
+            n_docs=n_docs, max_postings=max_postings)
+        bv, bi = jax.lax.top_k(bm25, min(k_each, n_docs))
+        bi = jnp.where(bv > 0, bi, -1).astype(jnp.int32)
+
+        # --- fusion (replicated) ------------------------------------------
+        fused_scores, fused_ids = rrf_from_topk(
+            bi, ms_ids, n_docs, k=kf, rrf_k=rrf_k)
+
+        # --- stage 3: rerank owned candidates, psum across shards --------
+        local_pos = fused_ids - offset
+        owned = (local_pos >= 0) & (local_pos < n_local) & (fused_ids >= 0)
+        safe = jnp.clip(local_pos, 0, n_local - 1)
+        embs3 = emb_flat_local.reshape(n_local, doc_len, -1)
+
+        def rerank_one(q, cand, own):
+            docs = embs3[cand].astype(jnp.float32)          # (kf, L, D)
+            if is_int8:
+                sc = scales_local.reshape(n_local, doc_len)[cand]
+                docs = docs * sc[..., None]
+            lens = jnp.where(own, doc_lengths_local[cand], 0)
+            s = maxsim_scores_exact(q[None], docs, lens)[0]
+            return jnp.where(own, s, 0.0)
+
+        partial_rr = jax.vmap(rerank_one)(
+            q_emb.astype(jnp.float32), safe, owned)        # (B, kf)
+        rerank = jax.lax.psum(partial_rr, axis)
+        rerank = jnp.where(fused_ids >= 0, rerank, NEG_INF)
+
+        tv, tp = jax.lax.top_k(rerank, kfin)
+        final_ids = jnp.take_along_axis(fused_ids, tp, axis=1)
+        final_ids = jnp.where(tv > NEG_INF / 2, final_ids, -1)
+        return final_ids.astype(jnp.int32), tv
+
+    rep = P()
+    sharded = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(rep, rep, rep, rep, rep,
+                  P(axis, None),
+                  rep if not is_int8 else P(axis),
+                  P(axis)),
+        out_specs=(rep, rep),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+class ShardedRetriever:
+    """Multi-chip counterpart of retrieval.cascade.HybridRetriever."""
+
+    def __init__(
+        self,
+        config: RAGConfig,
+        mesh: Mesh,
+        lexical: LexicalIndex,
+        dense: DenseTokenIndex,   # already sharded via mesh.shard_dense_index
+        encoder,
+        chunk_store=None,
+    ):
+        self.config = config
+        self.mesh = mesh
+        self.lexical = lexical
+        self.dense = dense
+        self.encoder = encoder
+        self.store = chunk_store
+        self.timer = StageTimer()
+        rep = NamedSharding(mesh, P())
+        self._lex_dev = (
+            jax.device_put(jnp.asarray(lexical.indptr), rep),
+            jax.device_put(jnp.asarray(lexical.post_docs), rep),
+            jax.device_put(jnp.asarray(lexical.post_weights), rep),
+        )
+        self._fn = make_sharded_cascade(
+            mesh,
+            n_docs=dense.n_docs,
+            n_pad=dense.n_pad,
+            doc_len=dense.doc_len,
+            max_postings=lexical.max_postings,
+            is_int8=dense.is_int8,
+            k_each=min(config.bm25_top_k, dense.n_docs),
+            k_fuse=min(config.fusion_candidates, dense.n_docs),
+            k_final=min(config.final_top_k, config.fusion_candidates,
+                        dense.n_docs),
+            rrf_k=config.rrf_k,
+        )
+
+    def retrieve_batch(self, queries, top_k_final=None
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+        with self.timer.stage("encode_query"):
+            q_emb = self.encoder.encode_queries(list(queries))
+        with self.timer.stage("tokenize_bm25"):
+            q_terms = jnp.asarray(
+                np.stack([self.lexical.encode_query(q) for q in queries]))
+        with self.timer.stage("cascade"):
+            scales = self.dense.scales
+            if scales is None:
+                # shard_map needs a concrete array; zero-size placeholder
+                scales = jnp.zeros((0,), jnp.float32)
+            ids, scores = self._fn(
+                q_emb, q_terms, *self._lex_dev,
+                self.dense.emb_flat, scales, self.dense.doc_lengths)
+            ids = np.asarray(ids)
+            scores = np.asarray(scores)
+        k = top_k_final or self.config.final_top_k
+        return ids[:, :k], scores[:, :k]

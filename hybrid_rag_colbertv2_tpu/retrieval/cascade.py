@@ -1,0 +1,214 @@
+"""The hybrid retrieval cascade — one jitted function, never leaves HBM.
+
+Behavioral contract (reference ``HybridRetriever.retrieve``,
+local_rag_complete.py:894-935):
+
+    Stage 1  BM25 top-100            (:903, _bm25_search :937)
+    Stage 2  ColBERT top-100         (:909, _colbert_search :952)
+    Fusion   RRF(k=60) -> top-50     (:915-916, _reciprocal_rank_fusion :960)
+    Fetch    candidate texts         (:922, _fetch_chunks_from_db :980)
+    Stage 3  ColBERT rerank -> top-10 (:928, _colbert_rerank :996)
+
+Implementation differences (deliberate, SURVEY.md section 7):
+  * stages 1+2 score over the *device-resident* indexes (Pallas MaxSim +
+    CSR BM25) instead of CPU libraries;
+  * fusion + candidate-select + rerank all run inside the same jit — the
+    only host work is query tokenization before and text fetch for the
+    final top-k after;
+  * rerank gathers the already-indexed token embeddings (exact fp32
+    rescoring) instead of re-encoding candidate texts (the reference
+    re-encodes 50 docs per query, its rerank hot loop :783);
+  * one global id space (corpus row index) end to end — the reference mixes
+    0-based corpus positions with 1-based DB ids (latent bug, SURVEY.md).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RAGConfig
+from ..index.dense import DenseTokenIndex
+from ..index.lexical import LexicalIndex
+from ..index.manager import IndexManager
+from ..ops.bm25 import bm25_scores_device
+from ..ops.fusion import rrf_from_topk
+from ..ops.maxsim import maxsim_scores, maxsim_scores_exact, maxsim_scores_int8
+from ..utils.logging import StageTimer, get_logger
+
+log = get_logger(__name__)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_docs", "max_postings", "doc_len", "is_int8",
+        "k_each", "k_fuse", "k_final", "rrf_k",
+    ),
+)
+def hybrid_cascade(
+    q_emb: jax.Array,          # (B, Lq, D) query token embeddings
+    q_terms: jax.Array,        # (B, Q) BM25 term ids, -1 padded
+    indptr: jax.Array,
+    post_docs: jax.Array,
+    post_weights: jax.Array,
+    emb_flat: jax.Array,       # (N_pad * L, D)
+    scales: Optional[jax.Array],
+    doc_lengths: jax.Array,    # (N_pad,)
+    *,
+    n_docs: int,
+    max_postings: int,
+    doc_len: int,
+    is_int8: bool,
+    k_each: int = 100,
+    k_fuse: int = 50,
+    k_final: int = 10,
+    rrf_k: int = 60,
+) -> Tuple[jax.Array, jax.Array, Dict[str, jax.Array]]:
+    """-> (final_ids (B, k_final), final_scores, debug dict)."""
+    b = q_emb.shape[0]
+    n_pad = doc_lengths.shape[0]
+
+    # Stage 1: BM25 lexical scores over all docs
+    bm25 = bm25_scores_device(
+        q_terms, indptr, post_docs, post_weights,
+        n_docs=n_docs, max_postings=max_postings,
+    )                                                   # (B, n_docs)
+
+    # Stage 2: dense MaxSim scan over the whole index
+    if is_int8:
+        ms = maxsim_scores_int8(q_emb, emb_flat, scales, doc_lengths,
+                                doc_len=doc_len)
+    else:
+        ms = maxsim_scores(q_emb, emb_flat, doc_lengths, doc_len=doc_len)
+    ms = ms[:, :n_docs]                                 # (B, n_docs)
+
+    # Per-source top-k (the "top-100" lists)
+    ke = min(k_each, n_docs)
+    bm25_vals, bm25_ids = jax.lax.top_k(bm25, ke)
+    ms_vals, ms_ids = jax.lax.top_k(ms, ke)
+    # BM25 can produce ties at 0 (docs with no query term) — mark missing
+    bm25_ids = jnp.where(bm25_vals > 0, bm25_ids, -1).astype(jnp.int32)
+    ms_ids = ms_ids.astype(jnp.int32)
+
+    # Fusion: RRF -> k_fuse candidates
+    fused_scores, fused_ids = rrf_from_topk(
+        bm25_ids, ms_ids, n_docs, k=min(k_fuse, n_docs), rrf_k=rrf_k,
+    )
+
+    # Stage 3: exact fp32 rerank over gathered candidate embeddings
+    safe = jnp.where(fused_ids >= 0, fused_ids, n_pad - 1)
+    embs3 = emb_flat.reshape(n_pad, doc_len, -1)
+
+    def rerank_one(q, cand, live):
+        docs = embs3[cand].astype(jnp.float32)          # (k_fuse, L, D)
+        if is_int8:
+            sc = scales.reshape(n_pad, doc_len)[cand]
+            docs = docs * sc[..., None]
+        lens = jnp.where(live, doc_lengths[cand], 0)
+        return maxsim_scores_exact(q[None], docs, lens)[0]
+
+    rerank = jax.vmap(rerank_one)(q_emb.astype(jnp.float32), safe,
+                                  fused_ids >= 0)       # (B, k_fuse)
+
+    kf = min(k_final, k_fuse)
+    top_vals, top_pos = jax.lax.top_k(rerank, kf)
+    final_ids = jnp.take_along_axis(fused_ids, top_pos, axis=1)
+    final_ids = jnp.where(top_vals > -1e29, final_ids, -1)
+    debug = {
+        "bm25_ids": bm25_ids, "bm25_vals": bm25_vals,
+        "ms_ids": ms_ids, "ms_vals": ms_vals,
+        "fused_ids": fused_ids, "fused_scores": fused_scores,
+        "rerank": rerank,
+    }
+    return final_ids.astype(jnp.int32), top_vals, debug
+
+
+class HybridRetriever:
+    """Host-side wrapper: tokenize -> jitted cascade -> result dicts.
+
+    Result dict schema matches the reference's retrieve() output
+    (local_rag_complete.py:1004-1013): chunk_id / text / document_id /
+    heading_path / has_images / metadata / score / rank.
+    """
+
+    def __init__(
+        self,
+        config: RAGConfig,
+        indexes: IndexManager,
+        encoder,
+        chunk_store=None,          # ingest/store.ChunkStore (optional)
+    ):
+        self.config = config
+        self.indexes = indexes
+        self.encoder = encoder
+        self.store = chunk_store
+        self.timer = StageTimer()
+        lex = indexes.lexical
+        dense = indexes.dense
+        if lex is None or dense is None:
+            raise RuntimeError("indexes not built/loaded")
+        self._lex_dev = dict(
+            indptr=jnp.asarray(lex.indptr),
+            post_docs=jnp.asarray(lex.post_docs),
+            post_weights=jnp.asarray(lex.post_weights),
+        )
+
+    # ------------------------------------------------------------------
+    def retrieve_batch(
+        self, queries: Sequence[str], top_k_final: Optional[int] = None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """-> (ids (B, k), scores (B, k)) — device path only."""
+        cfg = self.config
+        k = top_k_final or cfg.final_top_k
+        lex = self.indexes.lexical
+        dense = self.indexes.dense
+        with self.timer.stage("encode_query"):
+            q_emb = self.encoder.encode_queries(list(queries))
+        with self.timer.stage("tokenize_bm25"):
+            q_terms = jnp.asarray(
+                np.stack([lex.encode_query(q) for q in queries])
+            )
+        with self.timer.stage("cascade"):
+            ids, scores, _ = hybrid_cascade(
+                q_emb, q_terms,
+                self._lex_dev["indptr"], self._lex_dev["post_docs"],
+                self._lex_dev["post_weights"],
+                dense.emb_flat, dense.scales, dense.doc_lengths,
+                n_docs=dense.n_docs,
+                max_postings=lex.max_postings,
+                doc_len=dense.doc_len,
+                is_int8=dense.is_int8,
+                k_each=min(cfg.bm25_top_k, dense.n_docs),
+                k_fuse=min(cfg.fusion_candidates, dense.n_docs),
+                k_final=min(k, cfg.fusion_candidates, dense.n_docs),
+                rrf_k=cfg.rrf_k,
+            )
+            ids = np.asarray(ids)
+            scores = np.asarray(scores)
+        return ids, scores
+
+    def retrieve(self, query: str, top_k_final: Optional[int] = None
+                 ) -> List[Dict]:
+        """Single-query API with text fetch — parity with reference
+        retrieve() (local_rag_complete.py:894-935)."""
+        ids, scores = self.retrieve_batch([query], top_k_final)
+        results: List[Dict] = []
+        with self.timer.stage("fetch"):
+            for rank, (cid, score) in enumerate(zip(ids[0], scores[0]), 1):
+                if cid < 0:
+                    continue
+                row = dict(chunk_id=int(cid), score=float(score), rank=rank)
+                if self.store is not None:
+                    meta = self.store.get_chunk(int(cid))
+                    if meta:
+                        row.update(meta)
+                elif self.indexes.corpus is not None:
+                    row["text"] = self.indexes.corpus[int(cid)]
+                results.append(row)
+        log.debug("retrieve timings: %s", self.timer.as_json())
+        return results

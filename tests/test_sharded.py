@@ -1,0 +1,101 @@
+"""Multi-chip paths on the 8-device virtual CPU mesh: sharded cascade must
+agree with the single-device cascade (SURVEY.md section 4(c))."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hybrid_rag_colbertv2_tpu.config import MeshConfig, RAGConfig
+from hybrid_rag_colbertv2_tpu.index.dense import DenseTokenIndex
+from hybrid_rag_colbertv2_tpu.index.lexical import LexicalIndex
+from hybrid_rag_colbertv2_tpu.index.manager import IndexManager
+from hybrid_rag_colbertv2_tpu.models.colbert import ColBERTConfig, ColBERTEncoder
+from hybrid_rag_colbertv2_tpu.models.tokenizer import ColBERTTokenizer
+from hybrid_rag_colbertv2_tpu.parallel.mesh import make_mesh, shard_dense_index
+from hybrid_rag_colbertv2_tpu.parallel.sharded import ShardedRetriever
+from hybrid_rag_colbertv2_tpu.retrieval.cascade import HybridRetriever
+
+CORPUS = [
+    f"document {i} talks about topic {i % 7} and subject {i % 5} "
+    f"with details on item {i}"
+    for i in range(96)
+] + [
+    "TPUs multiply matrices using a systolic array called the MXU",
+    "JAX compiles numerical programs with XLA for TPUs and GPUs",
+    "Information retrieval ranks documents by relevance to a query",
+    "Reciprocal rank fusion combines rankings from multiple retrievers",
+]
+
+
+@pytest.fixture(scope="module")
+def setup():
+    assert len(jax.devices()) == 8
+    tok = ColBERTTokenizer.train_bpe(CORPUS, vocab_size=512)
+    cfg = RAGConfig()
+    enc_cfg = ColBERTConfig.tiny(vocab_size=tok.vocab_size)
+    encoder = ColBERTEncoder(enc_cfg, tok, seed=0)
+    lex = LexicalIndex.build(CORPUS)
+    embs, lengths = encoder.encode_docs(CORPUS, doc_len=64)
+    dense = DenseTokenIndex.build(embs, lengths, doc_len=64, dtype="float32")
+    return cfg, encoder, lex, dense
+
+
+QUERIES = [
+    "systolic array matrix multiplication on TPU",
+    "topic 3 subject 2 details",
+    "rank fusion retrievers",
+    "document 42",
+]
+
+
+def _single_device_results(cfg, encoder, lex, dense):
+    mgr = IndexManager(cfg, encoder)
+    mgr.lexical = lex
+    mgr.dense = dense
+    r = HybridRetriever(cfg, mgr, encoder)
+    return r.retrieve_batch(QUERIES)
+
+
+def test_sharded_matches_single_device(setup):
+    cfg, encoder, lex, dense = setup
+    ids1, scores1 = _single_device_results(cfg, encoder, lex, dense)
+
+    mesh = make_mesh(MeshConfig(mesh_shape=(8, 1)))
+    dense_sharded = shard_dense_index(dense, mesh)
+    r = ShardedRetriever(cfg, mesh, lex, dense_sharded, encoder)
+    ids8, scores8 = r.retrieve_batch(QUERIES)
+
+    assert ids8.shape == ids1.shape
+    for b in range(len(QUERIES)):
+        np.testing.assert_allclose(
+            np.sort(scores8[b]), np.sort(scores1[b]), rtol=1e-4,
+            err_msg=f"query {b}")
+        # identical candidate sets (ties may permute equal scores)
+        assert set(ids8[b].tolist()) == set(ids1[b].tolist()), f"query {b}"
+
+
+def test_sharded_int8(setup):
+    cfg, encoder, lex, dense = setup
+    embs3 = dense.emb_flat.reshape(dense.n_pad, dense.doc_len, -1)
+    dense8 = DenseTokenIndex.build(
+        embs3[: dense.n_docs], dense.doc_lengths[: dense.n_docs],
+        doc_len=dense.doc_len, dtype="int8")
+    mesh = make_mesh(MeshConfig(mesh_shape=(8, 1)))
+    sharded = shard_dense_index(dense8, mesh)
+    r = ShardedRetriever(cfg, mesh, lex, sharded, encoder)
+    ids, scores = r.retrieve_batch(QUERIES[:2])
+    assert ids.shape == (2, cfg.final_top_k)
+    assert np.isfinite(scores).all()
+    assert (ids >= -1).all() and (ids < len(CORPUS)).all()
+
+
+def test_mesh_shapes(setup):
+    cfg, encoder, lex, dense = setup
+    for shape in [(2, 1), (4, 1)]:
+        mesh = make_mesh(MeshConfig(mesh_shape=shape))
+        sharded = shard_dense_index(dense, mesh)
+        r = ShardedRetriever(cfg, mesh, lex, sharded, encoder)
+        ids, _ = r.retrieve_batch(QUERIES[:1])
+        ids1, _ = _single_device_results(cfg, encoder, lex, dense)
+        assert set(ids[0].tolist()) == set(ids1[0].tolist()), shape
