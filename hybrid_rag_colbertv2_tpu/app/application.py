@@ -1,0 +1,260 @@
+"""Application orchestrator — owns store, encoder, indexes, retriever, chat.
+
+TPU-native equivalent of the reference ``RAGApplication``
+(local_rag_complete.py:1111-1238): DB setup, sidecar health check,
+``index_documents``, ``initialize_chatbot``, ``chat``, ``interactive_chat``
+REPL, ``print_stats``. Differences:
+
+  * indexing REBUILDS both indexes from the full chunk store (the store is
+    the source of truth / recovery primitive — SURVEY.md section 5,
+    checkpoint/resume), where the reference indexes only the chunks of the
+    current call and silently orphans earlier documents;
+  * the encoder + tokenizer are persisted next to the index so query-time
+    encoding matches index-time encoding across sessions;
+  * Ollama is optional: indexing and retrieval never require the sidecar
+    (the reference hard-gates indexing on the LLM being up, :1144);
+  * with >1 visible device, retrieval automatically shards the dense index
+    over the mesh (parallel/).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import jax
+
+from ..config import RAGConfig
+from ..index.manager import IndexManager
+from ..ingest.processor import DocumentProcessor
+from ..ingest.store import ChunkStore
+from ..models.colbert import ColBERTConfig, ColBERTEncoder
+from ..models.tokenizer import ColBERTTokenizer
+from ..retrieval.cascade import HybridRetriever
+from ..utils.logging import get_logger
+from .chatbot import RAGChatbot
+from .ollama import OllamaClient
+
+log = get_logger(__name__)
+
+_PRESETS = {
+    "tiny": ColBERTConfig.tiny,
+    "small": ColBERTConfig.small,
+    "jina-colbert-v2": ColBERTConfig.jina_colbert_v2,
+}
+
+
+class RAGApplication:
+    def __init__(self, config: Optional[RAGConfig] = None,
+                 use_ollama: bool = True):
+        self.config = config or RAGConfig()
+        self.config.validate()
+        self.store = ChunkStore(self.config.db_path)
+        self.ollama = OllamaClient(self.config) if use_ollama else None
+        self.processor = DocumentProcessor(
+            self.config, self.store, vision_client=self.ollama)
+        self.encoder: Optional[ColBERTEncoder] = None
+        self.indexes: Optional[IndexManager] = None
+        self.retriever: Optional[HybridRetriever] = None
+        self.chatbot: Optional[RAGChatbot] = None
+
+    # ------------------------------------------------------------------
+    def check_ollama(self) -> bool:
+        return self.ollama.is_alive() if self.ollama else False
+
+    # ------------------------------------------------------------------
+    def _encoder_paths(self):
+        base = Path(self.config.colbert_index_path)
+        return base / "encoder_params.npz", base / "encoder_config.json"
+
+    def _make_encoder(self, corpus: Sequence[str]) -> ColBERTEncoder:
+        """Build (or load) tokenizer + encoder, persisted with the index."""
+        cfg = self.config
+        tok_path = Path(cfg.tokenizer_path)
+        if tok_path.exists():
+            tokenizer = ColBERTTokenizer.load(tok_path)
+        else:
+            tokenizer = ColBERTTokenizer.train_bpe(
+                corpus or ["placeholder corpus"],
+                vocab_size=cfg.tokenizer_vocab_size)
+            tokenizer.save(tok_path)
+
+        enc_cfg = _PRESETS[cfg.encoder_preset](
+            vocab_size=max(tokenizer.vocab_size, 8),
+            query_max_tokens=cfg.query_max_tokens,
+            doc_max_tokens=cfg.doc_max_tokens,
+        )
+        params = None
+        if cfg.encoder_checkpoint:
+            from ..models.convert import convert_hf_dir
+            params = convert_hf_dir(cfg.encoder_checkpoint, enc_cfg)
+            log.info("Encoder weights converted from %s",
+                     cfg.encoder_checkpoint)
+        params_path, cfg_path = self._encoder_paths()
+        if params is None and params_path.exists():
+            params = ColBERTEncoder.load_params(str(params_path))
+        encoder = ColBERTEncoder(enc_cfg, tokenizer, params=params,
+                                 seed=cfg.encoder_seed)
+        params_path.parent.mkdir(parents=True, exist_ok=True)
+        if not params_path.exists():
+            encoder.save_params(str(params_path))
+            cfg_path.write_text(json.dumps(encoder.config_dict()))
+        return encoder
+
+    # ------------------------------------------------------------------
+    def index_documents(self, paths: Sequence[str]) -> Dict:
+        """Process documents then rebuild both indexes from the full store.
+
+        Reference: index_documents (local_rag_complete.py:1141-1164)."""
+        results = []
+        for p in paths:
+            chunks, doc_id, ids = self.processor.process_document(p)
+            results.append({"path": str(p), "document_id": doc_id,
+                            "chunks": len(chunks)})
+        corpus = self.store.all_chunk_texts()
+        if not corpus:
+            raise RuntimeError("no chunks to index")
+        self.encoder = self._make_encoder(corpus)
+        self.indexes = IndexManager(self.config, self.encoder)
+        self.indexes.build_all(corpus)
+        log.info("Indexed %d documents (%d chunks total)",
+                 len(paths), len(corpus))
+        return {"documents": results, "total_chunks": len(corpus),
+                "timings": dict(self.indexes.timer.timings)}
+
+    # ------------------------------------------------------------------
+    def initialize_chatbot(self, use_mesh: Optional[bool] = None) -> None:
+        """Load persisted indexes + encoder and stand up the retriever.
+
+        Reference: initialize_chatbot (local_rag_complete.py:1166-1180)."""
+        corpus = self.store.all_chunk_texts()
+        self.encoder = self._make_encoder(corpus)
+        self.indexes = IndexManager(self.config, self.encoder)
+        if self.indexes.is_built():
+            self.indexes.load()
+        elif corpus:
+            log.info("Indexes missing — rebuilding from the chunk store")
+            self.indexes.build_all(corpus)
+        else:
+            raise RuntimeError(
+                "nothing indexed: upload documents first (--upload)")
+
+        n_dev = len(jax.devices())
+        if use_mesh is None:
+            use_mesh = n_dev > 1
+        if use_mesh and n_dev > 1:
+            from ..parallel.mesh import make_mesh, shard_dense_index
+            from ..parallel.sharded import ShardedRetriever
+            mesh = make_mesh(self.config.mesh)
+            dense = shard_dense_index(self.indexes.dense, mesh)
+            sharded = ShardedRetriever(
+                self.config, mesh, self.indexes.lexical, dense,
+                self.encoder, chunk_store=self.store)
+            self.retriever = _ShardedAdapter(sharded, self.store,
+                                             self.config)
+            log.info("Sharded retriever over %s mesh", dict(mesh.shape))
+        else:
+            self.retriever = HybridRetriever(
+                self.config, self.indexes, self.encoder,
+                chunk_store=self.store)
+        self.chatbot = RAGChatbot(self.config, self.retriever, self.ollama)
+
+    # ------------------------------------------------------------------
+    def chat(self, query: str, generate: bool = True) -> Dict:
+        if self.chatbot is None:
+            raise RuntimeError(
+                "Chatbot not initialized. Call initialize_chatbot() first.")
+        return self.chatbot.chat(query, generate=generate)
+
+    def query(self, query: str, top_k: Optional[int] = None) -> List[Dict]:
+        """Retrieval-only API (new vs reference: --query without an LLM)."""
+        if self.retriever is None:
+            self.initialize_chatbot()
+        return self.retriever.retrieve(query, top_k)
+
+    # ------------------------------------------------------------------
+    def interactive_chat(self) -> None:
+        """REPL parity with local_rag_complete.py:1189-1227."""
+        print("=" * 60)
+        print("RAG Chatbot - Interactive Mode")
+        print("=" * 60)
+        print("Type your questions ('exit' to quit, 'clear' to reset "
+              "history)\n")
+        gen = self.check_ollama()
+        if not gen:
+            print("(LLM sidecar not reachable — retrieval-only answers)\n")
+        while True:
+            try:
+                user_input = input("You: ").strip()
+                if not user_input:
+                    continue
+                if user_input.lower() in ("exit", "quit"):
+                    print("\nGoodbye!")
+                    break
+                if user_input.lower() == "clear":
+                    self.chatbot.clear_history()
+                    continue
+                result = self.chat(user_input, generate=gen)
+                if result["response"]:
+                    print(f"\nAssistant: {result['response']}\n")
+                if result["sources"]:
+                    print(f"Sources ({len(result['sources'])}):")
+                    for src in result["sources"][:3]:
+                        heading = f" - {src['heading']}" if src["heading"] else ""
+                        images = " [img]" if src["has_images"] else ""
+                        print(f"  * Source {src['source_id']}{heading}{images}"
+                              f" (score {src['score']:.3f})")
+                    print()
+            except (KeyboardInterrupt, EOFError):
+                print("\n\nGoodbye!")
+                break
+            except Exception as e:
+                print(f"\nError: {e}\n")
+
+    # ------------------------------------------------------------------
+    def stats(self) -> Dict:
+        """Reference print_stats (local_rag_complete.py:1229-1238)."""
+        s = self.store.stats()
+        s["indexes_built"] = bool(
+            self.indexes.is_built() if self.indexes
+            else IndexManager(self.config).is_built())
+        s["devices"] = [str(d) for d in jax.devices()]
+        return s
+
+    def print_stats(self) -> None:
+        s = self.stats()
+        print("\nDatabase Statistics:")
+        print(f"   * Documents: {s['documents']}")
+        print(f"   * Chunks: {s['chunks']}")
+        print(f"   * Images: {s['images']}")
+        print(f"   * Indexes built: {s['indexes_built']}")
+        print(f"   * Devices: {', '.join(s['devices'])}")
+
+
+class _ShardedAdapter:
+    """Gives ShardedRetriever the single-query retrieve() surface."""
+
+    def __init__(self, sharded, store, config):
+        self._r = sharded
+        self._store = store
+        self._cfg = config
+
+    def retrieve(self, query: str, top_k: Optional[int] = None) -> List[Dict]:
+        ids, scores = self._r.retrieve_batch([query], top_k)
+        out = []
+        rows = self._store.get_chunks([int(i) for i in ids[0] if i >= 0])
+        by_id = {r["chunk_id"]: r for r in rows}
+        rank = 0
+        for cid, score in zip(ids[0], scores[0]):
+            if cid < 0:
+                continue
+            rank += 1
+            row = dict(by_id.get(int(cid), {"chunk_id": int(cid)}))
+            row.update(score=float(score), rank=rank)
+            out.append(row)
+        return out
+
+    def retrieve_batch(self, queries, top_k=None):
+        return self._r.retrieve_batch(queries, top_k)

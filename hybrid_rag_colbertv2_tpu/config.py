@@ -84,6 +84,15 @@ class RAGConfig:
     query_max_tokens: int = 32
     doc_max_tokens: int = 256
 
+    # Encoder selection: "tiny" | "small" | "jina-colbert-v2". With
+    # ``encoder_checkpoint`` pointing at a local HF checkpoint dir, weights
+    # are converted (models/convert.py); otherwise deterministic random
+    # init (self-contained mode) persisted alongside the index.
+    encoder_preset: str = "small"
+    encoder_checkpoint: Optional[str] = None
+    encoder_seed: int = 0
+    tokenizer_vocab_size: int = 8192
+
     # TPU mesh / numerics.
     mesh: MeshConfig = field(default_factory=MeshConfig)
 

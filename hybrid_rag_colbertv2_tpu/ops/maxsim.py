@@ -85,15 +85,21 @@ def _pick_docs_per_tile(doc_len: int, rows_target: int = 8192) -> int:
     return p
 
 
-def _maxsim_kernel(q_ref, emb_ref, len_ref, out_ref, *, docs_per_tile, doc_len):
-    """One (query b, doc-tile t) cell.
+def _maxsim_kernel(q_ref, emb_ref, out_ref, *, docs_per_tile, doc_len):
+    """One (doc-tile t, query b) grid cell.
 
     q_ref:   (Lq, D)            — query token embeddings (zero-padded rows)
     emb_ref: (docs_per_tile * L, D) — flattened doc-token embeddings
-    len_ref: (1, docs_per_tile) int32 — true token counts per doc
-    out_ref: (1, docs_per_tile) f32  — MaxSim scores
+    out_ref: (1, B, docs_per_tile) f32 — MaxSim scores; the block spans the
+             whole batch dim (TPU needs the last two block dims 8/128-aligned
+             or full) and each (t, b) step fills its own row.
+
+    Padding mask: the index builder zeroes all padded token rows, so a row
+    with zero L1 norm is padding — its similarities get a -inf bias before
+    the max over doc tokens. No lengths array needed in the kernel.
     """
     lq = q_ref.shape[0]
+    bi = pl.program_id(1)
     # (rows, D) @ (D, Lq) -> (rows, Lq); MXU, fp32 accumulate.
     sims = jax.lax.dot_general(
         emb_ref[:],
@@ -101,12 +107,12 @@ def _maxsim_kernel(q_ref, emb_ref, len_ref, out_ref, *, docs_per_tile, doc_len):
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    rownorm = jnp.sum(jnp.abs(emb_ref[:].astype(jnp.float32)), axis=1,
+                      keepdims=True)                  # (rows, 1)
+    sims = sims + jnp.where(rownorm > 0.0, 0.0, NEG_INF)
     sims3 = sims.reshape(docs_per_tile, doc_len, lq)
-    tok = jax.lax.broadcasted_iota(jnp.int32, (docs_per_tile, doc_len, lq), 1)
-    lens = len_ref[0, :].reshape(docs_per_tile, 1, 1)
-    sims3 = jnp.where(tok < lens, sims3, NEG_INF)
-    per_q = jnp.max(sims3, axis=1)           # (docs_per_tile, Lq)
-    out_ref[0, :] = jnp.sum(per_q, axis=1)   # (docs_per_tile,)
+    per_q = jnp.max(sims3, axis=1)               # (docs_per_tile, Lq)
+    out_ref[0, bi, :] = jnp.sum(per_q, axis=1)   # (docs_per_tile,)
 
 
 @functools.partial(
@@ -138,7 +144,6 @@ def maxsim_scores(
     else:
         n_full = n
     num_tiles = n_full // t
-    lens2d = doc_lengths.reshape(num_tiles, t)
 
     grid = (num_tiles, b)  # b innermost so the big doc tile stays resident
     rows = t * doc_len
@@ -150,12 +155,10 @@ def maxsim_scores(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rows, d), lambda ti, bi: (ti, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, t), lambda ti, bi: (ti, 0, 0),
-                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((None, 1, t), lambda ti, bi: (bi, ti, 0),
+        out_specs=pl.BlockSpec((1, b, t), lambda ti, bi: (ti, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, num_tiles, t), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, b, t), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(100 * 1024 * 1024),
         ),
@@ -166,22 +169,23 @@ def maxsim_scores(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(queries, emb_flat, lens2d.reshape(num_tiles, 1, t))
-    return out.reshape(b, n_full)[:, :n]
+    )(queries, emb_flat)
+    return out.transpose(1, 0, 2).reshape(b, n_full)[:, :n]
 
 
 # ---------------------------------------------------------------------------
 # Pallas tiled kernel — int8 operands with per-token-row scales
 # ---------------------------------------------------------------------------
 
-def _maxsim_int8_kernel(q_ref, emb_ref, scale_ref, len_ref, out_ref, *,
+def _maxsim_int8_kernel(q_ref, emb_ref, scale_ref, out_ref, *,
                         docs_per_tile, doc_len):
     """int8 variant: sims row r is dequantized by scale[r] after the matmul.
 
-    scale_ref: (1, rows) f32 — per doc-token-row quantization scale.
+    scale_ref: (rows, 1) f32 — per doc-token-row quantization scale; padding
+    rows have scale 0, which doubles as the mask (bias -inf where scale==0).
     """
     lq = q_ref.shape[0]
-    rows = docs_per_tile * doc_len
+    bi = pl.program_id(1)
     emb = emb_ref[:].astype(jnp.bfloat16)
     sims = jax.lax.dot_general(
         emb,
@@ -189,13 +193,11 @@ def _maxsim_int8_kernel(q_ref, emb_ref, scale_ref, len_ref, out_ref, *,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    sims = sims * scale_ref[0, :].reshape(rows, 1)
+    scale = scale_ref[:]                              # (rows, 1)
+    sims = sims * scale + jnp.where(scale > 0.0, 0.0, NEG_INF)
     sims3 = sims.reshape(docs_per_tile, doc_len, lq)
-    tok = jax.lax.broadcasted_iota(jnp.int32, (docs_per_tile, doc_len, lq), 1)
-    lens = len_ref[0, :].reshape(docs_per_tile, 1, 1)
-    sims3 = jnp.where(tok < lens, sims3, NEG_INF)
     per_q = jnp.max(sims3, axis=1)
-    out_ref[0, :] = jnp.sum(per_q, axis=1)
+    out_ref[0, bi, :] = jnp.sum(per_q, axis=1)
 
 
 @functools.partial(
@@ -238,14 +240,12 @@ def maxsim_scores_int8(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rows, d), lambda ti, bi: (ti, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, rows), lambda ti, bi: (ti, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, t), lambda ti, bi: (ti, 0, 0),
+            pl.BlockSpec((rows, 1), lambda ti, bi: (ti, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((None, 1, t), lambda ti, bi: (bi, ti, 0),
+        out_specs=pl.BlockSpec((1, b, t), lambda ti, bi: (ti, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, num_tiles, t), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, b, t), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(100 * 1024 * 1024),
         ),
@@ -259,7 +259,6 @@ def maxsim_scores_int8(
     )(
         queries,
         emb_flat,
-        scales.reshape(num_tiles, 1, rows),
-        doc_lengths.reshape(num_tiles, 1, t),
+        scales.reshape(n_full * doc_len, 1),
     )
-    return out.reshape(b, n_full)[:, :n]
+    return out.transpose(1, 0, 2).reshape(b, n_full)[:, :n]

@@ -1,0 +1,155 @@
+"""Contrastive ColBERT training — jitted step, mesh-sharded (DP over batch).
+
+New capability vs the reference (which only downloads a fixed checkpoint):
+in-batch-negative contrastive training of the encoder. The loss is the
+standard ColBERT objective: for a batch of (query, positive-doc) pairs,
+score every query against every doc in the batch with true MaxSim and apply
+softmax cross-entropy against the diagonal.
+
+Parallelism: the batch axis is sharded over the mesh's ``data`` axis via
+input shardings; parameters are replicated; XLA inserts the gradient
+all-reduce. This is the framework's "full training step" exercised by
+``__graft_entry__.dryrun_multichip`` on a virtual device mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.colbert import ColBERTConfig, ColBERTEncoder, ColBERTModel
+from ..utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+@dataclass
+class TrainConfig:
+    learning_rate: float = 3e-4
+    weight_decay: float = 0.01
+    batch_size: int = 16          # global batch (must divide by mesh 'data')
+    doc_len: int = 64
+    temperature: float = 0.05
+    steps: int = 100
+    warmup_steps: int = 10
+    seed: int = 0
+
+
+def _maxsim_matrix(q_emb: jax.Array, d_emb: jax.Array,
+                   d_mask: jax.Array) -> jax.Array:
+    """All-pairs MaxSim: (B,Lq,D) x (B,Ld,D) -> (B,B) scores."""
+    sims = jnp.einsum("bqd,cld->bcql", q_emb, d_emb,
+                      preferred_element_type=jnp.float32)
+    sims = jnp.where(d_mask[None, :, None, :].astype(bool), sims, -1e30)
+    return jnp.sum(jnp.max(sims, axis=-1), axis=-1)
+
+
+def make_train_step(model: ColBERTModel, tx: optax.GradientTransformation,
+                    temperature: float):
+    """Returns step(params, opt_state, batch) -> (params, opt_state, metrics).
+
+    batch: dict of q_ids/q_mask/d_ids/d_mask, batch axis shardable.
+    """
+
+    def loss_fn(params, batch):
+        q_emb = model.apply({"params": params}, batch["q_ids"],
+                            batch["q_mask"])
+        d_emb = model.apply({"params": params}, batch["d_ids"],
+                            batch["d_mask"])
+        scores = _maxsim_matrix(q_emb, d_emb, batch["d_mask"]) / temperature
+        labels = jnp.arange(scores.shape[0])
+        loss = optax.softmax_cross_entropy_with_integer_labels(
+            scores, labels).mean()
+        acc = jnp.mean(jnp.argmax(scores, axis=-1) == labels)
+        return loss, acc
+
+    @jax.jit
+    def step(params, opt_state, batch):
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {"loss": loss, "accuracy": acc}
+
+    return step
+
+
+class ColBERTTrainer:
+    """Host-side loop: tokenize pairs, shard batches over the mesh, step."""
+
+    def __init__(
+        self,
+        encoder: ColBERTEncoder,
+        train_cfg: Optional[TrainConfig] = None,
+        mesh: Optional[Mesh] = None,
+        data_axis: str = "data",
+    ):
+        self.encoder = encoder
+        self.cfg = train_cfg or TrainConfig()
+        self.mesh = mesh
+        self.data_axis = data_axis
+        sched = optax.warmup_cosine_decay_schedule(
+            0.0, self.cfg.learning_rate, self.cfg.warmup_steps,
+            max(self.cfg.steps, self.cfg.warmup_steps + 1))
+        self.tx = optax.adamw(sched, weight_decay=self.cfg.weight_decay)
+        self.opt_state = self.tx.init(encoder.params)
+        self.step_fn = make_train_step(encoder.model, self.tx,
+                                       self.cfg.temperature)
+        self._batch_sharding = None
+        if mesh is not None:
+            self._batch_sharding = NamedSharding(mesh, P(data_axis, None))
+
+    # ------------------------------------------------------------------
+    def _make_batch(self, pairs: Sequence[Tuple[str, str]]) -> Dict:
+        """pairs: (query_text, positive_doc_text)."""
+        cfg = self.encoder.cfg
+        q_ids = np.stack([
+            self.encoder.tokenizer.encode_query(q, cfg.query_max_tokens)
+            for q, _ in pairs])
+        q_mask = np.ones_like(q_ids)
+        d_enc = [self.encoder.tokenizer.encode_doc(d, self.cfg.doc_len)
+                 for _, d in pairs]
+        d_ids = np.stack([e[0] for e in d_enc])
+        d_mask = np.stack([
+            (np.arange(self.cfg.doc_len) < e[1]).astype(np.int32)
+            for e in d_enc])
+        batch = {"q_ids": q_ids, "q_mask": q_mask,
+                 "d_ids": d_ids, "d_mask": d_mask}
+        out = {k: jnp.asarray(v) for k, v in batch.items()}
+        if self._batch_sharding is not None:
+            out = {k: jax.device_put(v, self._batch_sharding)
+                   for k, v in out.items()}
+        return out
+
+    # ------------------------------------------------------------------
+    def train(self, pairs: List[Tuple[str, str]],
+              steps: Optional[int] = None) -> List[Dict]:
+        """Cycle through (query, doc-text) pairs; returns per-step metrics."""
+        steps = steps or self.cfg.steps
+        bs = self.cfg.batch_size
+        if len(pairs) < bs:
+            reps = -(-bs // max(len(pairs), 1))
+            pairs = (pairs * reps)[: max(bs, len(pairs))]
+        params = self.encoder.params
+        metrics: List[Dict] = []
+        pos = 0
+        for step in range(steps):
+            if pos + bs > len(pairs):
+                pos = 0
+            batch = self._make_batch(pairs[pos : pos + bs])
+            pos += bs
+            params, self.opt_state, m = self.step_fn(
+                params, self.opt_state, batch)
+            metrics.append({k: float(v) for k, v in m.items()})
+            if step % 20 == 0 or step == steps - 1:
+                log.info("train step %d: loss=%.4f acc=%.3f", step,
+                         metrics[-1]["loss"], metrics[-1]["accuracy"])
+        self.encoder.params = params
+        return metrics

@@ -1,0 +1,157 @@
+"""End-to-end application test: upload -> index -> (reload) -> query ->
+chat -> stats, all without an LLM sidecar (SURVEY.md section 4(d))."""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+from hybrid_rag_colbertv2_tpu.app.application import RAGApplication
+from hybrid_rag_colbertv2_tpu.app.chatbot import RAGChatbot
+from hybrid_rag_colbertv2_tpu.config import RAGConfig
+
+DOC1 = """# TPU Architecture
+
+The MXU is a 128x128 systolic array that performs matrix multiplication.
+Data flows from HBM through VMEM to the compute units.
+
+## Memory Hierarchy
+
+HBM provides gigabytes of capacity while VMEM is a 16 megabyte on-chip
+buffer that feeds the compute units with low latency access patterns.
+
+# Retrieval Systems
+
+BM25 ranks documents with lexical term weights. ColBERT uses late
+interaction over token embeddings for semantic matching quality.
+"""
+
+DOC2 = """# Cooking Pasta
+
+Boil water with salt. Add the pasta and stir occasionally until al dente.
+
+## Sauces
+
+Tomato sauce pairs with long noodles while cream sauce suits short shapes.
+"""
+
+
+@pytest.fixture(scope="module")
+def app(tmp_path_factory):
+    root = tmp_path_factory.mktemp("app")
+    d1 = root / "tpu.md"
+    d1.write_text(DOC1)
+    d2 = root / "pasta.md"
+    d2.write_text(DOC2)
+    cfg = RAGConfig(
+        db_path=str(root / "rag.db"),
+        bm25_index_path=str(root / "idx/bm25"),
+        colbert_index_path=str(root / "idx/colbert"),
+        images_dir=str(root / "imgs"),
+        tokenizer_path=str(root / "idx/tokenizer.json"),
+        min_chunk_size=16, max_chunk_size=128,
+        encoder_preset="tiny", tokenizer_vocab_size=512,
+    )
+    a = RAGApplication(cfg, use_ollama=False)
+    r = a.index_documents([str(d1), str(d2)])
+    assert r["total_chunks"] >= 3
+    return a, cfg, root
+
+
+def test_upload_then_query(app):
+    a, cfg, root = app
+    a.initialize_chatbot()
+    results = a.query("systolic array matrix multiplication", top_k=5)
+    assert results
+    assert all({"chunk_id", "text", "score", "rank"} <= set(r)
+               for r in results)
+    # with BM25 in the cascade and a tiny corpus, the MXU chunk must be
+    # among the retrieved set
+    assert any("MXU" in r["text"] for r in results)
+
+
+def test_incremental_upload_rebuilds_full_corpus(app, tmp_path):
+    a, cfg, root = app
+    d3 = tmp_path / "extra.md"
+    d3.write_text("# Quantum\n\nQubits hold superpositions of states.\n")
+    r = a.index_documents([str(d3)])
+    # rebuild covers ALL docs, not just the new one (reference bug fixed)
+    assert r["total_chunks"] == a.store.stats()["chunks"]
+    a.initialize_chatbot()
+    res = a.query("qubits superposition")
+    assert any("Qubits" in x["text"] for x in res)
+
+
+def test_reload_in_fresh_app(app):
+    a, cfg, root = app
+    b = RAGApplication(cfg, use_ollama=False)
+    b.initialize_chatbot()
+    res = b.query("boiling pasta al dente")
+    assert any("pasta" in r["text"].lower() for r in res)
+
+
+def test_chat_without_llm(app):
+    a, cfg, root = app
+    a.initialize_chatbot()
+    out = a.chat("how does the MXU multiply matrices?", generate=False)
+    assert out["response"] == ""
+    assert out["retrieved_chunks"] >= 1
+    assert out["sources"][0]["source_id"] == 1
+    assert "[Source 1" in out["context"]
+    # history accumulates
+    a.chat("and what about memory?", generate=False)
+    assert len(a.chatbot.conversation_history) == 4
+    a.chatbot.clear_history()
+    assert a.chatbot.conversation_history == []
+
+
+def test_stats(app):
+    a, cfg, root = app
+    s = a.stats()
+    assert s["documents"] >= 2 and s["chunks"] >= 3
+    assert s["indexes_built"] is True
+
+
+def test_context_format_parity():
+    chunks = [{
+        "chunk_id": 7, "text": "body text", "heading_path": "A > B",
+        "has_images": True, "score": 1.5,
+        "metadata": {"image_paths": ["x.png", "y.png"]},
+    }]
+    ctx = RAGChatbot._build_context(chunks)
+    assert ctx.startswith("[Source 1 (A > B) [Contains 2 image(s)]]\nbody text")
+    src = RAGChatbot._format_sources(chunks)[0]
+    assert src["source_id"] == 1 and src["chunk_id"] == 7
+    assert src["preview"].startswith("body text")
+
+
+def test_cli_surface(app):
+    a, cfg, root = app
+    cfg_path = root / "config.json"
+    cfg.save(cfg_path)
+    env_script = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys; from hybrid_rag_colbertv2_tpu.app.cli import main;"
+        "sys.exit(main(sys.argv[1:]))"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", env_script, "--config", str(cfg_path),
+         "--stats", "--json", "--no-generate"],
+        capture_output=True, text=True, cwd=str(Path(__file__).parent.parent),
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr
+    stats = json.loads(out.stdout.strip().splitlines()[-1])
+    assert stats["chunks"] >= 3
+
+    out = subprocess.run(
+        [sys.executable, "-c", env_script, "--config", str(cfg_path),
+         "--query", "systolic array", "--json", "--no-generate"],
+        capture_output=True, text=True, cwd=str(Path(__file__).parent.parent),
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr
+    rows = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rows and rows[0]["rank"] == 1

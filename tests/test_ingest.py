@@ -1,0 +1,111 @@
+"""Store, PDF fallback reader, and processor pipeline."""
+
+import zlib
+from pathlib import Path
+
+import pytest
+
+from hybrid_rag_colbertv2_tpu.config import RAGConfig
+from hybrid_rag_colbertv2_tpu.ingest.pdf import (
+    document_to_markdown,
+    minimal_pdf_to_text,
+)
+from hybrid_rag_colbertv2_tpu.ingest.processor import DocumentProcessor
+from hybrid_rag_colbertv2_tpu.ingest.store import ChunkStore
+
+
+def make_pdf(path: Path, texts):
+    """Hand-built single-page PDF with a Flate content stream."""
+    content = b"BT /F1 12 Tf 72 720 Td " + b" ".join(
+        b"(%s) Tj 0 -14 Td" % t.encode() for t in texts) + b" ET"
+    stream = zlib.compress(content)
+    objs = []
+    objs.append(b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    objs.append(b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    objs.append(b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox "
+                b"[0 0 612 792] /Contents 4 0 R >>\nendobj\n")
+    objs.append(b"4 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n"
+                % len(stream) + stream + b"\nendstream\nendobj\n")
+    body = b"%PDF-1.4\n" + b"".join(objs)
+    body += b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    path.write_bytes(body)
+
+
+def test_minimal_pdf_reader(tmp_path):
+    p = tmp_path / "doc.pdf"
+    make_pdf(p, ["Hello TPU world", "MaxSim scores documents",
+                 "with parentheses \\(escaped\\)"])
+    text, pages = minimal_pdf_to_text(p)
+    assert "Hello TPU world" in text
+    assert "MaxSim scores documents" in text
+    assert "parentheses (escaped)" in text
+    assert pages == 1
+
+
+def test_document_to_markdown_text_files(tmp_path):
+    p = tmp_path / "notes.md"
+    p.write_text("# Title\n\nSome body text.")
+    text, pages = document_to_markdown(p)
+    assert text.startswith("# Title")
+    assert pages >= 1
+    with pytest.raises(ValueError):
+        document_to_markdown(tmp_path / "weird.xyz")
+
+
+def test_store_roundtrip(tmp_path):
+    store = ChunkStore(tmp_path / "test.db")
+    doc_id = store.add_document("a.pdf", total_pages=3)
+    ids = store.add_chunks(doc_id, [
+        {"text": "chunk one", "heading_path": "A", "token_count": 2},
+        {"text": "chunk two", "heading_path": "A > B", "token_count": 2,
+         "has_images": True, "image_paths": ["x.png"]},
+    ])
+    assert ids == [0, 1]
+    # second document continues the global corpus-id space
+    doc2 = store.add_document("b.pdf")
+    ids2 = store.add_chunks(doc2, [{"text": "chunk three"}])
+    assert ids2 == [2]
+
+    c = store.get_chunk(1)
+    assert c["text"] == "chunk two" and c["has_images"] is True
+    assert c["metadata"]["image_paths"] == ["x.png"]
+    batch = store.get_chunks([2, 0])
+    assert [b["chunk_id"] for b in batch] == [2, 0]
+    assert store.all_chunk_texts() == ["chunk one", "chunk two",
+                                       "chunk three"]
+    assert store.stats() == {"documents": 2, "chunks": 3, "images": 0}
+    assert store.get_chunk(99) is None
+
+
+def test_processor_pipeline(tmp_path):
+    cfg = RAGConfig(
+        db_path=str(tmp_path / "p.db"),
+        images_dir=str(tmp_path / "imgs"),
+        min_chunk_size=10, max_chunk_size=60,
+    )
+    store = ChunkStore(cfg.db_path)
+    proc = DocumentProcessor(cfg, store)  # no vision client
+    doc = tmp_path / "ml.md"
+    doc.write_text(
+        "# Intro\n\nA figure shows the architecture diagram clearly.\n\n"
+        "# Details\n\n" + "word " * 100 + "\n")
+    chunks, doc_id, ids = proc.process_document(doc)
+    assert len(chunks) == len(ids) >= 2
+    assert store.stats()["chunks"] == len(chunks)
+    assert store.all_chunk_texts()[0] == chunks[0]["text"]
+    # no images extracted for markdown; has_images must be False
+    assert all(c["has_images"] is False for c in chunks)
+    # timings recorded for all 5 stages
+    assert set(proc.timer.timings) >= {
+        "to_markdown", "images", "chunking", "enrich", "persist"}
+
+
+def test_enrich_keyword_heuristic():
+    chunks = [{"text": "See the figure below for details."},
+              {"text": "No visuals mentioned here."}]
+    images = [{"image_path": "i.png", "description": "a bar chart",
+               "type": "chart"}]
+    out = DocumentProcessor.enrich_chunks_with_images(chunks, images)
+    assert out[0]["has_images"] and "[Images in this section]" in out[0]["text"]
+    assert "Chart: a bar chart" in out[0]["text"]
+    assert not out[1]["has_images"]

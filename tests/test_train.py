@@ -1,0 +1,84 @@
+"""Contrastive training: loss decreases, accuracy rises, retrieval quality
+improves over random init; DP-sharded step runs on the virtual mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from hybrid_rag_colbertv2_tpu.config import MeshConfig, RAGConfig
+from hybrid_rag_colbertv2_tpu.index.dense import DenseTokenIndex
+from hybrid_rag_colbertv2_tpu.index.lexical import LexicalIndex
+from hybrid_rag_colbertv2_tpu.index.manager import IndexManager
+from hybrid_rag_colbertv2_tpu.models.colbert import ColBERTConfig, ColBERTEncoder
+from hybrid_rag_colbertv2_tpu.models.tokenizer import ColBERTTokenizer
+from hybrid_rag_colbertv2_tpu.parallel.mesh import make_mesh
+from hybrid_rag_colbertv2_tpu.train.data import pseudo_query_pairs
+from hybrid_rag_colbertv2_tpu.train.trainer import ColBERTTrainer, TrainConfig
+
+TOPICS = [
+    ("astronomy", "telescope galaxy nebula star planet orbit cosmos"),
+    ("cooking", "recipe sauce boil saute pan flavor ingredient spice"),
+    ("hardware", "systolic array matrix multiply MXU VMEM bandwidth chip"),
+    ("music", "melody rhythm chord harmony tempo instrument song"),
+    ("ocean", "coral reef tide current whale plankton salinity wave"),
+    ("law", "statute contract liability court verdict clause appeal"),
+    ("botany", "leaf chlorophyll root stem pollen photosynthesis seed"),
+    ("sports", "goal referee stadium league score tournament defense"),
+]
+# unique docs — duplicate texts would make in-batch labels ambiguous
+CORPUS = [
+    f"This chunk number {i} is about {name}: " + " ".join([words] * 3)
+    for i, (name, words) in enumerate(TOPICS)
+]
+
+
+@pytest.fixture(scope="module")
+def trained():
+    tok = ColBERTTokenizer.train_bpe(CORPUS, vocab_size=512)
+    cfg = ColBERTConfig.tiny(vocab_size=tok.vocab_size)
+    enc = ColBERTEncoder(cfg, tok, seed=0)
+    pairs_idx = pseudo_query_pairs(CORPUS, n_pairs_per_doc=12, seed=0)
+    pairs = [(q, CORPUS[i]) for q, i in pairs_idx]
+    trainer = ColBERTTrainer(
+        enc, TrainConfig(batch_size=8, doc_len=64, steps=200,
+                         learning_rate=1e-3))
+    metrics = trainer.train(pairs)
+    return enc, tok, metrics
+
+
+def test_loss_decreases_accuracy_rises(trained):
+    enc, tok, metrics = trained
+    first = np.mean([m["loss"] for m in metrics[:5]])
+    last = np.mean([m["loss"] for m in metrics[-5:]])
+    assert last < first * 0.8, (first, last)
+    assert np.mean([m["accuracy"] for m in metrics[-5:]]) > 0.5
+
+
+def test_trained_encoder_improves_retrieval(trained):
+    enc, tok, _ = trained
+    embs, lengths = enc.encode_docs(CORPUS, doc_len=64)
+    dense = DenseTokenIndex.build(embs, lengths, doc_len=64, dtype="float32")
+    queries = ["telescope galaxy star", "recipe sauce flavor",
+               "systolic array MXU", "melody chord rhythm"]
+    hits = 0
+    for qi, q in enumerate(queries):
+        scores = dense.search_scores(enc.encode_queries([q]))
+        top = int(np.argmax(np.asarray(scores[0])))
+        if top % len(TOPICS) == qi:
+            hits += 1
+    assert hits >= 3, f"only {hits}/4 topics retrieved correctly"
+
+
+def test_dp_sharded_train_step_runs():
+    assert len(jax.devices()) == 8
+    tok = ColBERTTokenizer.train_bpe(CORPUS, vocab_size=256)
+    cfg = ColBERTConfig.tiny(vocab_size=tok.vocab_size)
+    enc = ColBERTEncoder(cfg, tok, seed=0)
+    mesh = make_mesh(MeshConfig(mesh_shape=(8, 1)))
+    pairs_idx = pseudo_query_pairs(CORPUS, n_pairs_per_doc=2, seed=0)
+    pairs = [(q, CORPUS[i]) for q, i in pairs_idx]
+    trainer = ColBERTTrainer(
+        enc, TrainConfig(batch_size=16, doc_len=64, steps=3), mesh=mesh)
+    metrics = trainer.train(pairs)
+    assert len(metrics) == 3
+    assert all(np.isfinite(m["loss"]) for m in metrics)
