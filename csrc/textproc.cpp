@@ -1,0 +1,295 @@
+// Native text processing: word tokenization + stopword filter + Porter
+// stemming — the host-side hot loop of BM25 index builds (the reference
+// delegates this to the bm25s/PyStemmer wheels; here it is first-party).
+//
+// Contract: byte-identical output to the pure-Python implementation in
+// hybrid_rag_colbertv2_tpu/index/textproc.py (tested in
+// tests/test_native.py). Exposed via a C ABI for ctypes.
+//
+// API: documents arrive joined by '\x1e'; the result is stemmed tokens
+// joined by ' ' within a document and '\x1e' between documents.
+
+#include <cctype>
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <unordered_map>
+#include <unordered_set>
+#include <vector>
+
+namespace {
+
+const std::unordered_set<std::string>& stopwords() {
+  static const std::unordered_set<std::string>* s =
+      new std::unordered_set<std::string>{
+          "a", "about", "above", "after", "again", "against", "all", "am",
+          "an", "and", "any", "are", "aren't", "as", "at", "be", "because",
+          "been", "before", "being", "below", "between", "both", "but", "by",
+          "can't", "cannot", "could", "couldn't", "did", "didn't", "do",
+          "does", "doesn't", "doing", "don't", "down", "during", "each",
+          "few", "for", "from", "further", "had", "hadn't", "has", "hasn't",
+          "have", "haven't", "having", "he", "he'd", "he'll", "he's", "her",
+          "here", "here's", "hers", "herself", "him", "himself", "his",
+          "how", "how's", "i", "i'd", "i'll", "i'm", "i've", "if", "in",
+          "into", "is", "isn't", "it", "it's", "its", "itself", "let's",
+          "me", "more", "most", "mustn't", "my", "myself", "no", "nor",
+          "not", "of", "off", "on", "once", "only", "or", "other", "ought",
+          "our", "ours", "ourselves", "out", "over", "own", "same",
+          "shan't", "she", "she'd", "she'll", "she's", "should",
+          "shouldn't", "so", "some", "such", "than", "that", "that's",
+          "the", "their", "theirs", "them", "themselves", "then", "there",
+          "there's", "these", "they", "they'd", "they'll", "they're",
+          "they've", "this", "those", "through", "to", "too", "under",
+          "until", "up", "very", "was", "wasn't", "we", "we'd", "we'll",
+          "we're", "we've", "were", "weren't", "what", "what's", "when",
+          "when's", "where", "where's", "which", "while", "who", "who's",
+          "whom", "why", "why's", "with", "won't", "would", "wouldn't",
+          "you", "you'd", "you'll", "you're", "you've", "your", "yours",
+          "yourself", "yourselves"};
+  return *s;
+}
+
+// ---- Porter (1980) stemmer — mirrors textproc.py rule for rule ---------
+
+inline bool is_vowel_char(char c) {
+  return c == 'a' || c == 'e' || c == 'i' || c == 'o' || c == 'u';
+}
+
+bool is_cons(const std::string& w, int i) {
+  char c = w[i];
+  if (is_vowel_char(c)) return false;
+  if (c == 'y') return i == 0 ? true : !is_cons(w, i - 1);
+  return true;
+}
+
+int measure(const std::string& stem) {
+  int m = 0;
+  bool prev_vowel = false;
+  for (int i = 0; i < (int)stem.size(); ++i) {
+    bool cons = is_cons(stem, i);
+    if (cons && prev_vowel) ++m;
+    prev_vowel = !cons;
+  }
+  return m;
+}
+
+bool has_vowel(const std::string& stem) {
+  for (int i = 0; i < (int)stem.size(); ++i)
+    if (!is_cons(stem, i)) return true;
+  return false;
+}
+
+bool ends_double_cons(const std::string& w) {
+  int n = (int)w.size();
+  return n >= 2 && w[n - 1] == w[n - 2] && is_cons(w, n - 1);
+}
+
+bool ends_cvc(const std::string& w) {
+  int n = (int)w.size();
+  if (n < 3) return false;
+  int i = n - 1;
+  char c = w[i];
+  return is_cons(w, i) && !is_cons(w, i - 1) && is_cons(w, i - 2) &&
+         c != 'w' && c != 'x' && c != 'y';
+}
+
+inline bool ends_with(const std::string& w, const char* suf) {
+  size_t n = std::strlen(suf);
+  return w.size() >= n && 0 == w.compare(w.size() - n, n, suf);
+}
+
+std::string step1a(std::string w) {
+  if (ends_with(w, "sses")) return w.substr(0, w.size() - 2);
+  if (ends_with(w, "ies")) return w.substr(0, w.size() - 2);
+  if (ends_with(w, "ss")) return w;
+  if (ends_with(w, "s")) return w.substr(0, w.size() - 1);
+  return w;
+}
+
+std::string step1b(std::string w) {
+  if (ends_with(w, "eed")) {
+    if (measure(w.substr(0, w.size() - 3)) > 0)
+      return w.substr(0, w.size() - 1);
+    return w;
+  }
+  bool flag = false;
+  if (ends_with(w, "ed") && has_vowel(w.substr(0, w.size() - 2))) {
+    w = w.substr(0, w.size() - 2);
+    flag = true;
+  } else if (ends_with(w, "ing") && has_vowel(w.substr(0, w.size() - 3))) {
+    w = w.substr(0, w.size() - 3);
+    flag = true;
+  }
+  if (flag) {
+    if (ends_with(w, "at") || ends_with(w, "bl") || ends_with(w, "iz"))
+      return w + "e";
+    if (ends_double_cons(w)) {
+      char last = w[w.size() - 1];
+      if (last != 'l' && last != 's' && last != 'z')
+        return w.substr(0, w.size() - 1);
+      return w;
+    }
+    if (measure(w) == 1 && ends_cvc(w)) return w + "e";
+  }
+  return w;
+}
+
+std::string step1c(std::string w) {
+  if (ends_with(w, "y") && has_vowel(w.substr(0, w.size() - 1)))
+    return w.substr(0, w.size() - 1) + "i";
+  return w;
+}
+
+struct Rule { const char* suf; const char* rep; };
+
+const Rule kStep2[] = {
+    {"ational", "ate"}, {"tional", "tion"}, {"enci", "ence"},
+    {"anci", "ance"},   {"izer", "ize"},    {"abli", "able"},
+    {"alli", "al"},     {"entli", "ent"},   {"eli", "e"},
+    {"ousli", "ous"},   {"ization", "ize"}, {"ation", "ate"},
+    {"ator", "ate"},    {"alism", "al"},    {"iveness", "ive"},
+    {"fulness", "ful"}, {"ousness", "ous"}, {"aliti", "al"},
+    {"iviti", "ive"},   {"biliti", "ble"},
+};
+
+const Rule kStep3[] = {
+    {"icate", "ic"}, {"ative", ""}, {"alize", "al"}, {"iciti", "ic"},
+    {"ical", "ic"},  {"ful", ""},   {"ness", ""},
+};
+
+std::string apply_rules(std::string w, const Rule* rules, int n) {
+  for (int i = 0; i < n; ++i) {
+    if (ends_with(w, rules[i].suf)) {
+      std::string stem = w.substr(0, w.size() - std::strlen(rules[i].suf));
+      if (measure(stem) > 0) return stem + rules[i].rep;
+      return w;
+    }
+  }
+  return w;
+}
+
+const char* kStep4[] = {"al",  "ance", "ence", "er",  "ic",  "able", "ible",
+                        "ant", "ement", "ment", "ent", "ion", "ou",   "ism",
+                        "ate", "iti",  "ous",  "ive", "ize"};
+
+std::string step4(std::string w) {
+  for (const char* suf : kStep4) {
+    if (ends_with(w, suf)) {
+      std::string stem = w.substr(0, w.size() - std::strlen(suf));
+      if (0 == std::strcmp(suf, "ion")) {
+        if (stem.empty() ||
+            (stem.back() != 's' && stem.back() != 't'))
+          continue;
+      }
+      if (measure(stem) > 1) return stem;
+      return w;
+    }
+  }
+  return w;
+}
+
+std::string step5(std::string w) {
+  if (ends_with(w, "e")) {
+    std::string stem = w.substr(0, w.size() - 1);
+    int m = measure(stem);
+    if (m > 1 || (m == 1 && !ends_cvc(stem))) w = stem;
+  }
+  if (measure(w) > 1 && ends_with(w, "ll")) w = w.substr(0, w.size() - 1);
+  return w;
+}
+
+std::string porter_stem(const std::string& word) {
+  if (word.size() <= 2) return word;
+  std::string w = step1a(word);
+  w = step1b(w);
+  w = step1c(w);
+  w = apply_rules(w, kStep2, sizeof(kStep2) / sizeof(Rule));
+  w = apply_rules(w, kStep3, sizeof(kStep3) / sizeof(Rule));
+  w = step4(w);
+  w = step5(w);
+  return w;
+}
+
+// ---- tokenizer: [a-z0-9]+ over lowercased text --------------------------
+
+void tokenize_doc(const char* begin, const char* end, bool stem,
+                  std::unordered_map<std::string, std::string>* memo,
+                  std::string* out) {
+  std::string tok;
+  bool first = true;
+  const auto& stops = stopwords();
+  auto flush = [&]() {
+    if (tok.empty()) return;
+    if (!stops.count(tok)) {
+      if (!first) out->push_back(' ');
+      first = false;
+      if (stem) {
+        auto it = memo->find(tok);
+        if (it == memo->end())
+          it = memo->emplace(tok, porter_stem(tok)).first;
+        out->append(it->second);
+      } else {
+        out->append(tok);
+      }
+    }
+    tok.clear();
+  };
+  for (const char* p = begin; p != end; ++p) {
+    unsigned char c = (unsigned char)*p;
+    unsigned char lc = (c >= 'A' && c <= 'Z') ? c + 32 : c;
+    if ((lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9')) {
+      tok.push_back((char)lc);
+    } else {
+      flush();
+    }
+  }
+  flush();
+}
+
+}  // namespace
+
+extern "C" {
+
+// docs joined by '\x1e' -> stemmed tokens (' ' within doc, '\x1e' between).
+// Returns a malloc'd buffer the caller frees with hrag_free; *out_len gets
+// the byte length.
+char* hrag_tokenize_corpus(const char* data, int64_t len, int32_t stem,
+                           int64_t* out_len) {
+  std::string out;
+  out.reserve((size_t)len);
+  std::unordered_map<std::string, std::string> memo;
+  const char* p = data;
+  const char* end = data + len;
+  bool first_doc = true;
+  while (p <= end) {
+    const char* sep = (const char*)memchr(p, '\x1e', end - p);
+    const char* doc_end = sep ? sep : end;
+    if (!first_doc) out.push_back('\x1e');
+    first_doc = false;
+    tokenize_doc(p, doc_end, stem != 0, &memo, &out);
+    if (!sep) break;
+    p = sep + 1;
+  }
+  char* buf = (char*)malloc(out.size() + 1);
+  memcpy(buf, out.data(), out.size());
+  buf[out.size()] = 0;
+  *out_len = (int64_t)out.size();
+  return buf;
+}
+
+// single-word stem (testing / query path)
+char* hrag_stem(const char* word, int64_t len, int64_t* out_len) {
+  std::string w(word, (size_t)len);
+  std::string s = porter_stem(w);
+  char* buf = (char*)malloc(s.size() + 1);
+  memcpy(buf, s.data(), s.size());
+  buf[s.size()] = 0;
+  *out_len = (int64_t)s.size();
+  return buf;
+}
+
+void hrag_free(char* p) { free(p); }
+
+int32_t hrag_abi_version() { return 1; }
+
+}  // extern "C"

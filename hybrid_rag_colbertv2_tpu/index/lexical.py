@@ -29,7 +29,7 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from .textproc import tokenize_lexical
+from .textproc import tokenize_corpus, tokenize_lexical
 
 
 def _round_up(x: int, m: int) -> int:
@@ -60,48 +60,43 @@ class LexicalIndex:
         query_max_terms: int = 64,
     ) -> "LexicalIndex":
         n = len(corpus)
-        vocab: Dict[str, int] = {}
-        # token ids per doc + per-doc term frequencies
-        doc_tfs: List[Dict[int, int]] = []
-        doc_lens = np.zeros((n,), np.float64)
-        for di, text in enumerate(corpus):
-            toks = tokenize_lexical(text)
-            doc_lens[di] = len(toks)
-            tf: Dict[int, int] = {}
-            for t in toks:
-                tid = vocab.setdefault(t, len(vocab))
-                tf[tid] = tf.get(tid, 0) + 1
-            doc_tfs.append(tf)
-        v = len(vocab)
+        # tokenization takes the native C++ path when csrc/ is built
+        all_toks = tokenize_corpus(list(corpus))
+        doc_lens_i = np.array([len(t) for t in all_toks], np.int64)
+        doc_lens = doc_lens_i.astype(np.float64)
         avgdl = float(doc_lens.mean()) if n else 1.0
         avgdl = max(avgdl, 1e-9)
 
-        # document frequency per term
-        df = np.zeros((v,), np.int64)
-        for tf in doc_tfs:
-            for tid in tf:
-                df[tid] += 1
+        # vectorized vocab + postings: np.unique over all tokens, then over
+        # (term, doc) pairs — the pairs come out sorted by (term, doc),
+        # which IS the term-major CSR order
+        flat = np.array([t for toks in all_toks for t in toks], dtype=object)
+        if flat.size:
+            doc_of_tok = np.repeat(np.arange(n, dtype=np.int64), doc_lens_i)
+            uniq, inv = np.unique(flat.astype(str), return_inverse=True)
+            vocab: Dict[str, int] = {t: i for i, t in enumerate(uniq)}
+            v = len(uniq)
+            pair_key = inv.astype(np.int64) * n + doc_of_tok
+            uk, tf = np.unique(pair_key, return_counts=True)
+            tids = (uk // n).astype(np.int64)
+            dids = (uk % n).astype(np.int64)
+        else:
+            vocab = {}
+            v = 0
+            tids = dids = np.zeros((0,), np.int64)
+            tf = np.zeros((0,), np.int64)
+
+        df = np.bincount(tids, minlength=v).astype(np.int64)
         idf = np.log(1.0 + (n - df + 0.5) / (df + 0.5))
-
-        # CSR build: postings sorted by (term, doc)
-        counts = df.astype(np.int64)
+        denom_norm = k1 * (1.0 - b + b * doc_lens[dids] / avgdl) if n else 0
+        post_weights = (idf[tids] * tf * (k1 + 1.0)
+                        / (tf + denom_norm)).astype(np.float32)
+        post_docs = dids.astype(np.int32)
         indptr = np.zeros((v + 1,), np.int64)
-        np.cumsum(counts, out=indptr[1:])
+        np.cumsum(df, out=indptr[1:])
         nnz = int(indptr[-1])
-        post_docs = np.zeros((nnz,), np.int32)
-        post_weights = np.zeros((nnz,), np.float32)
-        cursor = indptr[:-1].copy()
-        for di, tf in enumerate(doc_tfs):
-            dl = doc_lens[di]
-            denom_norm = k1 * (1.0 - b + b * dl / avgdl)
-            for tid, f in tf.items():
-                w = idf[tid] * f * (k1 + 1.0) / (f + denom_norm)
-                pos = cursor[tid]
-                post_docs[pos] = di
-                post_weights[pos] = w
-                cursor[tid] = pos + 1
 
-        max_post = int(counts.max()) if v else 0
+        max_post = int(df.max()) if v else 0
         max_post = max(_round_up(max_post, 128), 128)
         nnz_pad = max(_round_up(nnz, 128), 128)
         post_docs = np.pad(post_docs, (0, nnz_pad - nnz), constant_values=n)

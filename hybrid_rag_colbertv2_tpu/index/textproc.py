@@ -230,3 +230,15 @@ def tokenize_lexical(text: str, *, stopwords=ENGLISH_STOPWORDS,
             continue
         out.append(_stem_cached(t) if stem else t)
     return out
+
+
+def tokenize_corpus(corpus: List[str], stem: bool = True) -> List[List[str]]:
+    """Batch tokenization — native C++ fast path when built (csrc/), with
+    this module's pure-Python implementation as the tested-identical
+    fallback."""
+    from ..utils.native import tokenize_corpus_native
+
+    native = tokenize_corpus_native(corpus, stem=stem)
+    if native is not None:
+        return native
+    return [tokenize_lexical(t, stem=stem) for t in corpus]

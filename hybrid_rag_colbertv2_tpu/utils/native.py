@@ -1,0 +1,110 @@
+"""ctypes loader for the native text-processing library (csrc/textproc.cpp).
+
+The shared library is optional: when present (built via ``make -C csrc`` or
+``python -m hybrid_rag_colbertv2_tpu.utils.native --build``) the lexical
+pipeline uses it; otherwise the pure-Python implementation in
+index/textproc.py is used. Both are tested byte-identical
+(tests/test_native.py). Set HRAG_NO_NATIVE=1 to force the Python path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+from pathlib import Path
+from typing import List, Optional
+
+_LIB_PATH = Path(__file__).parent.parent / "_native" / "libhrag_textproc.so"
+_CSRC = Path(__file__).parent.parent.parent / "csrc"
+_lib = None
+_load_failed = False
+
+
+def build(verbose: bool = True) -> bool:
+    """Compile the native library. Returns True on success."""
+    try:
+        r = subprocess.run(["make", "-C", str(_CSRC)], capture_output=True,
+                           text=True, timeout=120)
+        if r.returncode != 0:
+            if verbose:
+                print(r.stdout + r.stderr, file=sys.stderr)
+            return False
+        return _LIB_PATH.exists()
+    except Exception as e:
+        if verbose:
+            print(f"native build failed: {e}", file=sys.stderr)
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (once) and return the native library, or None."""
+    global _lib, _load_failed
+    if os.environ.get("HRAG_NO_NATIVE"):
+        return None
+    if _lib is not None:
+        return _lib
+    if _load_failed:
+        return None
+    if not _LIB_PATH.exists():
+        _load_failed = True
+        return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.hrag_tokenize_corpus.restype = ctypes.POINTER(ctypes.c_char)
+        lib.hrag_tokenize_corpus.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64)]
+        lib.hrag_stem.restype = ctypes.POINTER(ctypes.c_char)
+        lib.hrag_stem.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                  ctypes.POINTER(ctypes.c_int64)]
+        lib.hrag_free.argtypes = [ctypes.POINTER(ctypes.c_char)]
+        lib.hrag_abi_version.restype = ctypes.c_int32
+        if lib.hrag_abi_version() != 1:
+            raise RuntimeError("native ABI mismatch")
+        _lib = lib
+        return _lib
+    except Exception:
+        _load_failed = True
+        return None
+
+
+def tokenize_corpus_native(corpus: List[str], stem: bool = True
+                           ) -> Optional[List[List[str]]]:
+    """Batch tokenize+stem via the native library; None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    joined = "\x1e".join(corpus).encode("utf-8", errors="replace")
+    out_len = ctypes.c_int64()
+    buf = lib.hrag_tokenize_corpus(joined, len(joined), 1 if stem else 0,
+                                   ctypes.byref(out_len))
+    try:
+        raw = ctypes.string_at(buf, out_len.value).decode("utf-8",
+                                                          errors="replace")
+    finally:
+        lib.hrag_free(buf)
+    docs = raw.split("\x1e")
+    return [d.split(" ") if d else [] for d in docs]
+
+
+def stem_native(word: str) -> Optional[str]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    w = word.encode("utf-8", errors="replace")
+    out_len = ctypes.c_int64()
+    buf = lib.hrag_stem(w, len(w), ctypes.byref(out_len))
+    try:
+        return ctypes.string_at(buf, out_len.value).decode("utf-8")
+    finally:
+        lib.hrag_free(buf)
+
+
+if __name__ == "__main__":
+    if "--build" in sys.argv:
+        ok = build()
+        print("built" if ok else "build failed")
+        sys.exit(0 if ok else 1)
+    print(f"native lib present: {_LIB_PATH.exists()} at {_LIB_PATH}")

@@ -1,0 +1,89 @@
+"""Native C++ text processing must be byte-identical to the Python oracle.
+
+Builds the shared library on demand (skips if no toolchain)."""
+
+import numpy as np
+import pytest
+
+from hybrid_rag_colbertv2_tpu.index.textproc import (
+    PorterStemmer,
+    tokenize_lexical,
+)
+from hybrid_rag_colbertv2_tpu.utils import native
+
+
+@pytest.fixture(scope="module")
+def lib():
+    if native.get_lib() is None:
+        if not native.build(verbose=True):
+            pytest.skip("no C++ toolchain available")
+        native._load_failed = False
+    lib = native.get_lib()
+    if lib is None:
+        pytest.skip("native library failed to load")
+    return lib
+
+
+WORDS = [
+    "caresses", "ponies", "cats", "feed", "agreed", "plastered", "motoring",
+    "sing", "happy", "sky", "relational", "conditional", "rational",
+    "valenci", "hesitanci", "digitizer", "conformabli", "radicalli",
+    "differentli", "vileli", "analogousli", "vietnamization", "predication",
+    "operator", "feudalism", "decisiveness", "hopefulness", "callousness",
+    "formaliti", "sensitiviti", "sensibiliti", "triplicate", "formative",
+    "formalize", "electriciti", "electrical", "hopeful", "goodness",
+    "revival", "allowance", "inference", "airliner", "gyroscopic",
+    "adjustable", "defensible", "irritant", "replacement", "adjustment",
+    "dependent", "adoption", "homologou", "communism", "activate",
+    "angulariti", "homologous", "effective", "bowdlerize", "probate",
+    "rate", "cease", "controll", "roll", "a", "be", "run", "flying",
+    "dying", "tied", "agreeing", "x1", "2025", "don't",
+]
+
+
+def test_stem_matches_python(lib):
+    st = PorterStemmer()
+    for w in WORDS:
+        assert native.stem_native(w) == st.stem(w), w
+
+
+def test_tokenize_corpus_matches_python(lib, rng):
+    corpus = [
+        "The quick brown foxes were running quickly over the lazy dogs!",
+        "TPUs multiply matrices; systolic arrays stream operands (fast).",
+        "",
+        "   ",
+        "UPPER lower MiXeD 123abc abc123 --- ***",
+        "Stopwords only: the and of to a in is it",
+        "don't can't won't o'clock it's",
+        "unicode café naïve 中文 words",
+    ]
+    got = native.tokenize_corpus_native(corpus)
+    want = [tokenize_lexical(t) for t in corpus]
+    assert got == want
+
+
+def test_tokenize_large_random_corpus(lib, rng):
+    vocab = ["".join(rng.choice(list("abcdefghijklmnopqrstuvwxyz"),
+                                size=rng.integers(2, 12)))
+             for _ in range(300)]
+    corpus = [" ".join(rng.choice(vocab, size=30)) for _ in range(200)]
+    got = native.tokenize_corpus_native(corpus)
+    want = [tokenize_lexical(t) for t in corpus]
+    assert got == want
+
+
+def test_lexical_index_same_with_and_without_native(lib, tmp_path,
+                                                    monkeypatch):
+    from hybrid_rag_colbertv2_tpu.index.lexical import LexicalIndex
+
+    corpus = ["the quick brown fox jumps", "systolic arrays multiply",
+              "ranking documents by relevance quickly"] * 5
+    idx_native = LexicalIndex.build(corpus)
+    monkeypatch.setenv("HRAG_NO_NATIVE", "1")
+    idx_python = LexicalIndex.build(corpus)
+    assert idx_native.vocab == idx_python.vocab
+    np.testing.assert_array_equal(idx_native.indptr, idx_python.indptr)
+    np.testing.assert_array_equal(idx_native.post_docs, idx_python.post_docs)
+    np.testing.assert_allclose(idx_native.post_weights,
+                               idx_python.post_weights)
