@@ -99,6 +99,42 @@ def main():
     run_once()  # compile
     log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
 
+    # --- quality: cascade top-10 recall vs exact fp32 MaxSim -------------
+    from hybrid_rag_colbertv2_tpu.ops.maxsim import maxsim_scores_exact
+    q_emb = encoder.encode_queries(queries)
+    ids, _, _ = hybrid_cascade(
+        q_emb, q_terms, *lex_dev,
+        dense.emb_flat, dense.scales, dense.doc_lengths,
+        n_docs=dense.n_docs, max_postings=lex.max_postings,
+        doc_len=dense.doc_len, is_int8=True,
+        k_each=100, k_fuse=50, k_final=10)
+    ids = np.asarray(ids)
+    chunk = 128  # n_pad is always a multiple of 128
+    n_chunks = dense.n_pad // chunk
+
+    @jax.jit
+    def exact_all(q, emb_flat, scales, lens):
+        # sequential on-device scan: ONE dispatch + ONE host transfer
+        # (per-chunk host round trips are seconds each through the tunnel)
+        e4 = emb_flat.reshape(n_chunks, chunk, dense.doc_len, dim)
+        s4 = scales.reshape(n_chunks, chunk, dense.doc_len)
+        l2 = lens.reshape(n_chunks, chunk)
+        def f(c):
+            docs = c[0].astype(jnp.float32) * c[1][..., None]
+            return maxsim_scores_exact(q, docs, c[2])
+        parts = jax.lax.map(f, (e4, s4, l2))          # (n_chunks, B, chunk)
+        return parts.transpose(1, 0, 2).reshape(q.shape[0], -1)
+
+    exact = np.asarray(exact_all(q_emb, dense.emb_flat, dense.scales,
+                                 dense.doc_lengths))[:, :n_docs]
+    recalls = []
+    for bq in range(batch):
+        e_top = set(np.argsort(-exact[bq])[:10].tolist())
+        g_top = set(int(i) for i in ids[bq] if i >= 0)
+        recalls.append(len(e_top & g_top) / 10)
+    log(f"recall@10 vs exact fp32 MaxSim (int8 cascade): "
+        f"{np.mean(recalls):.3f} per-query={recalls}")
+
     lat = []
     iters = 20 if on_tpu else 5
     for _ in range(iters):

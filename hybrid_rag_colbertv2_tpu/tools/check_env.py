@@ -1,0 +1,145 @@
+"""Environment smoke tests + checkpoint conversion CLI.
+
+Replaces the reference's ``model_downloader_simplified.py`` (pip installer +
+hub downloader + 4 import smoke tests, :16-173). This environment never
+installs or downloads; instead:
+
+  * ``python -m hybrid_rag_colbertv2_tpu.tools.check_env`` runs behavioral
+    smoke tests: JAX devices, a Pallas kernel round trip, BM25 index+query,
+    tokenizer training, encoder forward, native library;
+  * ``python -m hybrid_rag_colbertv2_tpu.tools.check_env --convert <hf_dir>
+    <out.npz>`` converts a local HF checkpoint to framework params
+    (models/convert.py) — the offline equivalent of the reference's
+    ``--download-all``.
+"""
+
+from __future__ import annotations
+
+import sys
+import traceback
+from typing import Callable, List, Tuple
+
+
+def _t_jax() -> str:
+    import jax
+
+    devs = jax.devices()
+    return f"{jax.default_backend()} x{len(devs)}: {devs[0]}"
+
+
+def _t_pallas() -> str:
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hybrid_rag_colbertv2_tpu.ops.maxsim import (
+        maxsim_scores, maxsim_scores_exact)
+
+    rng = np.random.default_rng(0)
+    docs = rng.standard_normal((16, 32, 128)).astype(np.float32)
+    lengths = np.full((16,), 32, np.int32)
+    q = rng.standard_normal((1, 32, 128)).astype(np.float32)
+    ref = maxsim_scores_exact(jnp.asarray(q), jnp.asarray(docs),
+                              jnp.asarray(lengths))
+    got = maxsim_scores(jnp.asarray(q), jnp.asarray(docs.reshape(-1, 128)),
+                        jnp.asarray(lengths), doc_len=32)
+    err = float(jnp.max(jnp.abs(got - ref)))
+    assert err < 0.05, err
+    return f"MaxSim kernel max|err|={err:.2e}"
+
+
+def _t_bm25() -> str:
+    # behavioral parity with the reference's Test 1
+    # (model_downloader_simplified.py:118-127): 2-doc index + query
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hybrid_rag_colbertv2_tpu.index.lexical import LexicalIndex
+    from hybrid_rag_colbertv2_tpu.ops.bm25 import bm25_scores_device
+
+    idx = LexicalIndex.build(["a cat sits on the mat", "dogs chase cats"])
+    s = bm25_scores_device(
+        jnp.asarray(np.stack([idx.encode_query("cat")])),
+        jnp.asarray(idx.indptr), jnp.asarray(idx.post_docs),
+        jnp.asarray(idx.post_weights), n_docs=2,
+        max_postings=idx.max_postings)
+    assert float(s[0, 0]) > 0 and float(s[0, 1]) > 0
+    return "BM25 index+query round trip OK"
+
+
+def _t_tokenizer() -> str:
+    from hybrid_rag_colbertv2_tpu.models.tokenizer import ColBERTTokenizer
+
+    tok = ColBERTTokenizer.train_bpe(["hello world"] * 8, vocab_size=300)
+    ids = tok.encode_query("hello", 16)
+    assert ids[0] == tok.bos
+    return f"BPE trainable offline (vocab {tok.vocab_size})"
+
+
+def _t_encoder() -> str:
+    from hybrid_rag_colbertv2_tpu.models.colbert import (
+        ColBERTConfig, ColBERTEncoder)
+    from hybrid_rag_colbertv2_tpu.models.tokenizer import ColBERTTokenizer
+
+    tok = ColBERTTokenizer.train_bpe(["quick brown fox"] * 4, vocab_size=300)
+    enc = ColBERTEncoder(ColBERTConfig.tiny(vocab_size=tok.vocab_size), tok)
+    q = enc.encode_queries(["fox"])
+    assert q.shape[-1] == 32
+    return f"encoder forward OK {tuple(q.shape)}"
+
+
+def _t_native() -> str:
+    from hybrid_rag_colbertv2_tpu.utils.native import get_lib, stem_native
+
+    if get_lib() is None:
+        return "native lib NOT built (pure-Python fallback active) — " \
+               "build with: make -C csrc"
+    assert stem_native("running") == "run"
+    return "native textproc lib loaded"
+
+
+TESTS: List[Tuple[str, Callable[[], str]]] = [
+    ("jax backend", _t_jax),
+    ("pallas maxsim", _t_pallas),
+    ("bm25 end-to-end", _t_bm25),
+    ("tokenizer", _t_tokenizer),
+    ("encoder", _t_encoder),
+    ("native textproc", _t_native),
+]
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv[:1] == ["--convert"]:
+        if len(argv) != 3:
+            print("usage: check_env --convert <hf_checkpoint_dir> <out.npz>")
+            return 2
+        from hybrid_rag_colbertv2_tpu.models.colbert import (
+            ColBERTConfig, ColBERTEncoder)
+        from hybrid_rag_colbertv2_tpu.models.convert import convert_hf_dir
+
+        cfg = ColBERTConfig.jina_colbert_v2()
+        params = convert_hf_dir(argv[1], cfg)
+        import numpy as np
+
+        enc = ColBERTEncoder.__new__(ColBERTEncoder)
+        enc.params = params
+        ColBERTEncoder.save_params(enc, argv[2])
+        print(f"converted {argv[1]} -> {argv[2]}")
+        return 0
+
+    failures = 0
+    for name, fn in TESTS:
+        try:
+            msg = fn()
+            print(f"  [ok]   {name}: {msg}")
+        except Exception as e:
+            failures += 1
+            print(f"  [FAIL] {name}: {e}")
+            if "-v" in argv:
+                traceback.print_exc()
+    print(f"\n{len(TESTS) - failures}/{len(TESTS)} checks passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

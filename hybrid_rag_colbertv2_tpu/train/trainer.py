@@ -128,6 +128,33 @@ class ColBERTTrainer:
                    for k, v in out.items()}
         return out
 
+    # -- checkpoint / resume (orbax) --------------------------------------
+    def save_checkpoint(self, path: str, step: int = 0) -> None:
+        """Persist params + optimizer state + step for resume
+        (SURVEY.md section 5, checkpoint/resume — new vs the reference,
+        which has no mid-build resume at all)."""
+        import orbax.checkpoint as ocp
+        from pathlib import Path as _P
+
+        ckptr = ocp.StandardCheckpointer()
+        p = _P(path).absolute()
+        ckptr.save(p, {"params": self.encoder.params,
+                       "opt_state": self.opt_state,
+                       "step": step}, force=True)
+        ckptr.wait_until_finished()
+
+    def restore_checkpoint(self, path: str) -> int:
+        import orbax.checkpoint as ocp
+        from pathlib import Path as _P
+
+        ckptr = ocp.StandardCheckpointer()
+        target = {"params": self.encoder.params,
+                  "opt_state": self.opt_state, "step": 0}
+        restored = ckptr.restore(_P(path).absolute(), target)
+        self.encoder.params = restored["params"]
+        self.opt_state = restored["opt_state"]
+        return int(restored["step"])
+
     # ------------------------------------------------------------------
     def train(self, pairs: List[Tuple[str, str]],
               steps: Optional[int] = None) -> List[Dict]:

@@ -82,3 +82,26 @@ def test_dp_sharded_train_step_runs():
     metrics = trainer.train(pairs)
     assert len(metrics) == 3
     assert all(np.isfinite(m["loss"]) for m in metrics)
+
+
+def test_checkpoint_resume(tmp_path):
+    tok = ColBERTTokenizer.train_bpe(CORPUS, vocab_size=256)
+    cfg = ColBERTConfig.tiny(vocab_size=tok.vocab_size)
+    enc = ColBERTEncoder(cfg, tok, seed=0)
+    pairs_idx = pseudo_query_pairs(CORPUS, n_pairs_per_doc=2, seed=0)
+    pairs = [(q, CORPUS[i]) for q, i in pairs_idx]
+    trainer = ColBERTTrainer(enc, TrainConfig(batch_size=4, doc_len=32,
+                                              steps=2))
+    trainer.train(pairs, steps=2)
+    trainer.save_checkpoint(str(tmp_path / "ckpt"), step=2)
+
+    enc2 = ColBERTEncoder(cfg, tok, seed=99)  # different init
+    t2 = ColBERTTrainer(enc2, TrainConfig(batch_size=4, doc_len=32, steps=2))
+    step = t2.restore_checkpoint(str(tmp_path / "ckpt"))
+    assert step == 2
+    q1 = enc.encode_queries(["telescope"])
+    q2 = enc2.encode_queries(["telescope"])
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), atol=1e-6)
+    # resumed training continues without error
+    m = t2.train(pairs, steps=1)
+    assert np.isfinite(m[0]["loss"])
