@@ -57,20 +57,37 @@ def main():
     log(f"bm25 build: {time.perf_counter() - t0:.1f}s "
         f"({lex.memory_bytes() / 2**20:.0f} MB, max_post={lex.max_postings})")
 
-    # embeddings generated ON DEVICE (host->device of 6.5 GB through the
-    # tunnel would dominate; values don't affect the compute graph)
+    # synthetic int8 index generated DIRECTLY on device: no fp32
+    # intermediate (a 6.5 GB fp32 journey both slows the build and leaves
+    # the tunneled device's allocator fragmented enough to OOM later
+    # stages). Values don't affect the compute graph being timed; the real
+    # build path is covered by tests and the app.
     t0 = time.perf_counter()
-    @jax.jit
-    def gen_embs(key):
-        e = jax.random.normal(key, (n_docs, doc_len, dim), jnp.float32)
-        return e / jnp.linalg.norm(e, axis=-1, keepdims=True)
-    embs = gen_embs(jax.random.PRNGKey(0))
+    n_pad = ((n_docs + 127) // 128) * 128
     lengths = rng.integers(doc_len // 2, doc_len + 1, n_docs).astype(np.int32)
-    dense = DenseTokenIndex.build(embs, jnp.asarray(lengths),
-                                  doc_len=doc_len, dtype="int8")
+    lengths_pad = np.zeros((n_pad,), np.int32)
+    lengths_pad[:n_docs] = lengths
+
+    @jax.jit
+    def gen_index(key, lens):
+        k1, k2 = jax.random.split(key)
+        q8 = jax.random.randint(k1, (n_pad * doc_len, dim), -127, 128,
+                                jnp.int8)
+        # per-token-row scales ~ 1/(127*sqrt(dim)) so dequantized rows are
+        # roughly unit-norm; zero beyond each doc's length (masking
+        # invariant the kernels rely on)
+        sc = (0.9 + 0.2 * jax.random.uniform(k2, (n_pad * doc_len,))) / (
+            127.0 * np.sqrt(dim))
+        tok = jnp.arange(doc_len, dtype=jnp.int32)
+        valid = (tok[None, :] < lens[:, None]).reshape(-1)
+        return q8, jnp.where(valid, sc, 0.0)
+
+    q8, scales = gen_index(jax.random.PRNGKey(0), jnp.asarray(lengths_pad))
+    dense = DenseTokenIndex(
+        emb_flat=q8, doc_lengths=jnp.asarray(lengths_pad), n_docs=n_docs,
+        doc_len=doc_len, dim=dim, scales=scales)
     jax.block_until_ready(dense.emb_flat)
-    del embs
-    log(f"dense build(int8): {time.perf_counter() - t0:.1f}s "
+    log(f"dense index gen(int8): {time.perf_counter() - t0:.1f}s "
         f"({dense.memory_bytes() / 2**30:.2f} GiB)")
 
     # --- query encoder (small preset, random init — latency is what we
@@ -99,42 +116,6 @@ def main():
     run_once()  # compile
     log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
 
-    # --- quality: cascade top-10 recall vs exact fp32 MaxSim -------------
-    from hybrid_rag_colbertv2_tpu.ops.maxsim import maxsim_scores_exact
-    q_emb = encoder.encode_queries(queries)
-    ids, _, _ = hybrid_cascade(
-        q_emb, q_terms, *lex_dev,
-        dense.emb_flat, dense.scales, dense.doc_lengths,
-        n_docs=dense.n_docs, max_postings=lex.max_postings,
-        doc_len=dense.doc_len, is_int8=True,
-        k_each=100, k_fuse=50, k_final=10)
-    ids = np.asarray(ids)
-    chunk = 128  # n_pad is always a multiple of 128
-    n_chunks = dense.n_pad // chunk
-
-    @jax.jit
-    def exact_all(q, emb_flat, scales, lens):
-        # sequential on-device scan: ONE dispatch + ONE host transfer
-        # (per-chunk host round trips are seconds each through the tunnel)
-        e4 = emb_flat.reshape(n_chunks, chunk, dense.doc_len, dim)
-        s4 = scales.reshape(n_chunks, chunk, dense.doc_len)
-        l2 = lens.reshape(n_chunks, chunk)
-        def f(c):
-            docs = c[0].astype(jnp.float32) * c[1][..., None]
-            return maxsim_scores_exact(q, docs, c[2])
-        parts = jax.lax.map(f, (e4, s4, l2))          # (n_chunks, B, chunk)
-        return parts.transpose(1, 0, 2).reshape(q.shape[0], -1)
-
-    exact = np.asarray(exact_all(q_emb, dense.emb_flat, dense.scales,
-                                 dense.doc_lengths))[:, :n_docs]
-    recalls = []
-    for bq in range(batch):
-        e_top = set(np.argsort(-exact[bq])[:10].tolist())
-        g_top = set(int(i) for i in ids[bq] if i >= 0)
-        recalls.append(len(e_top & g_top) / 10)
-    log(f"recall@10 vs exact fp32 MaxSim (int8 cascade): "
-        f"{np.mean(recalls):.3f} per-query={recalls}")
-
     lat = []
     iters = 20 if on_tpu else 5
     for _ in range(iters):
@@ -147,6 +128,50 @@ def main():
     qps = batch / (p50 / 1e3)
     log(f"batch={batch} p50={p50:.2f}ms p90={np.percentile(lat_ms, 90):.2f}ms"
         f" per-query={p50_per_query:.2f}ms qps/chip={qps:.0f}")
+
+    import gc
+    gc.collect()
+    # --- quality: cascade top-10 recall vs exact fp32 MaxSim ------------
+    # (guarded: must never kill the headline metric, e.g. on OOM)
+    try:
+        from hybrid_rag_colbertv2_tpu.ops.maxsim import maxsim_scores_exact
+        q_emb = encoder.encode_queries(queries)
+        ids, _, _ = hybrid_cascade(
+            q_emb, q_terms, *lex_dev,
+            dense.emb_flat, dense.scales, dense.doc_lengths,
+            n_docs=dense.n_docs, max_postings=lex.max_postings,
+            doc_len=dense.doc_len, is_int8=True,
+            k_each=100, k_fuse=50, k_final=10)
+        ids = np.asarray(ids)
+        chunk = 128  # n_pad is always a multiple of 128
+        n_chunks = dense.n_pad // chunk
+
+        @jax.jit
+        def exact_all(q, emb_flat, scales, lens):
+            # sequential on-device scan: ONE dispatch + ONE host transfer
+            # (per-chunk host round trips are seconds each through the tunnel)
+            e4 = emb_flat.reshape(n_chunks, chunk, dense.doc_len, dim)
+            s4 = scales.reshape(n_chunks, chunk, dense.doc_len)
+            l2 = lens.reshape(n_chunks, chunk)
+            def f(c):
+                docs = c[0].astype(jnp.float32) * c[1][..., None]
+                return maxsim_scores_exact(q, docs, c[2])
+            parts = jax.lax.map(f, (e4, s4, l2))          # (n_chunks, B, chunk)
+            return parts.transpose(1, 0, 2).reshape(q.shape[0], -1)
+
+        exact = np.asarray(exact_all(q_emb, dense.emb_flat, dense.scales,
+                                     dense.doc_lengths))[:, :n_docs]
+        recalls = []
+        for bq in range(batch):
+            e_top = set(np.argsort(-exact[bq])[:10].tolist())
+            g_top = set(int(i) for i in ids[bq] if i >= 0)
+            recalls.append(len(e_top & g_top) / 10)
+        log(f"recall@10 vs exact fp32 MaxSim (int8 cascade): "
+            f"{np.mean(recalls):.3f} per-query={recalls}")
+
+    except Exception as e:
+        log(f"recall measurement skipped: {type(e).__name__}: {e}")
+
 
     baseline_ms = 321.0  # reference total retrieval (README.md:182)
     print(json.dumps({

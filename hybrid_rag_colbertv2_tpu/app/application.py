@@ -117,12 +117,42 @@ class RAGApplication:
         if not corpus:
             raise RuntimeError("no chunks to index")
         self.encoder = self._make_encoder(corpus)
+        if (self.config.encoder_train_steps > 0
+                and not self.config.encoder_checkpoint):
+            self._train_encoder(corpus)
         self.indexes = IndexManager(self.config, self.encoder)
         self.indexes.build_all(corpus)
         log.info("Indexed %d documents (%d chunks total)",
                  len(paths), len(corpus))
         return {"documents": results, "total_chunks": len(corpus),
                 "timings": dict(self.indexes.timer.timings)}
+
+    def _train_encoder(self, corpus) -> None:
+        """Self-contained semantic adaptation: contrastive training on ICT
+        pseudo-queries from the corpus (new capability vs the reference,
+        whose quality is fixed by the downloaded checkpoint)."""
+        from ..train.data import pseudo_query_pairs
+        from ..train.trainer import ColBERTTrainer, TrainConfig
+
+        steps = self.config.encoder_train_steps
+        pairs_idx = pseudo_query_pairs(corpus, n_pairs_per_doc=4,
+                                       seed=self.config.encoder_seed)
+        pairs = [(q, corpus[i]) for q, i in pairs_idx]
+        # batch must not exceed the number of distinct docs — in-batch
+        # negatives with duplicated positives make the labels ambiguous
+        bs = max(2, min(16, len(corpus)))
+        trainer = ColBERTTrainer(
+            self.encoder,
+            TrainConfig(steps=steps, batch_size=bs,
+                        doc_len=min(self.config.doc_max_tokens, 128)),
+        )
+        metrics = trainer.train(pairs)
+        log.info("encoder trained %d steps: loss %.3f -> %.3f", steps,
+                 metrics[0]["loss"], metrics[-1]["loss"])
+        # persist the trained weights so query-time encoding matches
+        params_path, _ = self._encoder_paths()
+        params_path.parent.mkdir(parents=True, exist_ok=True)
+        self.encoder.save_params(str(params_path))
 
     # ------------------------------------------------------------------
     def initialize_chatbot(self, use_mesh: Optional[bool] = None) -> None:

@@ -38,6 +38,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--db", type=str, default=None, help="SQLite path")
     p.add_argument("--top-k", type=int, default=None,
                    help="results for --query")
+    p.add_argument("--train-encoder", type=int, default=None, metavar="N",
+                   help="contrastively train the encoder on the corpus for "
+                        "N steps during --upload (self-contained mode)")
     p.add_argument("--no-generate", action="store_true",
                    help="retrieval only, skip LLM generation")
     p.add_argument("--json", action="store_true",
@@ -60,6 +63,8 @@ def _main(argv=None) -> int:
         cfg.chat_model = args.model
     if args.db:
         cfg.db_path = args.db
+    if args.train_encoder is not None:
+        cfg.encoder_train_steps = args.train_encoder
     app = RAGApplication(cfg, use_ollama=not args.no_generate)
 
     if args.upload:

@@ -37,6 +37,10 @@ class MeshConfig:
     compute_dtype: str = "bfloat16"    # kernel accumulate is always fp32
     # Padding buckets for document token counts (static XLA shapes).
     doc_token_buckets: Tuple[int, ...] = (64, 128, 256)
+    # "single": one padded index at the smallest covering bucket.
+    # "bucketed": one sub-index per length bucket (index/bucketed.py) —
+    # smaller HBM + faster scans on mixed-length corpora.
+    index_layout: str = "single"
 
     def resolved_mesh_shape(self, n_devices: int) -> Tuple[int, int]:
         if self.mesh_shape is not None:
@@ -92,6 +96,10 @@ class RAGConfig:
     encoder_checkpoint: Optional[str] = None
     encoder_seed: int = 0
     tokenizer_vocab_size: int = 8192
+    # >0: contrastively train the (random-init) encoder on ICT
+    # pseudo-queries from the corpus at index time (train/). Ignored when a
+    # checkpoint is provided.
+    encoder_train_steps: int = 0
 
     # TPU mesh / numerics.
     mesh: MeshConfig = field(default_factory=MeshConfig)

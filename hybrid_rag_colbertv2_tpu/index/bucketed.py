@@ -1,0 +1,166 @@
+"""Length-bucketed dense index: several padded sub-indexes, one id space.
+
+SURVEY.md section 7, hard parts: 'Ragged -> padded index layout: variable
+chunk token counts vs XLA static shapes — length-bucketing + capacity
+padding without wrecking memory'. A single-bucket index pads every document
+to the longest bucket (256 tokens by default); most corpora are dominated
+by shorter chunks, so bucketing by token count (e.g. 64/128/256) cuts both
+HBM footprint and MaxSim scan FLOPs roughly in half on typical mixes.
+
+Each bucket is a standard ``DenseTokenIndex`` over ITS docs plus a
+``global_ids`` vector mapping bucket rows back to the one global corpus-id
+space. Scores from per-bucket Pallas scans are scattered into the global
+(B, N) score matrix; rerank gathers each candidate from its home bucket and
+right-pads to the largest bucket length.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.maxsim import maxsim_scores_exact
+from .dense import DenseTokenIndex
+
+
+@dataclass
+class BucketedDenseIndex:
+    buckets: List[DenseTokenIndex]      # one per length bucket (ascending L)
+    global_ids: List[jax.Array]         # per bucket: (n_b,) int32 corpus ids
+    bucket_of: jax.Array                # (N,) int32 bucket index per doc
+    row_of: jax.Array                   # (N,) int32 row within its bucket
+    n_docs: int
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def build(
+        cls,
+        token_embs: jax.Array,    # (N, L_in, D)
+        lengths: jax.Array,       # (N,)
+        *,
+        bucket_sizes: Sequence[int] = (64, 128, 256),
+        dtype: str = "int8",
+        docs_pad_multiple: int = 128,
+    ) -> "BucketedDenseIndex":
+        n = int(lengths.shape[0])
+        lengths_np = np.asarray(lengths)
+        sizes = sorted(bucket_sizes)
+        # assign each doc to the smallest bucket that holds it (docs longer
+        # than the largest bucket are truncated into it)
+        assign = np.full((n,), len(sizes) - 1, np.int32)
+        for bi in reversed(range(len(sizes))):
+            assign[lengths_np <= sizes[bi]] = bi
+
+        buckets: List[DenseTokenIndex] = []
+        gids: List[jax.Array] = []
+        bucket_of = np.zeros((n,), np.int32)
+        row_of = np.zeros((n,), np.int32)
+        kept: List[int] = []
+        for bi, size in enumerate(sizes):
+            rows = np.nonzero(assign == bi)[0]
+            if rows.size == 0:
+                continue
+            sub = DenseTokenIndex.build(
+                token_embs[jnp.asarray(rows)], lengths[jnp.asarray(rows)],
+                doc_len=size, dtype=dtype,
+                docs_pad_multiple=docs_pad_multiple)
+            bucket_of[rows] = len(buckets)
+            row_of[rows] = np.arange(rows.size, dtype=np.int32)
+            buckets.append(sub)
+            gids.append(jnp.asarray(rows.astype(np.int32)))
+            kept.append(size)
+        return cls(
+            buckets=buckets,
+            global_ids=gids,
+            bucket_of=jnp.asarray(bucket_of),
+            row_of=jnp.asarray(row_of),
+            n_docs=n,
+        )
+
+    # ------------------------------------------------------------------
+    @property
+    def max_doc_len(self) -> int:
+        return max(b.doc_len for b in self.buckets)
+
+    @property
+    def is_int8(self) -> bool:
+        return self.buckets[0].is_int8
+
+    def memory_bytes(self) -> int:
+        return sum(b.memory_bytes() for b in self.buckets)
+
+    # ------------------------------------------------------------------
+    def search_scores(self, queries: jax.Array) -> jax.Array:
+        """(B, Lq, D) -> (B, n_docs): per-bucket Pallas scans scattered into
+        the global score matrix."""
+        b = queries.shape[0]
+        out = jnp.full((b, self.n_docs), -1e30, jnp.float32)
+        for sub, gid in zip(self.buckets, self.global_ids):
+            s = sub.search_scores(queries)          # (B, n_b)
+            out = out.at[:, gid].set(s)
+        return out
+
+    # ------------------------------------------------------------------
+    def gather_docs(self, ids: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """ids (K,) global -> fp32 (K, L_max, D) + lengths (K,); ids < 0
+        give zero-length docs."""
+        k = ids.shape[0]
+        l_max = self.max_doc_len
+        d = self.buckets[0].dim
+        safe_ids = jnp.clip(ids, 0, self.n_docs - 1)
+        my_bucket = self.bucket_of[safe_ids]            # (K,)
+        my_row = self.row_of[safe_ids]
+        docs = jnp.zeros((k, l_max, d), jnp.float32)
+        lens = jnp.zeros((k,), jnp.int32)
+        for bi, sub in enumerate(self.buckets):
+            rows = jnp.clip(my_row, 0, sub.n_pad - 1)
+            embs3 = sub.emb_flat.reshape(sub.n_pad, sub.doc_len, d)
+            g = embs3[rows].astype(jnp.float32)         # (K, L_b, D)
+            if sub.is_int8:
+                sc = sub.scales.reshape(sub.n_pad, sub.doc_len)[rows]
+                g = g * sc[..., None]
+            if sub.doc_len < l_max:
+                g = jnp.pad(g, ((0, 0), (0, l_max - sub.doc_len), (0, 0)))
+            sel = (my_bucket == bi) & (ids >= 0)
+            docs = jnp.where(sel[:, None, None], g, docs)
+            lens = jnp.where(sel, sub.doc_lengths[rows], lens)
+        return docs, lens
+
+    def rerank_scores(self, queries: jax.Array, ids: jax.Array) -> jax.Array:
+        def one(q, cand):
+            docs, lens = self.gather_docs(cand)
+            return maxsim_scores_exact(q[None], docs, lens)[0]
+        return jax.vmap(one)(queries.astype(jnp.float32), ids)
+
+    # ------------------------------------------------------------------
+    def save(self, path: str | Path) -> None:
+        path = Path(path)
+        path.mkdir(parents=True, exist_ok=True)
+        for i, (sub, gid) in enumerate(zip(self.buckets, self.global_ids)):
+            sub.save(path / f"bucket_{i}")
+            np.save(path / f"bucket_{i}" / "global_ids.npy", np.asarray(gid))
+        np.savez(path / "mapping.npz", bucket_of=np.asarray(self.bucket_of),
+                 row_of=np.asarray(self.row_of))
+        (path / "meta.json").write_text(json.dumps({
+            "n_docs": self.n_docs, "n_buckets": len(self.buckets)}))
+
+    @classmethod
+    def load(cls, path: str | Path) -> "BucketedDenseIndex":
+        path = Path(path)
+        meta = json.loads((path / "meta.json").read_text())
+        arrs = np.load(path / "mapping.npz")
+        buckets, gids = [], []
+        for i in range(meta["n_buckets"]):
+            buckets.append(DenseTokenIndex.load(path / f"bucket_{i}"))
+            gids.append(jnp.asarray(
+                np.load(path / f"bucket_{i}" / "global_ids.npy")))
+        return cls(buckets=buckets, global_ids=gids,
+                   bucket_of=jnp.asarray(arrs["bucket_of"]),
+                   row_of=jnp.asarray(arrs["row_of"]),
+                   n_docs=meta["n_docs"])

@@ -70,18 +70,27 @@ class IndexManager:
         with self.timer.stage("colbert_encode"):
             embs, lengths = self.encoder.encode_docs(list(corpus))
         with self.timer.stage("colbert_build"):
-            max_len = int(jnp.max(lengths)) if lengths.shape[0] else 1
-            bucket = pick_bucket(max_len, self.config.mesh.doc_token_buckets)
-            self.dense = DenseTokenIndex.build(
-                embs, lengths, doc_len=bucket,
-                dtype=self.config.mesh.index_dtype,
-            )
+            if self.config.mesh.index_layout == "bucketed":
+                from .bucketed import BucketedDenseIndex
+
+                self.dense = BucketedDenseIndex.build(
+                    embs, lengths,
+                    bucket_sizes=self.config.mesh.doc_token_buckets,
+                    dtype=self.config.mesh.index_dtype,
+                )
+            else:
+                max_len = int(jnp.max(lengths)) if lengths.shape[0] else 1
+                bucket = pick_bucket(max_len,
+                                     self.config.mesh.doc_token_buckets)
+                self.dense = DenseTokenIndex.build(
+                    embs, lengths, doc_len=bucket,
+                    dtype=self.config.mesh.index_dtype,
+                )
             self.dense.save(self.config.colbert_index_path)
         log.info(
-            "Dense index: %d docs x %d tokens x %d dim [%s], %.2f MB "
-            "(encode %.2fs, build %.2fs)",
-            self.dense.n_docs, self.dense.doc_len, self.dense.dim,
-            self.dense.emb_flat.dtype, self.dense.memory_bytes() / 2**20,
+            "Dense index: %d docs [%s], %.2f MB (encode %.2fs, build %.2fs)",
+            self.dense.n_docs, self.config.mesh.index_layout,
+            self.dense.memory_bytes() / 2**20,
             self.timer.timings["colbert_encode"],
             self.timer.timings["colbert_build"],
         )
@@ -96,7 +105,13 @@ class IndexManager:
     def load(self) -> None:
         """Reference: DualIndexer.load_indexes (local_rag_complete.py:876)."""
         self.lexical = LexicalIndex.load(self.config.bm25_index_path)
-        self.dense = DenseTokenIndex.load(self.config.colbert_index_path)
+        if (Path(self.config.colbert_index_path) / "mapping.npz").exists():
+            from .bucketed import BucketedDenseIndex
+
+            self.dense = BucketedDenseIndex.load(
+                self.config.colbert_index_path)
+        else:
+            self.dense = DenseTokenIndex.load(self.config.colbert_index_path)
 
     def is_built(self) -> bool:
         return (

@@ -159,6 +159,32 @@ class HybridRetriever:
         )
 
     # ------------------------------------------------------------------
+    def _cascade_bucketed(self, q_emb, q_terms, k_final: int):
+        """Cascade over a length-bucketed dense index (index/bucketed.py):
+        same stages, composed from per-bucket kernels instead of one jit."""
+        cfg = self.config
+        lex = self.indexes.lexical
+        dense = self.indexes.dense
+        n = dense.n_docs
+        bm25 = bm25_scores_device(
+            q_terms, self._lex_dev["indptr"], self._lex_dev["post_docs"],
+            self._lex_dev["post_weights"], n_docs=n,
+            max_postings=lex.max_postings)
+        ms = dense.search_scores(q_emb)
+        ke = min(cfg.bm25_top_k, n)
+        bv, bi = jax.lax.top_k(bm25, ke)
+        bi = jnp.where(bv > 0, bi, -1).astype(jnp.int32)
+        mv, mi = jax.lax.top_k(ms, min(cfg.colbert_top_k, n))
+        mi = jnp.where(mv > -1e29, mi, -1).astype(jnp.int32)
+        fused_scores, fused_ids = rrf_from_topk(
+            bi, mi, n, k=min(cfg.fusion_candidates, n), rrf_k=cfg.rrf_k)
+        rerank = dense.rerank_scores(q_emb, fused_ids)
+        rerank = jnp.where(fused_ids >= 0, rerank, -1e30)
+        tv, tp = jax.lax.top_k(rerank, min(k_final, rerank.shape[1]))
+        final_ids = jnp.take_along_axis(fused_ids, tp, axis=1)
+        final_ids = jnp.where(tv > -1e29, final_ids, -1)
+        return np.asarray(final_ids.astype(jnp.int32)), np.asarray(tv)
+
     def retrieve_batch(
         self, queries: Sequence[str], top_k_final: Optional[int] = None
     ) -> Tuple[np.ndarray, np.ndarray]:
@@ -173,6 +199,11 @@ class HybridRetriever:
             q_terms = jnp.asarray(
                 np.stack([lex.encode_query(q) for q in queries])
             )
+        if not isinstance(dense, DenseTokenIndex):
+            with self.timer.stage("cascade"):
+                return self._cascade_bucketed(
+                    q_emb, q_terms,
+                    min(k, cfg.fusion_candidates, dense.n_docs))
         with self.timer.stage("cascade"):
             ids, scores, _ = hybrid_cascade(
                 q_emb, q_terms,

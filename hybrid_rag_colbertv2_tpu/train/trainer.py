@@ -164,14 +164,39 @@ class ColBERTTrainer:
         if len(pairs) < bs:
             reps = -(-bs // max(len(pairs), 1))
             pairs = (pairs * reps)[: max(bs, len(pairs))]
+        # pre-group into batches with DISTINCT positive docs — duplicated
+        # positives make in-batch-negative labels ambiguous
+        batches: List[List[Tuple[str, str]]] = []
+        cur: List[Tuple[str, str]] = []
+        seen: set = set()
+        leftovers: List[Tuple[str, str]] = []
+        for p in pairs:
+            if p[1] in seen:
+                leftovers.append(p)
+            else:
+                cur.append(p)
+                seen.add(p[1])
+            if len(cur) == bs:
+                batches.append(cur)
+                cur, seen = [], set()
+        for p in leftovers:          # fill remaining slots, allowing dups
+            if p[1] in seen:
+                continue
+            cur.append(p)
+            seen.add(p[1])
+            if len(cur) == bs:
+                batches.append(cur)
+                cur, seen = [], set()
+        if cur and not batches:
+            batches.append((cur * bs)[:bs])
         params = self.encoder.params
         metrics: List[Dict] = []
-        pos = 0
+        bpos = 0
         for step in range(steps):
-            if pos + bs > len(pairs):
-                pos = 0
-            batch = self._make_batch(pairs[pos : pos + bs])
-            pos += bs
+            if bpos >= len(batches):
+                bpos = 0
+            batch = self._make_batch(batches[bpos])
+            bpos += 1
             params, self.opt_state, m = self.step_fn(
                 params, self.opt_state, batch)
             metrics.append({k: float(v) for k, v in m.items()})

@@ -155,3 +155,67 @@ def test_cli_surface(app):
     assert out.returncode == 0, out.stderr
     rows = json.loads(out.stdout.strip().splitlines()[-1])
     assert rows and rows[0]["rank"] == 1
+
+
+def test_trained_indexing_improves_ranking(tmp_path):
+    """--train-encoder path: with corpus-trained weights the semantically
+    matching chunk must rank first end-to-end."""
+    docs = {
+        "astro.md": "# Astronomy\n\ntelescope galaxy nebula star planet "
+                    "orbit cosmos " * 6,
+        "cook.md": "# Cooking\n\nrecipe sauce boil saute pan flavor "
+                   "ingredient spice " * 6,
+        "chips.md": "# Hardware\n\nsystolic array matrix multiply MXU VMEM "
+                    "bandwidth chip " * 6,
+    }
+    for name, text in docs.items():
+        (tmp_path / name).write_text(text)
+    cfg = RAGConfig(
+        db_path=str(tmp_path / "t.db"),
+        bm25_index_path=str(tmp_path / "idx/bm25"),
+        colbert_index_path=str(tmp_path / "idx/colbert"),
+        images_dir=str(tmp_path / "imgs"),
+        tokenizer_path=str(tmp_path / "idx/tok.json"),
+        min_chunk_size=8, max_chunk_size=256,
+        encoder_preset="tiny", tokenizer_vocab_size=512,
+        encoder_train_steps=120,
+    )
+    a = RAGApplication(cfg, use_ollama=False)
+    a.index_documents([str(tmp_path / n) for n in docs])
+    a.initialize_chatbot()
+    for query, key in [("telescope galaxy star", "telescope"),
+                       ("recipe sauce flavor", "recipe"),
+                       ("systolic array MXU", "systolic")]:
+        top = a.query(query, top_k=1)[0]
+        assert key in top["text"].lower(), (query, top["text"][:60])
+    # fresh app must load the TRAINED weights, not re-randomize
+    b = RAGApplication(cfg, use_ollama=False)
+    b.initialize_chatbot()
+    top = b.query("telescope galaxy star", top_k=1)[0]
+    assert "telescope" in top["text"].lower()
+
+
+def test_bucketed_layout_end_to_end(tmp_path):
+    cfg = RAGConfig(
+        db_path=str(tmp_path / "b.db"),
+        bm25_index_path=str(tmp_path / "idx/bm25"),
+        colbert_index_path=str(tmp_path / "idx/colbert"),
+        images_dir=str(tmp_path / "imgs"),
+        tokenizer_path=str(tmp_path / "idx/tok.json"),
+        min_chunk_size=8, max_chunk_size=64,
+        encoder_preset="tiny", tokenizer_vocab_size=512,
+    )
+    cfg.mesh.index_layout = "bucketed"
+    cfg.mesh.doc_token_buckets = (32, 64)
+    d = tmp_path / "mix.md"
+    d.write_text("# Short\n\ntiny section\n\n# Long\n\n" + "word " * 120)
+    a = RAGApplication(cfg, use_ollama=False)
+    a.index_documents([str(d)])
+    a.initialize_chatbot(use_mesh=False)
+    res = a.query("tiny section", top_k=2)
+    assert res and res[0]["rank"] == 1
+    # reload detects the bucketed layout from disk
+    b = RAGApplication(cfg, use_ollama=False)
+    b.initialize_chatbot(use_mesh=False)
+    res2 = b.query("tiny section", top_k=2)
+    assert [r["chunk_id"] for r in res2] == [r["chunk_id"] for r in res]

@@ -1,0 +1,91 @@
+"""Bucketed dense index: identical semantics to a single padded index,
+smaller memory."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hybrid_rag_colbertv2_tpu.index.bucketed import BucketedDenseIndex
+from hybrid_rag_colbertv2_tpu.index.dense import DenseTokenIndex
+from hybrid_rag_colbertv2_tpu.ops.maxsim import maxsim_scores_exact
+
+
+@pytest.fixture(scope="module")
+def data(rng=None):
+    rng = np.random.default_rng(3)
+    n, l, d = 96, 96, 128
+    docs = rng.standard_normal((n, l, d)).astype(np.float32)
+    docs /= np.linalg.norm(docs, axis=-1, keepdims=True)
+    # mixed lengths spanning several buckets
+    lengths = np.concatenate([
+        rng.integers(4, 33, n // 3),
+        rng.integers(33, 65, n // 3),
+        rng.integers(65, l + 1, n - 2 * (n // 3)),
+    ]).astype(np.int32)
+    rng.shuffle(lengths)
+    tok = np.arange(l)
+    docs *= tok[None, :, None] < lengths[:, None, None]
+    q = rng.standard_normal((2, 32, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    return jnp.asarray(q), jnp.asarray(docs), jnp.asarray(lengths)
+
+
+def test_search_matches_exact(data):
+    q, docs, lengths = data
+    idx = BucketedDenseIndex.build(docs, lengths,
+                                   bucket_sizes=(32, 64, 96),
+                                   dtype="float32")
+    assert len(idx.buckets) == 3
+    got = idx.search_scores(q)
+    ref = maxsim_scores_exact(q, docs, lengths)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-3, atol=3e-3)
+
+
+def test_memory_smaller_than_single_bucket(data):
+    q, docs, lengths = data
+    # small pad multiple so per-bucket padding doesn't dominate at n=96
+    # (at production scale the 128-doc padding is noise)
+    bucketed = BucketedDenseIndex.build(docs, lengths,
+                                        bucket_sizes=(32, 64, 96),
+                                        dtype="int8", docs_pad_multiple=8)
+    single = DenseTokenIndex.build(docs, lengths, doc_len=96, dtype="int8",
+                                   docs_pad_multiple=8)
+    assert bucketed.memory_bytes() < 0.8 * single.memory_bytes()
+
+
+def test_rerank_and_gather(data):
+    q, docs, lengths = data
+    idx = BucketedDenseIndex.build(docs, lengths, bucket_sizes=(32, 64, 96),
+                                   dtype="float32")
+    ids = jnp.asarray([[5, 40, 90, -1], [0, 1, 2, 3]], jnp.int32)
+    got = idx.rerank_scores(q, ids)
+    ref_all = maxsim_scores_exact(q, docs, lengths)
+    for b in range(2):
+        for j, cid in enumerate(np.asarray(ids[b])):
+            if cid < 0:
+                assert float(got[b, j]) < -1e20
+            else:
+                np.testing.assert_allclose(float(got[b, j]),
+                                           float(ref_all[b, cid]), rtol=2e-4)
+
+
+def test_save_load_roundtrip(data, tmp_path):
+    q, docs, lengths = data
+    idx = BucketedDenseIndex.build(docs, lengths, bucket_sizes=(32, 96),
+                                   dtype="int8")
+    idx.save(tmp_path / "bidx")
+    idx2 = BucketedDenseIndex.load(tmp_path / "bidx")
+    np.testing.assert_allclose(np.asarray(idx.search_scores(q)),
+                               np.asarray(idx2.search_scores(q)))
+
+
+def test_single_bucket_degenerates(data):
+    q, docs, lengths = data
+    idx = BucketedDenseIndex.build(docs, lengths, bucket_sizes=(96,),
+                                   dtype="float32")
+    assert len(idx.buckets) == 1
+    got = idx.search_scores(q)
+    ref = maxsim_scores_exact(q, docs, lengths)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-3, atol=3e-3)
