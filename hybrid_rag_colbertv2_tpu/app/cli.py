@@ -27,6 +27,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="start interactive chat")
     p.add_argument("--query", type=str,
                    help="run one retrieval query and print ranked sources")
+    p.add_argument("--serve", type=int, default=None, metavar="PORT",
+                   help="start the HTTP JSON API on this port")
+    p.add_argument("--host", type=str, default="127.0.0.1",
+                   help="bind address for --serve")
     p.add_argument("--stats", action="store_true",
                    help="show database statistics")
     p.add_argument("--bench", action="store_true",
@@ -93,6 +97,12 @@ def _main(argv=None) -> int:
                 text = (r.get("text", "") or "")[:120].replace("\n", " ")
                 print(f"  {r['rank']:2d}. [chunk {r['chunk_id']}"
                       f" score {r['score']:.3f}]{head} {text}")
+        return 0
+
+    if args.serve:
+        from .server import serve
+        app.initialize_chatbot()
+        serve(app, host=args.host, port=args.serve)
         return 0
 
     if args.chat:
