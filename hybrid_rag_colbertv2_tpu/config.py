@@ -68,6 +68,12 @@ class RAGConfig:
     fusion_candidates: int = 50
     final_top_k: int = 10
     rrf_k: int = 60  # reference hard-codes k=60 (local_rag_complete.py:964)
+    # >0: two-stage pruned dense search (ops/prefilter.py) — pooled-cosine
+    # prefilter to this many candidates, exact MaxSim only on those.
+    # 0 = brute-force full MaxSim scan (exact). Rule of thumb: 8-16x the
+    # dense top-k (colbert_top_k) keeps recall ~1.0 while cutting the dense
+    # stage's HBM traffic by ~doc_len.
+    dense_prefilter: int = 0
 
     # Models (local_rag_complete.py:73-75)
     chat_model: str = "llama3.2:3b"

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.maxsim import maxsim_scores, maxsim_scores_exact, maxsim_scores_int8
+from ..ops.prefilter import maxsim_topk_pruned, pooled_doc_embeddings
 from ..ops.quant import quantize_int8_rows
 
 
@@ -54,6 +55,10 @@ class DenseTokenIndex:
     doc_len: int                 # L — static padded token count
     dim: int
     scales: Optional[jax.Array] = None  # (N_pad * L,) f32 when int8
+    # (N_pad, D) bf16 L2-normalized mean token embeddings — the pruned
+    # search's prefilter vectors (ops/prefilter.py). ~L x smaller than the
+    # token index; always built, costs N*D*2 bytes.
+    pooled: Optional[jax.Array] = None
 
     # ------------------------------------------------------------------
     @classmethod
@@ -88,6 +93,7 @@ class DenseTokenIndex:
             flat, scales = quantize_int8_rows(flat)
         else:
             flat = flat.astype(jnp.dtype(dtype))
+        pooled = pooled_doc_embeddings(flat, scales, lengths, doc_len=doc_len)
         return cls(
             emb_flat=flat,
             doc_lengths=lengths,
@@ -95,6 +101,7 @@ class DenseTokenIndex:
             doc_len=doc_len,
             dim=d,
             scales=scales,
+            pooled=pooled,
         )
 
     # ------------------------------------------------------------------
@@ -111,7 +118,36 @@ class DenseTokenIndex:
         total += self.doc_lengths.size * 4
         if self.scales is not None:
             total += self.scales.size * 4
+        if self.pooled is not None:
+            total += self.pooled.size * self.pooled.dtype.itemsize
         return total
+
+    def ensure_pooled(self) -> jax.Array:
+        """Compute (and cache) the prefilter vectors if absent (e.g. an
+        index saved before pruned search existed)."""
+        if self.pooled is None:
+            self.pooled = pooled_doc_embeddings(
+                self.emb_flat, self.scales, self.doc_lengths,
+                doc_len=self.doc_len)
+        return self.pooled
+
+    # ------------------------------------------------------------------
+    def search_topk(self, queries: jax.Array, k: int,
+                    prefilter: int = 0) -> Tuple[jax.Array, jax.Array]:
+        """(B, Lq, D) -> (scores (B, k), ids (B, k)); ids < 0 = missing.
+
+        ``prefilter`` > 0 enables the two-stage pruned search
+        (ops/prefilter.py): pooled-cosine top-``prefilter`` candidates,
+        exact MaxSim only on those — O(N*D) instead of O(N*L*D) bytes.
+        """
+        if prefilter > 0:
+            return maxsim_topk_pruned(
+                queries, self.emb_flat, self.scales, self.doc_lengths,
+                self.ensure_pooled(), doc_len=self.doc_len,
+                n_docs=self.n_docs, n_candidates=prefilter, k=k)
+        s = self.search_scores(queries)
+        vals, ids = jax.lax.top_k(s, min(k, self.n_docs))
+        return vals, ids.astype(jnp.int32)
 
     # ------------------------------------------------------------------
     def search_scores(self, queries: jax.Array) -> jax.Array:
@@ -163,6 +199,9 @@ class DenseTokenIndex:
         }
         if self.scales is not None:
             arrs["scales"] = np.asarray(self.scales)
+        if self.pooled is not None:
+            # npz has no bf16; persist prefilter vectors as fp16
+            arrs["pooled"] = np.asarray(self.pooled).astype(np.float16)
         np.savez(path / "dense.npz", **arrs)
         meta = {
             "n_docs": self.n_docs,
@@ -179,6 +218,8 @@ class DenseTokenIndex:
         meta = json.loads((path / "meta.json").read_text())
         emb = jnp.asarray(arrs["emb_flat"])
         scales = jnp.asarray(arrs["scales"]) if "scales" in arrs else None
+        pooled = (jnp.asarray(arrs["pooled"]).astype(jnp.bfloat16)
+                  if "pooled" in arrs else None)
         return cls(
             emb_flat=emb,
             doc_lengths=jnp.asarray(arrs["doc_lengths"]),
@@ -186,4 +227,5 @@ class DenseTokenIndex:
             doc_len=meta["doc_len"],
             dim=meta["dim"],
             scales=scales,
+            pooled=pooled,
         )

@@ -1,0 +1,131 @@
+"""Pruned (two-stage) dense search: pooled-cosine prefilter + exact MaxSim.
+
+Scaling story (SURVEY.md section 7 'True MaxSim at scale'): the brute-force
+MaxSim scan reads the whole ``(N * L, D)`` token index per query batch —
+O(N * L * D) bytes and O(N * L * D * Lq) FLOPs. At 1M chunks x 128 tokens
+that is ~16 GB of HBM traffic per scan, ~20 ms at v5e bandwidth. This module
+cuts both by ~L (the padded token count, 64-256x):
+
+  stage A  proxy = (sum_i q_i) . pooled_doc   — ONE (B, D) x (D, N) matmul
+           over a tiny (N, D) pooled-embedding array, top-C candidates;
+  stage B  exact fp32 MaxSim only on the C gathered candidates.
+
+The proxy is exactly the score the reference ships as its whole dense stage
+(mean-pool cosine mislabeled MaxSim, local_rag_complete.py:802-831, see
+ops/maxsim.py). Here it is demoted to what it is good for — a cheap,
+well-correlated candidate generator — while ranking is done by the true
+late-interaction score. With C >= N the result is bit-identical to the
+brute-force scan (degenerate exactness case used by the tests).
+
+All shapes static; the candidate count is rounded up to a multiple of 128
+(lane width) and the per-candidate exact scoring is chunked with ``lax.map``
+so the gathered fp32 working set stays bounded regardless of C.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .maxsim import NEG_INF, maxsim_scores_exact
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("doc_len",))
+def pooled_doc_embeddings(
+    emb_flat: jax.Array,             # (N_pad * L, D) int8/bf16/f32
+    scales: Optional[jax.Array],     # (N_pad * L,) f32 when int8, else None
+    doc_lengths: jax.Array,          # (N_pad,) int32
+    *,
+    doc_len: int,
+) -> jax.Array:                      # (N_pad, D) bf16, L2-normalized
+    """Per-document L2-normalized mean token embedding (the proxy vectors).
+
+    Padded token rows are stored as zeros (index/dense.py zeroes them before
+    quantization), so a plain sum over the token axis is a sum over valid
+    tokens. Blocked with ``lax.map`` so a 1M-doc int8 index never
+    materializes in fp32 (build-time only; the result is ~N*D*2 bytes).
+    """
+    n_pad = doc_lengths.shape[0]
+    d = emb_flat.shape[-1]
+    # docs per map step — largest divisor of n_pad <= 128 (bucketed
+    # sub-indexes can have small n_pad)
+    block = math.gcd(n_pad, 128)
+    n_blocks = n_pad // block
+    embs = emb_flat.reshape(n_blocks, block, doc_len, d)
+    if scales is not None:
+        scs = scales.reshape(n_blocks, block, doc_len)
+
+        def f(c):
+            e, s = c
+            return jnp.sum(e.astype(jnp.float32) * s[..., None], axis=1)
+
+        summed = jax.lax.map(f, (embs, scs))
+    else:
+        summed = jax.lax.map(
+            lambda e: jnp.sum(e.astype(jnp.float32), axis=1), embs)
+    summed = summed.reshape(n_pad, d)
+    denom = jnp.maximum(doc_lengths.astype(jnp.float32), 1.0)[:, None]
+    mean = summed / denom
+    norm = jnp.linalg.norm(mean, axis=-1, keepdims=True)
+    return (mean / jnp.maximum(norm, 1e-9)).astype(jnp.bfloat16)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("doc_len", "n_docs", "n_candidates", "k", "block"),
+)
+def maxsim_topk_pruned(
+    queries: jax.Array,              # (B, Lq, D) — padded query rows zero
+    emb_flat: jax.Array,             # (N_pad * L, D) int8/bf16/f32
+    scales: Optional[jax.Array],     # (N_pad * L,) f32 when int8
+    doc_lengths: jax.Array,          # (N_pad,) int32
+    pooled: jax.Array,               # (N_pad, D) from pooled_doc_embeddings
+    *,
+    doc_len: int,
+    n_docs: int,
+    n_candidates: int,
+    k: int,
+    block: int = 256,
+) -> Tuple[jax.Array, jax.Array]:    # (B, k) scores f32, (B, k) ids int32
+    """Two-stage dense top-k: pooled-cosine top-C, exact MaxSim rerank."""
+    b, lq, d = queries.shape
+    n_pad = doc_lengths.shape[0]
+    c = min(_round_up(n_candidates, 128), n_pad)
+    cb = min(block, c)
+    while c % cb != 0:               # c and n_pad are multiples of 128
+        cb //= 2
+
+    q32 = queries.astype(jnp.float32)
+    qbar = jnp.sum(q32, axis=1)                              # (B, D)
+    proxy = jnp.einsum("bd,nd->bn", qbar.astype(jnp.bfloat16), pooled,
+                       preferred_element_type=jnp.float32)   # (B, N_pad)
+    col = jnp.arange(n_pad, dtype=jnp.int32)
+    proxy = jnp.where((col[None, :] < n_docs) & (doc_lengths[None, :] > 0),
+                      proxy, NEG_INF)
+    _, cand = jax.lax.top_k(proxy, c)                        # (B, C)
+
+    embs3 = emb_flat.reshape(n_pad, doc_len, d)
+    scs2 = scales.reshape(n_pad, doc_len) if scales is not None else None
+
+    def exact_one(q, ids):
+        def score_block(ib):
+            docs = embs3[ib].astype(jnp.float32)             # (cb, L, D)
+            if scs2 is not None:
+                docs = docs * scs2[ib][..., None]
+            return maxsim_scores_exact(q[None], docs, doc_lengths[ib])[0]
+        return jax.lax.map(score_block, ids.reshape(c // cb, cb)).reshape(c)
+
+    exact = jax.vmap(exact_one)(q32, cand)                   # (B, C)
+    kk = min(k, c)
+    vals, pos = jax.lax.top_k(exact, kk)
+    ids = jnp.take_along_axis(cand, pos, axis=1)
+    ids = jnp.where(vals > NEG_INF / 2, ids, -1)
+    return vals, ids.astype(jnp.int32)

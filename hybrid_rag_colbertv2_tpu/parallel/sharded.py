@@ -33,6 +33,7 @@ from ..index.lexical import LexicalIndex
 from ..ops.bm25 import bm25_scores_device
 from ..ops.fusion import rrf_from_topk
 from ..ops.maxsim import maxsim_scores, maxsim_scores_exact, maxsim_scores_int8
+from ..ops.prefilter import maxsim_topk_pruned
 from ..utils.logging import StageTimer, get_logger
 
 log = get_logger(__name__)
@@ -51,13 +52,19 @@ def make_sharded_cascade(
     k_fuse: int = 50,
     k_final: int = 10,
     rrf_k: int = 60,
+    prefilter: int = 0,
     axis: str = "data",
     interpret: Optional[bool] = None,
 ):
     """Build the jitted sharded cascade fn for a fixed index geometry.
 
     Returns fn(q_emb, q_terms, indptr, post_docs, post_weights,
-               emb_flat, scales, doc_lengths) -> (final_ids, final_scores).
+               emb_flat, scales, doc_lengths, pooled)
+            -> (final_ids, final_scores).
+
+    ``prefilter`` > 0 runs the pruned two-stage dense search *per shard*
+    (each shard prefilters its own docs to ``prefilter`` candidates before
+    exact MaxSim) — the allgather/fusion/rerank structure is unchanged.
     """
     n_shards = mesh.shape[axis]
     assert n_pad % n_shards == 0
@@ -69,22 +76,32 @@ def make_sharded_cascade(
         interpret = jax.default_backend() != "tpu"
 
     def body(q_emb, q_terms, indptr, post_docs, post_weights,
-             emb_flat_local, scales_local, doc_lengths_local):
+             emb_flat_local, scales_local, doc_lengths_local, pooled_local):
         shard = jax.lax.axis_index(axis)
         offset = (shard * n_local).astype(jnp.int32)
 
-        # --- stage 2 (sharded): local MaxSim scan + local top-k ----------
-        if is_int8:
-            ms_local = maxsim_scores_int8(
-                q_emb, emb_flat_local, scales_local, doc_lengths_local,
-                doc_len=doc_len, interpret=interpret)
+        # --- stage 2 (sharded): local dense top-k -------------------------
+        if prefilter > 0:
+            lv, li = maxsim_topk_pruned(
+                q_emb, emb_flat_local,
+                scales_local if is_int8 else None,
+                doc_lengths_local, pooled_local,
+                doc_len=doc_len, n_docs=n_local,
+                n_candidates=prefilter, k=ke)
+            gi = jnp.where(li >= 0, li + offset, -1).astype(jnp.int32)
+            lv = jnp.where(li >= 0, lv, NEG_INF)
         else:
-            ms_local = maxsim_scores(
-                q_emb, emb_flat_local, doc_lengths_local,
-                doc_len=doc_len, interpret=interpret)
-        lv, li = jax.lax.top_k(ms_local, ke)               # (B, ke) local
-        gi = (li + offset).astype(jnp.int32)               # global ids
-        lv = jnp.where(gi < n_docs, lv, NEG_INF)           # mask pad docs
+            if is_int8:
+                ms_local = maxsim_scores_int8(
+                    q_emb, emb_flat_local, scales_local, doc_lengths_local,
+                    doc_len=doc_len, interpret=interpret)
+            else:
+                ms_local = maxsim_scores(
+                    q_emb, emb_flat_local, doc_lengths_local,
+                    doc_len=doc_len, interpret=interpret)
+            lv, li = jax.lax.top_k(ms_local, ke)           # (B, ke) local
+            gi = (li + offset).astype(jnp.int32)           # global ids
+        lv = jnp.where((gi >= 0) & (gi < n_docs), lv, NEG_INF)  # mask pads
 
         # --- allgather candidates, replicated global top-k ---------------
         av = jax.lax.all_gather(lv, axis, axis=1, tiled=True)  # (B, S*ke)
@@ -137,7 +154,8 @@ def make_sharded_cascade(
         in_specs=(rep, rep, rep, rep, rep,
                   P(axis, None),
                   rep if not is_int8 else P(axis),
-                  P(axis)),
+                  P(axis),
+                  P(axis, None)),
         out_specs=(rep, rep),
         check_vma=False,
     )
@@ -181,6 +199,7 @@ class ShardedRetriever:
             k_final=min(config.final_top_k, config.fusion_candidates,
                         dense.n_docs),
             rrf_k=config.rrf_k,
+            prefilter=getattr(config, "dense_prefilter", 0),
         )
 
     def retrieve_batch(self, queries, top_k_final=None
@@ -195,9 +214,13 @@ class ShardedRetriever:
             if scales is None:
                 # shard_map needs a concrete array; zero-size placeholder
                 scales = jnp.zeros((0,), jnp.float32)
+            pooled = self.dense.pooled
+            if pooled is None:
+                pooled = jnp.zeros((self.dense.n_pad, self.dense.dim),
+                                   jnp.bfloat16)
             ids, scores = self._fn(
                 q_emb, q_terms, *self._lex_dev,
-                self.dense.emb_flat, scales, self.dense.doc_lengths)
+                self.dense.emb_flat, scales, self.dense.doc_lengths, pooled)
             ids = np.asarray(ids)
             scores = np.asarray(scores)
         k = top_k_final or self.config.final_top_k

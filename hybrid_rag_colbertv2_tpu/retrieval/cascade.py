@@ -38,6 +38,7 @@ from ..index.manager import IndexManager
 from ..ops.bm25 import bm25_scores_device
 from ..ops.fusion import rrf_from_topk
 from ..ops.maxsim import maxsim_scores, maxsim_scores_exact, maxsim_scores_int8
+from ..ops.prefilter import maxsim_topk_pruned
 from ..utils.logging import StageTimer, get_logger
 
 log = get_logger(__name__)
@@ -47,7 +48,7 @@ log = get_logger(__name__)
     jax.jit,
     static_argnames=(
         "n_docs", "max_postings", "doc_len", "is_int8",
-        "k_each", "k_fuse", "k_final", "rrf_k",
+        "k_each", "k_fuse", "k_final", "rrf_k", "prefilter",
     ),
 )
 def hybrid_cascade(
@@ -59,6 +60,7 @@ def hybrid_cascade(
     emb_flat: jax.Array,       # (N_pad * L, D)
     scales: Optional[jax.Array],
     doc_lengths: jax.Array,    # (N_pad,)
+    pooled: Optional[jax.Array] = None,  # (N_pad, D) — required if prefilter
     *,
     n_docs: int,
     max_postings: int,
@@ -68,6 +70,7 @@ def hybrid_cascade(
     k_fuse: int = 50,
     k_final: int = 10,
     rrf_k: int = 60,
+    prefilter: int = 0,        # >0: pruned dense stage (ops/prefilter.py)
 ) -> Tuple[jax.Array, jax.Array, Dict[str, jax.Array]]:
     """-> (final_ids (B, k_final), final_scores, debug dict)."""
     b = q_emb.shape[0]
@@ -79,21 +82,27 @@ def hybrid_cascade(
         n_docs=n_docs, max_postings=max_postings,
     )                                                   # (B, n_docs)
 
-    # Stage 2: dense MaxSim scan over the whole index
-    if is_int8:
-        ms = maxsim_scores_int8(q_emb, emb_flat, scales, doc_lengths,
-                                doc_len=doc_len)
+    # Stage 2: dense top-k — pruned two-stage search or full MaxSim scan
+    ke = min(k_each, n_docs)
+    if prefilter > 0:
+        ms_vals, ms_ids = maxsim_topk_pruned(
+            q_emb, emb_flat, scales if is_int8 else None, doc_lengths,
+            pooled, doc_len=doc_len, n_docs=n_docs,
+            n_candidates=prefilter, k=ke)
     else:
-        ms = maxsim_scores(q_emb, emb_flat, doc_lengths, doc_len=doc_len)
-    ms = ms[:, :n_docs]                                 # (B, n_docs)
+        if is_int8:
+            ms = maxsim_scores_int8(q_emb, emb_flat, scales, doc_lengths,
+                                    doc_len=doc_len)
+        else:
+            ms = maxsim_scores(q_emb, emb_flat, doc_lengths, doc_len=doc_len)
+        ms = ms[:, :n_docs]                             # (B, n_docs)
+        ms_vals, ms_ids = jax.lax.top_k(ms, ke)
+        ms_ids = ms_ids.astype(jnp.int32)
 
     # Per-source top-k (the "top-100" lists)
-    ke = min(k_each, n_docs)
     bm25_vals, bm25_ids = jax.lax.top_k(bm25, ke)
-    ms_vals, ms_ids = jax.lax.top_k(ms, ke)
     # BM25 can produce ties at 0 (docs with no query term) — mark missing
     bm25_ids = jnp.where(bm25_vals > 0, bm25_ids, -1).astype(jnp.int32)
-    ms_ids = ms_ids.astype(jnp.int32)
 
     # Fusion: RRF -> k_fuse candidates
     fused_scores, fused_ids = rrf_from_topk(
@@ -204,12 +213,15 @@ class HybridRetriever:
                 return self._cascade_bucketed(
                     q_emb, q_terms,
                     min(k, cfg.fusion_candidates, dense.n_docs))
+        prefilter = getattr(cfg, "dense_prefilter", 0)
         with self.timer.stage("cascade"):
             ids, scores, _ = hybrid_cascade(
                 q_emb, q_terms,
                 self._lex_dev["indptr"], self._lex_dev["post_docs"],
                 self._lex_dev["post_weights"],
                 dense.emb_flat, dense.scales, dense.doc_lengths,
+                dense.ensure_pooled() if prefilter > 0 else None,
+                prefilter=prefilter,
                 n_docs=dense.n_docs,
                 max_postings=lex.max_postings,
                 doc_len=dense.doc_len,
