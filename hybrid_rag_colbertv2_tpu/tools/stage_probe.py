@@ -1,0 +1,161 @@
+"""Per-stage retrieval latency probe (observability tool).
+
+Times each stage of the hybrid cascade in isolation and end-to-end, brute
+vs pruned dense search, on whatever backend JAX resolves (TPU or CPU). The
+reference prints per-stage wall-clock inside retrieve()
+(local_rag_complete.py:901-933); this is the structured equivalent plus
+kernel-level isolation, for answering "where does the time go".
+
+Usage:
+  python -m hybrid_rag_colbertv2_tpu.tools.stage_probe \
+      [--n-docs 100000] [--doc-len 128] [--batch 8] [--prefilter 1024] \
+      [--iters 20] [--skip-brute]
+
+Prints one JSON object per measurement line to stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _timeit(fn, iters: int):
+    import numpy as np
+
+    fn()  # compile / warm
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    ms = np.asarray(ts) * 1e3
+    return float(np.percentile(ms, 50)), float(np.percentile(ms, 90))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-docs", type=int, default=None)
+    ap.add_argument("--doc-len", type=int, default=128)
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--prefilter", type=int, default=1024)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--skip-brute", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+    n_docs = args.n_docs or (100_000 if on_tpu else 2_000)
+    doc_len, dim, batch = args.doc_len, args.dim, args.batch
+    log(f"backend={backend} n_docs={n_docs} doc_len={doc_len} batch={batch}")
+
+    from hybrid_rag_colbertv2_tpu.index.dense import DenseTokenIndex
+    from hybrid_rag_colbertv2_tpu.index.lexical import LexicalIndex
+    from hybrid_rag_colbertv2_tpu.models.colbert import (
+        ColBERTConfig, ColBERTEncoder)
+    from hybrid_rag_colbertv2_tpu.models.tokenizer import ColBERTTokenizer
+    from hybrid_rag_colbertv2_tpu.ops.bm25 import bm25_scores_device
+    from hybrid_rag_colbertv2_tpu.ops.maxsim import maxsim_scores_int8
+    from hybrid_rag_colbertv2_tpu.ops.prefilter import (
+        maxsim_topk_pruned, pooled_doc_embeddings)
+    from hybrid_rag_colbertv2_tpu.retrieval.cascade import hybrid_cascade
+
+    rng = np.random.default_rng(0)
+    vocab = np.array([f"term{i}" for i in range(5_000)])
+    corpus = [" ".join(r) for r in vocab[
+        rng.integers(0, len(vocab), size=(min(n_docs, 20_000), 12))]]
+    lex = LexicalIndex.build(corpus * max(1, n_docs // len(corpus) + 1)
+                             if len(corpus) < n_docs else corpus[:n_docs])
+
+    n_pad = ((n_docs + 127) // 128) * 128
+    lengths = np.zeros((n_pad,), np.int32)
+    lengths[:n_docs] = rng.integers(doc_len // 2, doc_len + 1, n_docs)
+
+    @jax.jit
+    def gen_index(key, lens):
+        k1, k2 = jax.random.split(key)
+        q8 = jax.random.randint(k1, (n_pad * doc_len, dim), -127, 128,
+                                jnp.int8)
+        sc = (0.9 + 0.2 * jax.random.uniform(k2, (n_pad * doc_len,))) / (
+            127.0 * np.sqrt(dim))
+        tok = jnp.arange(doc_len, dtype=jnp.int32)
+        valid = (tok[None, :] < lens[:, None]).reshape(-1)
+        return q8, jnp.where(valid, sc, 0.0)
+
+    t0 = time.perf_counter()
+    q8, scales = gen_index(jax.random.PRNGKey(0), jnp.asarray(lengths))
+    lens_dev = jnp.asarray(lengths)
+    pooled = pooled_doc_embeddings(q8, scales, lens_dev, doc_len=doc_len)
+    jax.block_until_ready(pooled)
+    log(f"index gen+pool: {time.perf_counter() - t0:.1f}s "
+        f"({q8.size / 2**30:.2f} GiB int8, pooled "
+        f"{pooled.size * 2 / 2**20:.0f} MiB)")
+
+    tok = ColBERTTokenizer.train_bpe(corpus[:2000], vocab_size=8192)
+    encoder = ColBERTEncoder(
+        ColBERTConfig.small(vocab_size=tok.vocab_size), tok, seed=0)
+    queries = [" ".join(rng.choice(vocab, size=6)) for _ in range(batch)]
+    q_emb = jax.block_until_ready(encoder.encode_queries(queries))
+    q_terms = jnp.asarray(np.stack([lex.encode_query(q) for q in queries]))
+    lexd = (jnp.asarray(lex.indptr), jnp.asarray(lex.post_docs),
+            jnp.asarray(lex.post_weights))
+
+    results = []
+
+    def emit(name, p50, p90):
+        row = {"stage": name, "p50_ms": round(p50, 3), "p90_ms": round(p90, 3),
+               "batch": batch, "n_docs": n_docs, "backend": backend}
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    # --- isolated stages ---------------------------------------------------
+    emit("encode_query", *_timeit(
+        lambda: jax.block_until_ready(encoder.encode_queries(queries)),
+        args.iters))
+    emit("bm25", *_timeit(
+        lambda: jax.block_until_ready(bm25_scores_device(
+            q_terms, *lexd, n_docs=n_docs, max_postings=lex.max_postings)),
+        args.iters))
+    if not args.skip_brute:
+        emit("dense_scan_brute_int8", *_timeit(
+            lambda: jax.block_until_ready(maxsim_scores_int8(
+                q_emb, q8, scales, lens_dev, doc_len=doc_len)),
+            args.iters))
+    emit(f"dense_pruned_C{args.prefilter}", *_timeit(
+        lambda: jax.block_until_ready(maxsim_topk_pruned(
+            q_emb, q8, scales, lens_dev, pooled, doc_len=doc_len,
+            n_docs=n_docs, n_candidates=args.prefilter, k=100)[0]),
+        args.iters))
+
+    # --- end-to-end cascade ------------------------------------------------
+    def run_cascade(prefilter):
+        ids, _, _ = hybrid_cascade(
+            q_emb, q_terms, *lexd, q8, scales, lens_dev,
+            pooled if prefilter else None, prefilter=prefilter,
+            n_docs=n_docs, max_postings=lex.max_postings, doc_len=doc_len,
+            is_int8=True, k_each=100, k_fuse=50, k_final=10)
+        return jax.block_until_ready(ids)
+
+    if not args.skip_brute:
+        emit("cascade_brute", *_timeit(lambda: run_cascade(0), args.iters))
+    emit(f"cascade_pruned_C{args.prefilter}", *_timeit(
+        lambda: run_cascade(args.prefilter), args.iters))
+
+    log("summary: " + ", ".join(
+        f"{r['stage']}={r['p50_ms']}ms" for r in results))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
