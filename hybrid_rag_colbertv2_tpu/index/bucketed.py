@@ -107,6 +107,30 @@ class BucketedDenseIndex:
         return out
 
     # ------------------------------------------------------------------
+    def search_topk(self, queries: jax.Array, k: int,
+                    prefilter: int = 0) -> Tuple[jax.Array, jax.Array]:
+        """(B, Lq, D) -> (scores (B, k), global ids (B, k)); ids < 0 missing.
+
+        Per-bucket top-k (pruned when ``prefilter`` > 0, see
+        ops/prefilter.py) merged by a global top-k over the concatenated
+        candidates — never materializes the dense (B, N) score matrix.
+        Exact merge: each bucket contributes its full-k best, so the global
+        best-k is always contained in the union.
+        """
+        vals_all, ids_all = [], []
+        for sub, gid in zip(self.buckets, self.global_ids):
+            v, i = sub.search_topk(queries, min(k, sub.n_docs), prefilter)
+            safe = jnp.clip(i, 0, gid.shape[0] - 1)
+            g = jnp.where(i >= 0, gid[safe], -1)
+            vals_all.append(jnp.where(i >= 0, v, -1e30))
+            ids_all.append(g)
+        v = jnp.concatenate(vals_all, axis=1)
+        g = jnp.concatenate(ids_all, axis=1)
+        tv, tp = jax.lax.top_k(v, min(k, v.shape[1]))
+        ti = jnp.take_along_axis(g, tp, axis=1)
+        return tv, jnp.where(tv > -1e29, ti, -1).astype(jnp.int32)
+
+    # ------------------------------------------------------------------
     def gather_docs(self, ids: jax.Array) -> Tuple[jax.Array, jax.Array]:
         """ids (K,) global -> fp32 (K, L_max, D) + lengths (K,); ids < 0
         give zero-length docs."""

@@ -179,11 +179,11 @@ class HybridRetriever:
             q_terms, self._lex_dev["indptr"], self._lex_dev["post_docs"],
             self._lex_dev["post_weights"], n_docs=n,
             max_postings=lex.max_postings)
-        ms = dense.search_scores(q_emb)
         ke = min(cfg.bm25_top_k, n)
         bv, bi = jax.lax.top_k(bm25, ke)
         bi = jnp.where(bv > 0, bi, -1).astype(jnp.int32)
-        mv, mi = jax.lax.top_k(ms, min(cfg.colbert_top_k, n))
+        mv, mi = dense.search_topk(q_emb, min(cfg.colbert_top_k, n),
+                                   getattr(cfg, "dense_prefilter", 0))
         mi = jnp.where(mv > -1e29, mi, -1).astype(jnp.int32)
         fused_scores, fused_ids = rrf_from_topk(
             bi, mi, n, k=min(cfg.fusion_candidates, n), rrf_k=cfg.rrf_k)

@@ -158,6 +158,26 @@ def test_cascade_with_prefilter_matches_brute(data):
         assert set(ids1[b].tolist()) == set(ids0[b].tolist()), b
 
 
+def test_bucketed_pruned_matches_brute(data):
+    from hybrid_rag_colbertv2_tpu.index.bucketed import BucketedDenseIndex
+
+    toks, lengths, _, queries = data
+    idx = BucketedDenseIndex.build(
+        toks, lengths, bucket_sizes=(8, 16), dtype="float32",
+        docs_pad_multiple=16)
+    k = 10
+    bv, bi = idx.search_topk(queries, k, prefilter=0)
+    pv, pi = idx.search_topk(queries, k, prefilter=idx.n_docs)
+    # both exact (prefilter covers every bucket) up to bf16 kernel rounding
+    np.testing.assert_allclose(np.asarray(pv), np.asarray(bv), rtol=5e-3,
+                               atol=5e-3)
+    for b in range(queries.shape[0]):
+        # candidate sets may swap at near-tie boundaries (bf16 vs fp32) —
+        # require >= 9/10 overlap
+        assert len(set(np.asarray(pi)[b].tolist())
+                   & set(np.asarray(bi)[b].tolist())) >= 9, b
+
+
 def test_sharded_prefilter_matches_single_device(data):
     from hybrid_rag_colbertv2_tpu.parallel.mesh import (
         make_mesh, shard_dense_index)
