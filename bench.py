@@ -1,15 +1,26 @@
 """Retrieval benchmark — prints ONE JSON line for the driver.
 
 Headline metric: p50 end-to-end retrieval latency (query encoding + full
-hybrid cascade: BM25 -> MaxSim scan -> RRF -> rerank -> top-10) over a
-100k-chunk int8 token-embedding index on one chip (BASELINE.json config 4).
+hybrid cascade: BM25 -> pruned MaxSim -> RRF -> exact rerank -> top-10) for
+a BATCH of 8 queries over a 100k-chunk int8 token-embedding index on one
+chip (BASELINE.json config 4), production config (dense_prefilter=1024,
+bm25_postings_cap=512).
 
-vs_baseline: speedup over the reference's measured 0.321 s total retrieval
-on its own corpus (README.md:182; BASELINE.md) — the reference's number is
-for 287 chunks on an M4; ours is over 100,000 chunks, so the comparison
-understates the real gap.
+Timing methodology (IMPORTANT, validated 2026-08-16): on this tunneled
+device ``block_until_ready`` returns before device execution completes, so
+naive per-call timing under-reports by ~70x. Honest protocol: measure the
+scalar-fetch round-trip (RTT), queue N executions back-to-back, force ONE
+scalar fetch, report (total - RTT) / N. Cross-checked against a
+data-dependency ``lax.scan`` chain (same ms/op) and against device physics
+(HBM bytes / bandwidth).
 
-Detailed per-stage numbers go to stderr; stdout carries exactly one line.
+vs_baseline: speedup over the reference's measured 0.321 s *per query*
+total retrieval on its own corpus (README.md:182; BASELINE.md) — the
+reference's number is 1 query over 287 chunks on an M4; ours is per-query
+over 100,000 chunks, so the comparison understates the real gap.
+
+Detailed per-stage numbers go to stderr (tools/stage_probe.py for more);
+stdout carries exactly one line.
 """
 
 import json
@@ -33,14 +44,16 @@ def main():
     doc_len = 128
     dim = 128
     batch = 8          # concurrent query batch
+    prefilter = 1024   # pruned dense search candidates (ops/prefilter.py)
+    postings_cap = 512
     log(f"backend={backend} devices={jax.devices()} n_docs={n_docs}")
 
-    from hybrid_rag_colbertv2_tpu.config import RAGConfig
     from hybrid_rag_colbertv2_tpu.index.dense import DenseTokenIndex
     from hybrid_rag_colbertv2_tpu.index.lexical import LexicalIndex
     from hybrid_rag_colbertv2_tpu.models.colbert import (
         ColBERTConfig, ColBERTEncoder)
     from hybrid_rag_colbertv2_tpu.models.tokenizer import ColBERTTokenizer
+    from hybrid_rag_colbertv2_tpu.ops.prefilter import pooled_doc_embeddings
     from hybrid_rag_colbertv2_tpu.retrieval.cascade import hybrid_cascade
 
     rng = np.random.default_rng(0)
@@ -53,7 +66,7 @@ def main():
     log(f"corpus gen: {time.perf_counter() - t0:.1f}s")
 
     t0 = time.perf_counter()
-    lex = LexicalIndex.build(corpus)
+    lex = LexicalIndex.build(corpus, postings_cap=postings_cap)
     log(f"bm25 build: {time.perf_counter() - t0:.1f}s "
         f"({lex.memory_bytes() / 2**20:.0f} MB, max_post={lex.max_postings})")
 
@@ -68,26 +81,56 @@ def main():
     lengths_pad = np.zeros((n_pad,), np.int32)
     lengths_pad[:n_docs] = lengths
 
-    @jax.jit
-    def gen_index(key, lens):
-        k1, k2 = jax.random.split(key)
-        q8 = jax.random.randint(k1, (n_pad * doc_len, dim), -127, 128,
-                                jnp.int8)
-        # per-token-row scales ~ 1/(127*sqrt(dim)) so dequantized rows are
-        # roughly unit-norm; zero beyond each doc's length (masking
-        # invariant the kernels rely on)
-        sc = (0.9 + 0.2 * jax.random.uniform(k2, (n_pad * doc_len,))) / (
-            127.0 * np.sqrt(dim))
-        tok = jnp.arange(doc_len, dtype=jnp.int32)
-        valid = (tok[None, :] < lens[:, None]).reshape(-1)
-        return q8, jnp.where(valid, sc, 0.0)
+    # Topic-clustered unit-norm token embeddings, generated on device in
+    # 128-doc blocks (never materializes a >10 MB fp32 intermediate — the
+    # tunneled allocator fragments on multi-GB eager temporaries). Cluster
+    # structure matters: real encoder output is clustered, and the pooled
+    # prefilter's recall is only meaningful on clustered data (i.i.d.
+    # random embeddings have an uninformative mean — recall@10 drops to
+    # ~C/N instead of ~1).
+    n_topics = 512
+    topic_noise = 0.35
+    topics = jax.random.normal(jax.random.PRNGKey(42), (n_topics, dim))
+    topics = topics / jnp.linalg.norm(topics, axis=-1, keepdims=True)
 
-    q8, scales = gen_index(jax.random.PRNGKey(0), jnp.asarray(lengths_pad))
+    def make_gen(n_pad_g, doc_len_g):
+        blk = 1024 if n_pad_g % 1024 == 0 else 128  # fp32 temp ~67 MB/step
+
+        @jax.jit
+        def gen(key, lens):
+            ka, kn = jax.random.split(key)
+            assign = jax.random.randint(ka, (n_pad_g,), 0, n_topics)
+            keys = jax.random.split(kn, n_pad_g // blk)
+            lens2 = lens.reshape(-1, blk)
+            base2 = topics[assign].reshape(-1, blk, dim)
+
+            def block(c):
+                kb, base, lb = c          # (blk, D), (blk,) per block
+                noise = jax.random.normal(kb, (blk, doc_len_g, dim),
+                                          jnp.float32) * topic_noise
+                x = base[:, None, :] + noise
+                x = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+                tokr = jnp.arange(doc_len_g, dtype=jnp.int32)
+                x = x * (tokr[None, :] < lb[:, None])[..., None]
+                absmax = jnp.max(jnp.abs(x), axis=-1)
+                scale = absmax / 127.0
+                qv = jnp.round(x / jnp.maximum(scale, 1e-9)[..., None])
+                return qv.astype(jnp.int8), scale.astype(jnp.float32)
+
+            qs, scs = jax.lax.map(block, (keys, base2, lens2))
+            return (qs.reshape(n_pad_g * doc_len_g, dim),
+                    scs.reshape(n_pad_g * doc_len_g))
+        return gen
+
+    q8, scales = make_gen(n_pad, doc_len)(
+        jax.random.PRNGKey(0), jnp.asarray(lengths_pad))
+    lens_dev = jnp.asarray(lengths_pad)
+    pooled = pooled_doc_embeddings(q8, scales, lens_dev, doc_len=doc_len)
     dense = DenseTokenIndex(
-        emb_flat=q8, doc_lengths=jnp.asarray(lengths_pad), n_docs=n_docs,
-        doc_len=doc_len, dim=dim, scales=scales)
-    jax.block_until_ready(dense.emb_flat)
-    log(f"dense index gen(int8): {time.perf_counter() - t0:.1f}s "
+        emb_flat=q8, doc_lengths=lens_dev, n_docs=n_docs,
+        doc_len=doc_len, dim=dim, scales=scales, pooled=pooled)
+    jax.block_until_ready(dense.pooled)
+    log(f"dense index gen(int8)+pool: {time.perf_counter() - t0:.1f}s "
         f"({dense.memory_bytes() / 2**30:.2f} GiB)")
 
     # --- query encoder (small preset, random init — latency is what we
@@ -97,7 +140,8 @@ def main():
     encoder = ColBERTEncoder(enc_cfg, tok, seed=0)
 
     queries = [" ".join(rng.choice(vocab, size=6)) for _ in range(batch)]
-    q_terms = jnp.asarray(np.stack([lex.encode_query(q) for q in queries]))
+    q_terms = jnp.asarray(
+        np.stack([lex.encode_query(q, 32) for q in queries]))
     lex_dev = (jnp.asarray(lex.indptr), jnp.asarray(lex.post_docs),
                jnp.asarray(lex.post_weights))
 
@@ -105,47 +149,59 @@ def main():
         q_emb = encoder.encode_queries(queries)
         ids, scores, _ = hybrid_cascade(
             q_emb, q_terms, *lex_dev,
-            dense.emb_flat, dense.scales, dense.doc_lengths,
+            dense.emb_flat, dense.scales, dense.doc_lengths, dense.pooled,
+            prefilter=prefilter,
             n_docs=dense.n_docs, max_postings=lex.max_postings,
             doc_len=dense.doc_len, is_int8=True,
             k_each=100, k_fuse=50, k_final=10)
-        jax.block_until_ready(ids)
-        return ids
+        return scores
 
+    # honest timing: scalar-fetch RTT, then queued executions + one fetch
+    scal = jax.jit(lambda v: jnp.sum(v[:1, :1]))
     t0 = time.perf_counter()
-    run_once()  # compile
+    float(scal(run_once()))  # compile everything
     log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
-
-    lat = []
-    iters = 20 if on_tpu else 5
-    for _ in range(iters):
+    rtts = []
+    x = jnp.ones((8, 8), jnp.float32)
+    triv = jax.jit(lambda v: jnp.sum(v))
+    float(triv(x))
+    for _ in range(5):
         t0 = time.perf_counter()
-        run_once()
-        lat.append(time.perf_counter() - t0)
-    lat_ms = np.array(lat) * 1e3
+        float(triv(x))
+        rtts.append(time.perf_counter() - t0)
+    rtt = float(np.median(rtts))
+    log(f"scalar-fetch rtt: {rtt * 1e3:.1f}ms")
+
+    iters = 16 if on_tpu else 4
+    reps = 5 if on_tpu else 2
+    lat_ms = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        r = None
+        for _ in range(iters):
+            r = run_once()
+        float(scal(r))
+        lat_ms.append(max(0.0, (time.perf_counter() - t0 - rtt)) / iters * 1e3)
+    lat_ms = np.array(lat_ms)
     p50 = float(np.percentile(lat_ms, 50))
     p50_per_query = p50 / batch
     qps = batch / (p50 / 1e3)
-    log(f"batch={batch} p50={p50:.2f}ms p90={np.percentile(lat_ms, 90):.2f}ms"
+    log(f"batch={batch} p50={p50:.2f}ms worst={lat_ms.max():.2f}ms"
         f" per-query={p50_per_query:.2f}ms qps/chip={qps:.0f}")
 
     baseline_ms = 321.0  # reference total retrieval (README.md:182)
     print(json.dumps({
-        "metric": f"hybrid retrieval p50 latency, batch={batch} queries, "
-                  f"{n_docs} chunks, int8 index ({backend})",
+        "metric": f"hybrid retrieval p50 latency (honest queued-dispatch "
+                  f"timing), batch={batch} queries, {n_docs} chunks, int8 "
+                  f"index, prefilter={prefilter} ({backend})",
         "value": round(p50, 3),
         "unit": "ms",
         "vs_baseline": round(baseline_ms / p50_per_query, 1),
     }))
 
-
-
-    # --- quality pass LAST, on a small sub-index, after the headline
-    # JSON is already on stdout. On this tunneled backend the pass
-    # itself degrades the dispatch path (~1ms -> ~104ms per call), so
-    # it must never run before the latency loop; measured once here:
-    # recall@10 vs exact fp32 MaxSim = 1.000 (2026-08-16). Watchdogged
-    # because device->host fetches can take minutes on this box.
+    # --- quality pass LAST, after the headline JSON is on stdout:
+    # recall@10 of the full pruned cascade vs exact fp32 MaxSim on a
+    # sub-index. Watchdogged: device->host fetches can take minutes here.
     import signal
 
     def _alarm(signum, frame):
@@ -163,37 +219,32 @@ def main():
         lens_r = np.zeros((nr,), np.int32)
         lens_r[:nr] = rng.integers(doc_len // 2, doc_len + 1, nr)
 
-        @jax.jit
-        def gen_small(key, lens):
-            k1, k2 = jax.random.split(key)
-            q8 = jax.random.randint(k1, (nr * doc_len, dim), -127, 128,
-                                    jnp.int8)
-            sc = (0.9 + 0.2 * jax.random.uniform(k2, (nr * doc_len,))) / (
-                127.0 * np.sqrt(dim))
-            tok = jnp.arange(doc_len, dtype=jnp.int32)
-            valid = (tok[None, :] < lens[:, None]).reshape(-1)
-            return q8, jnp.where(valid, sc, 0.0)
-
-        q8r, scr = gen_small(jax.random.PRNGKey(7), jnp.asarray(lens_r))
-        lex_r = (jnp.asarray(lex.indptr), jnp.asarray(lex.post_docs),
-                 jnp.asarray(lex.post_weights))
+        q8r, scr = make_gen(nr, doc_len)(
+            jax.random.PRNGKey(7), jnp.asarray(lens_r))
+        pooled_r = pooled_doc_embeddings(q8r, scr, jnp.asarray(lens_r),
+                                         doc_len=doc_len)
         qt_r = jnp.asarray(np.stack([
-            lex.encode_query(" ".join(rng.choice(vocab, size=6)))
+            lex.encode_query(" ".join(rng.choice(vocab, size=6)), 32)
             for _ in range(batch)]))
-        key_q = jax.random.PRNGKey(3)
-        qe_r = jax.random.normal(key_q, (batch, 32, dim), jnp.float32)
+        # topic-aligned queries (what a trained encoder produces)
+        kq1, kq2 = jax.random.split(jax.random.PRNGKey(3))
+        qa = jax.random.randint(kq1, (batch,), 0, n_topics)
+        qe_r = topics[qa][:, None, :] + 0.3 * jax.random.normal(
+            kq2, (batch, 32, dim), jnp.float32)
+        qe_r = qe_r / jnp.linalg.norm(qe_r, axis=-1, keepdims=True)
         chunk = 128
         n_chunks_r = nr // chunk
 
         @jax.jit
-        def recall_on_device(q, q_terms, emb_flat, scales, lens):
+        def recall_on_device(q, q_terms_r, emb_flat, scales_r, lens):
             cascade_ids, _, _ = hybrid_cascade(
-                q, q_terms, *lex_r, emb_flat, scales, lens,
+                q, q_terms_r, *lex_dev, emb_flat, scales_r, lens, pooled_r,
+                prefilter=prefilter,
                 n_docs=nr, max_postings=lex.max_postings,
                 doc_len=doc_len, is_int8=True,
                 k_each=100, k_fuse=50, k_final=10)
             e4 = emb_flat.reshape(n_chunks_r, chunk, doc_len, dim)
-            s4 = scales.reshape(n_chunks_r, chunk, doc_len)
+            s4 = scales_r.reshape(n_chunks_r, chunk, doc_len)
             l2 = lens.reshape(n_chunks_r, chunk)
             def f(c):
                 docs = c[0].astype(jnp.float32) * c[1][..., None]
@@ -207,13 +258,12 @@ def main():
 
         r = float(recall_on_device(qe_r, qt_r, q8r, scr,
                                    jnp.asarray(lens_r)))
-        log(f"recall@10 vs exact fp32 MaxSim (int8 cascade, {nr} docs): "
-            f"{r:.3f}")
+        log(f"recall@10 vs exact fp32 MaxSim (pruned int8 cascade, {nr} "
+            f"docs): {r:.3f}")
         del q8r, scr
     except Exception as e:
         log(f"recall measurement skipped: {type(e).__name__}: {e}")
     signal.alarm(0)
-
 
 
 if __name__ == "__main__":

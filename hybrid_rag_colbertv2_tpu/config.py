@@ -74,6 +74,11 @@ class RAGConfig:
     # dense top-k (colbert_top_k) keeps recall ~1.0 while cutting the dense
     # stage's HBM traffic by ~doc_len.
     dense_prefilter: int = 0
+    # >0: truncate each term's postings to its N highest-weight entries at
+    # build time (idf from true df). The device BM25 scan is
+    # O(B*Q*max_postings); common low-idf terms otherwise dominate it at
+    # large corpus scale. 0 = exact.
+    bm25_postings_cap: int = 0
 
     # Models (local_rag_complete.py:73-75)
     chat_model: str = "llama3.2:3b"

@@ -58,7 +58,15 @@ class LexicalIndex:
         k1: float = 1.5,
         b: float = 0.75,
         query_max_terms: int = 64,
+        postings_cap: int = 0,
     ) -> "LexicalIndex":
+        """``postings_cap`` > 0 truncates each term's postings list to its
+        ``cap`` highest-weight entries (idf stays computed from the TRUE
+        document frequency). The device scorer's cost is
+        O(B * Q * max_postings), so very common terms — which carry the
+        least idf — otherwise dominate scan time at large corpus scale.
+        This is the standard impact-ordered truncation; exact when every
+        term's df <= cap."""
         n = len(corpus)
         # tokenization takes the native C++ path when csrc/ is built
         all_toks = tokenize_corpus(list(corpus))
@@ -91,6 +99,20 @@ class LexicalIndex:
         denom_norm = k1 * (1.0 - b + b * doc_lens[dids] / avgdl) if n else 0
         post_weights = (idf[tids] * tf * (k1 + 1.0)
                         / (tf + denom_norm)).astype(np.float32)
+        if postings_cap and v:
+            # stable tid-major, weight-descending order; keep each term's
+            # first `cap` entries (term-major CSR order is preserved; doc
+            # order within a term is irrelevant to the scatter-add scorer)
+            order = np.lexsort((-post_weights, tids))
+            tids_s = tids[order]
+            seg_start = np.searchsorted(tids_s, np.arange(v))
+            rank = np.arange(tids_s.size, dtype=np.int64) - seg_start[tids_s]
+            keep = rank < postings_cap
+            tids = tids_s[keep]
+            dids = dids[order][keep]
+            post_weights = post_weights[order][keep]
+            df = np.bincount(tids, minlength=v).astype(np.int64)
+
         post_docs = dids.astype(np.int32)
         indptr = np.zeros((v + 1,), np.int64)
         np.cumsum(df, out=indptr[1:])

@@ -51,7 +51,9 @@ class IndexManager:
     def build_lexical(self, corpus: Sequence[str]) -> LexicalIndex:
         """Reference: DualIndexer.build_bm25_index (local_rag_complete.py:846)."""
         with self.timer.stage("bm25_build"):
-            self.lexical = LexicalIndex.build(list(corpus))
+            self.lexical = LexicalIndex.build(
+                list(corpus),
+                postings_cap=getattr(self.config, "bm25_postings_cap", 0))
             self.lexical.save(self.config.bm25_index_path)
         log.info(
             "BM25 index: %d docs, %d terms, %.2f MB (%.2fs)",

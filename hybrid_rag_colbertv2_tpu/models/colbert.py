@@ -234,6 +234,13 @@ class ColBERTEncoder:
         self._apply = jax.jit(
             lambda p, ids, mask: self.model.apply({"params": p}, ids, mask)
         )
+        # query path: the [MASK]-augmented mask is all-ones, so build it on
+        # device — halves the host->device transfers per query batch (each
+        # transfer has a fixed cost; on tunneled devices several ms)
+        self._apply_q = jax.jit(
+            lambda p, ids: self.model.apply({"params": p}, ids,
+                                            jnp.ones_like(ids))
+        )
 
     # -- tokenization ----------------------------------------------------
     def _tokenize_query(self, text: str) -> Tuple[np.ndarray, np.ndarray]:
@@ -252,8 +259,7 @@ class ColBERTEncoder:
         """-> (B, Lq, D); every row L2-normalized (no zero rows for queries:
         [MASK] augmentation means all Lq positions are live)."""
         ids = np.stack([self._tokenize_query(t)[0] for t in texts])
-        mask = np.ones_like(ids)
-        return self._apply(self.params, jnp.asarray(ids), jnp.asarray(mask))
+        return self._apply_q(self.params, jnp.asarray(ids))
 
     def encode_docs(self, texts: Sequence[str], doc_len: Optional[int] = None
                     ) -> Tuple[jax.Array, jax.Array]:

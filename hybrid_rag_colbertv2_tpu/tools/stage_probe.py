@@ -26,17 +26,57 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def _timeit(fn, iters: int):
+_RTT_MS = None
+
+
+def _measure_rtt():
+    """Fixed host<->device round-trip cost of fetching one scalar.
+
+    On tunneled devices (axon) ``block_until_ready`` returns before device
+    execution finishes, so the ONLY honest timing is: queue N executions,
+    then force ONE tiny device->host fetch and subtract this RTT. Validated
+    against a data-dependency lax.scan chain (same ms/op).
+    """
+    global _RTT_MS
+    import jax
+    import jax.numpy as jnp
     import numpy as np
 
-    fn()  # compile / warm
-    ts = []
-    for _ in range(iters):
+    if _RTT_MS is None:
+        x = jnp.ones((8, 8), jnp.float32)
+        triv = jax.jit(lambda v: jnp.sum(v))
+        float(triv(x))
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(triv(x))
+            ts.append(time.perf_counter() - t0)
+        _RTT_MS = float(np.median(ts)) * 1e3
+        log(f"scalar-fetch rtt: {_RTT_MS:.1f}ms")
+    return _RTT_MS
+
+
+def _timeit(fn, iters: int, reps: int = 3):
+    """Queue ``iters`` executions back-to-back, fetch one scalar, subtract
+    the RTT; device programs execute serially, so this is per-call device
+    time. Returns (p50_ms, p90_ms) over ``reps`` repetitions."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    rtt = _measure_rtt()
+    scal = jax.jit(lambda v: jnp.sum(v.reshape(-1)[:1]).astype(jnp.float32))
+    float(scal(fn()))  # compile fn + scalarizer, warm
+    ms = []
+    for _ in range(reps):
         t0 = time.perf_counter()
-        fn()
-        ts.append(time.perf_counter() - t0)
-    ms = np.asarray(ts) * 1e3
-    return float(np.percentile(ms, 50)), float(np.percentile(ms, 90))
+        r = None
+        for _ in range(iters):
+            r = fn()
+        float(scal(r))
+        ms.append(max(0.0, (time.perf_counter() - t0) * 1e3 - rtt) / iters)
+    ms = np.asarray(ms)
+    return float(np.percentile(ms, 50)), float(np.max(ms))
 
 
 def main(argv=None) -> int:
@@ -121,22 +161,34 @@ def main(argv=None) -> int:
 
     # --- isolated stages ---------------------------------------------------
     emit("encode_query", *_timeit(
-        lambda: jax.block_until_ready(encoder.encode_queries(queries)),
-        args.iters))
+        lambda: encoder.encode_queries(queries), args.iters))
     emit("bm25", *_timeit(
-        lambda: jax.block_until_ready(bm25_scores_device(
-            q_terms, *lexd, n_docs=n_docs, max_postings=lex.max_postings)),
+        lambda: bm25_scores_device(
+            q_terms, *lexd, n_docs=n_docs, max_postings=lex.max_postings),
         args.iters))
     if not args.skip_brute:
         emit("dense_scan_brute_int8", *_timeit(
-            lambda: jax.block_until_ready(maxsim_scores_int8(
-                q_emb, q8, scales, lens_dev, doc_len=doc_len)),
+            lambda: maxsim_scores_int8(
+                q_emb, q8, scales, lens_dev, doc_len=doc_len),
             args.iters))
     emit(f"dense_pruned_C{args.prefilter}", *_timeit(
-        lambda: jax.block_until_ready(maxsim_topk_pruned(
+        lambda: maxsim_topk_pruned(
             q_emb, q8, scales, lens_dev, pooled, doc_len=doc_len,
-            n_docs=n_docs, n_candidates=args.prefilter, k=100)[0]),
+            n_docs=n_docs, n_candidates=args.prefilter, k=100)[0],
         args.iters))
+
+    # --- isolated suspects: top-k over N and RRF fusion ---------------------
+    from hybrid_rag_colbertv2_tpu.ops.fusion import rrf_from_topk
+
+    fake_scores = jax.random.normal(jax.random.PRNGKey(2), (batch, n_docs))
+    topk100 = jax.jit(lambda s: jax.lax.top_k(s, 100)[0])
+    emit("topk100_over_N", *_timeit(lambda: topk100(fake_scores), args.iters))
+    ids_a = jax.random.randint(jax.random.PRNGKey(3), (batch, 100), 0,
+                               n_docs, jnp.int32)
+    ids_b = jax.random.randint(jax.random.PRNGKey(4), (batch, 100), 0,
+                               n_docs, jnp.int32)
+    emit("rrf_fuse", *_timeit(
+        lambda: rrf_from_topk(ids_a, ids_b, n_docs, k=50)[0], args.iters))
 
     # --- end-to-end cascade ------------------------------------------------
     def run_cascade(prefilter):
@@ -145,7 +197,7 @@ def main(argv=None) -> int:
             pooled if prefilter else None, prefilter=prefilter,
             n_docs=n_docs, max_postings=lex.max_postings, doc_len=doc_len,
             is_int8=True, k_each=100, k_fuse=50, k_final=10)
-        return jax.block_until_ready(ids)
+        return ids
 
     if not args.skip_brute:
         emit("cascade_brute", *_timeit(lambda: run_cascade(0), args.iters))

@@ -129,3 +129,33 @@ def test_save_load_roundtrip(tmp_path):
     q = "fox and dog in the forest"
     np.testing.assert_allclose(idx.score_host(q), idx2.score_host(q))
     assert idx2.max_postings == idx.max_postings
+
+
+def test_postings_cap_exact_when_cap_covers_df():
+    import numpy as np
+    idx = LexicalIndex.build(CORPUS)
+    capped = LexicalIndex.build(CORPUS, postings_cap=len(CORPUS))
+    q = "fox jumps over the lazy dog"
+    np.testing.assert_allclose(capped.score_host(q), idx.score_host(q),
+                               rtol=1e-6)
+    assert capped.max_postings <= idx.max_postings
+
+
+def test_postings_cap_truncates_low_weight_tail():
+    import numpy as np
+    rng = np.random.default_rng(0)
+    # zipf-ish corpus: 'common' appears everywhere (low idf), rare terms in
+    # few docs; the capped index must keep rare-term rankings intact
+    corpus = [f"common filler rare{i % 40} text" for i in range(400)]
+    exact = LexicalIndex.build(corpus)
+    capped = LexicalIndex.build(corpus, postings_cap=16)
+    # every postings list now <= 16
+    df = np.diff(capped.indptr)
+    assert df.max() <= 16
+    q = "rare7 common"
+    top_exact = set(np.argsort(-exact.score_host(q))[:10].tolist())
+    top_capped = set(np.argsort(-capped.score_host(q))[:10].tolist())
+    # docs containing rare7 (10 of them) dominate both rankings
+    rare_docs = {i for i in range(400) if i % 40 == 7}
+    assert len(top_exact & rare_docs) == 10
+    assert len(top_capped & rare_docs) == 10
