@@ -117,11 +117,20 @@ class RAGApplication:
         if not corpus:
             raise RuntimeError("no chunks to index")
         self.encoder = self._make_encoder(corpus)
-        if (self.config.encoder_train_steps > 0
-                and not self.config.encoder_checkpoint):
+        trains = (self.config.encoder_train_steps > 0
+                  and not self.config.encoder_checkpoint)
+        if trains:
             self._train_encoder(corpus)
         self.indexes = IndexManager(self.config, self.encoder)
-        self.indexes.build_all(corpus)
+        if (self.indexes.is_built() and not trains
+                and self.config.mesh.index_layout == "single"):
+            # incremental: reuse persisted embeddings, encode only new
+            # chunks (tokenizer + encoder params are persisted with the
+            # index, so old and new embeddings share one encoder)
+            self.indexes.load()
+            self.indexes.add_documents(corpus)
+        else:
+            self.indexes.build_all(corpus)
         log.info("Indexed %d documents (%d chunks total)",
                  len(paths), len(corpus))
         return {"documents": results, "total_chunks": len(corpus),

@@ -107,8 +107,9 @@ class BucketedDenseIndex:
         return out
 
     # ------------------------------------------------------------------
-    def search_topk(self, queries: jax.Array, k: int,
-                    prefilter: int = 0) -> Tuple[jax.Array, jax.Array]:
+    def search_topk(self, queries: jax.Array, k: int, prefilter: int = 0,
+                    approx_recall: float = 0.95
+                    ) -> Tuple[jax.Array, jax.Array]:
         """(B, Lq, D) -> (scores (B, k), global ids (B, k)); ids < 0 missing.
 
         Per-bucket top-k (pruned when ``prefilter`` > 0, see
@@ -119,7 +120,8 @@ class BucketedDenseIndex:
         """
         vals_all, ids_all = [], []
         for sub, gid in zip(self.buckets, self.global_ids):
-            v, i = sub.search_topk(queries, min(k, sub.n_docs), prefilter)
+            v, i = sub.search_topk(queries, min(k, sub.n_docs), prefilter,
+                                   approx_recall)
             safe = jnp.clip(i, 0, gid.shape[0] - 1)
             g = jnp.where(i >= 0, gid[safe], -1)
             vals_all.append(jnp.where(i >= 0, v, -1e30))

@@ -122,6 +122,40 @@ class DenseTokenIndex:
             total += self.pooled.size * self.pooled.dtype.itemsize
         return total
 
+    def append(self, token_embs: jax.Array, lengths: jax.Array,
+               *, docs_pad_multiple: int = 128) -> "DenseTokenIndex":
+        """Incrementally add documents (new capability vs the reference,
+        which re-encodes the whole corpus on every upload,
+        local_rag_complete.py:728-746). The new docs are quantized into the
+        SAME doc_len/dtype layout and concatenated after row ``n_docs``;
+        existing embeddings are reused untouched. Global ids stay corpus
+        row order: old docs keep their ids, new docs follow."""
+        dtype = "int8" if self.is_int8 else str(self.emb_flat.dtype)
+        new = DenseTokenIndex.build(
+            token_embs, lengths, doc_len=self.doc_len, dtype=dtype,
+            docs_pad_multiple=docs_pad_multiple)
+        n1, n2 = self.n_docs, new.n_docs
+        ld = self.doc_len
+        flat = jnp.concatenate(
+            [self.emb_flat[: n1 * ld], new.emb_flat[: n2 * ld]])
+        lens = jnp.concatenate(
+            [self.doc_lengths[:n1], new.doc_lengths[:n2]])
+        n_pad = _round_up(max(n1 + n2, 1), docs_pad_multiple)
+        pad = n_pad - (n1 + n2)
+        flat = jnp.pad(flat, ((0, pad * ld), (0, 0)))
+        lens = jnp.pad(lens, (0, pad))
+        scales = None
+        if self.is_int8:
+            scales = jnp.pad(jnp.concatenate(
+                [self.scales[: n1 * ld], new.scales[: n2 * ld]]),
+                (0, pad * ld))
+        pooled = jnp.pad(jnp.concatenate(
+            [self.ensure_pooled()[:n1], new.pooled[:n2]]),
+            ((0, pad), (0, 0)))
+        return DenseTokenIndex(
+            emb_flat=flat, doc_lengths=lens, n_docs=n1 + n2,
+            doc_len=ld, dim=self.dim, scales=scales, pooled=pooled)
+
     def ensure_pooled(self) -> jax.Array:
         """Compute (and cache) the prefilter vectors if absent (e.g. an
         index saved before pruned search existed)."""
@@ -132,8 +166,9 @@ class DenseTokenIndex:
         return self.pooled
 
     # ------------------------------------------------------------------
-    def search_topk(self, queries: jax.Array, k: int,
-                    prefilter: int = 0) -> Tuple[jax.Array, jax.Array]:
+    def search_topk(self, queries: jax.Array, k: int, prefilter: int = 0,
+                    approx_recall: float = 0.95
+                    ) -> Tuple[jax.Array, jax.Array]:
         """(B, Lq, D) -> (scores (B, k), ids (B, k)); ids < 0 = missing.
 
         ``prefilter`` > 0 enables the two-stage pruned search
@@ -144,7 +179,8 @@ class DenseTokenIndex:
             return maxsim_topk_pruned(
                 queries, self.emb_flat, self.scales, self.doc_lengths,
                 self.ensure_pooled(), doc_len=self.doc_len,
-                n_docs=self.n_docs, n_candidates=prefilter, k=k)
+                n_docs=self.n_docs, n_candidates=prefilter, k=k,
+                approx_recall=approx_recall)
         s = self.search_scores(queries)
         vals, ids = jax.lax.top_k(s, min(k, self.n_docs))
         return vals, ids.astype(jnp.int32)

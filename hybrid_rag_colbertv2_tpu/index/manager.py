@@ -103,6 +103,38 @@ class IndexManager:
         self.build_lexical(self.corpus)
         self.build_dense(self.corpus)
 
+    def add_documents(self, full_corpus: Sequence[str]) -> None:
+        """Incremental index update: ``full_corpus`` is the WHOLE corpus in
+        global-id order with the new chunks appended at the end. Only the
+        new chunks are encoded (the reference re-encodes everything,
+        local_rag_complete.py:728-746); the lexical CSR is rebuilt host-side
+        (vectorized numpy — cheap next to encoding). Falls back to a full
+        rebuild for the bucketed layout or when nothing is loaded."""
+        full_corpus = list(full_corpus)
+        if (self.dense is None or not isinstance(self.dense, DenseTokenIndex)
+                or self.dense.n_docs > len(full_corpus)):
+            self.build_all(full_corpus)
+            return
+        new_texts = full_corpus[self.dense.n_docs:]
+        self.corpus = full_corpus
+        self.build_lexical(full_corpus)
+        if not new_texts:
+            return
+        if self.encoder is None:
+            raise RuntimeError("IndexManager needs an encoder to add docs")
+        with self.timer.stage("colbert_encode_new"):
+            embs, lengths = self.encoder.encode_docs(
+                new_texts, doc_len=self.dense.doc_len)
+        with self.timer.stage("colbert_append"):
+            self.dense = self.dense.append(embs, lengths)
+            self.dense.save(self.config.colbert_index_path)
+        log.info(
+            "Dense index +%d docs -> %d total (encode %.2fs, append %.2fs)",
+            len(new_texts), self.dense.n_docs,
+            self.timer.timings["colbert_encode_new"],
+            self.timer.timings["colbert_append"],
+        )
+
     # ------------------------------------------------------------------
     def load(self) -> None:
         """Reference: DualIndexer.load_indexes (local_rag_complete.py:876)."""

@@ -33,7 +33,7 @@ from ..index.lexical import LexicalIndex
 from ..ops.bm25 import bm25_scores_device
 from ..ops.fusion import rrf_from_topk
 from ..ops.maxsim import maxsim_scores, maxsim_scores_exact, maxsim_scores_int8
-from ..ops.prefilter import maxsim_topk_pruned
+from ..ops.prefilter import approx_or_exact_topk, maxsim_topk_pruned
 from ..utils.logging import StageTimer, get_logger
 
 log = get_logger(__name__)
@@ -53,6 +53,7 @@ def make_sharded_cascade(
     k_final: int = 10,
     rrf_k: int = 60,
     prefilter: int = 0,
+    approx_recall: float = 0.95,
     axis: str = "data",
     interpret: Optional[bool] = None,
 ):
@@ -87,7 +88,7 @@ def make_sharded_cascade(
                 scales_local if is_int8 else None,
                 doc_lengths_local, pooled_local,
                 doc_len=doc_len, n_docs=n_local,
-                n_candidates=prefilter, k=ke)
+                n_candidates=prefilter, k=ke, approx_recall=approx_recall)
             gi = jnp.where(li >= 0, li + offset, -1).astype(jnp.int32)
             lv = jnp.where(li >= 0, lv, NEG_INF)
         else:
@@ -99,7 +100,7 @@ def make_sharded_cascade(
                 ms_local = maxsim_scores(
                     q_emb, emb_flat_local, doc_lengths_local,
                     doc_len=doc_len, interpret=interpret)
-            lv, li = jax.lax.top_k(ms_local, ke)           # (B, ke) local
+            lv, li = approx_or_exact_topk(ms_local, ke, approx_recall)
             gi = (li + offset).astype(jnp.int32)           # global ids
         lv = jnp.where((gi >= 0) & (gi < n_docs), lv, NEG_INF)  # mask pads
 
@@ -115,7 +116,8 @@ def make_sharded_cascade(
         bm25 = bm25_scores_device(
             q_terms, indptr, post_docs, post_weights,
             n_docs=n_docs, max_postings=max_postings)
-        bv, bi = jax.lax.top_k(bm25, min(k_each, n_docs))
+        bv, bi = approx_or_exact_topk(bm25, min(k_each, n_docs),
+                                      approx_recall)
         bi = jnp.where(bv > 0, bi, -1).astype(jnp.int32)
 
         # --- fusion (replicated) ------------------------------------------
@@ -200,6 +202,7 @@ class ShardedRetriever:
                         dense.n_docs),
             rrf_k=config.rrf_k,
             prefilter=getattr(config, "dense_prefilter", 0),
+            approx_recall=getattr(config, "approx_topk_recall", 0.95),
         )
 
     def retrieve_batch(self, queries, top_k_final=None

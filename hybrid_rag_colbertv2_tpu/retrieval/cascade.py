@@ -38,7 +38,7 @@ from ..index.manager import IndexManager
 from ..ops.bm25 import bm25_scores_device
 from ..ops.fusion import rrf_from_topk
 from ..ops.maxsim import maxsim_scores, maxsim_scores_exact, maxsim_scores_int8
-from ..ops.prefilter import maxsim_topk_pruned
+from ..ops.prefilter import approx_or_exact_topk, maxsim_topk_pruned
 from ..utils.logging import StageTimer, get_logger
 
 log = get_logger(__name__)
@@ -48,7 +48,7 @@ log = get_logger(__name__)
     jax.jit,
     static_argnames=(
         "n_docs", "max_postings", "doc_len", "is_int8",
-        "k_each", "k_fuse", "k_final", "rrf_k", "prefilter",
+        "k_each", "k_fuse", "k_final", "rrf_k", "prefilter", "approx_recall",
     ),
 )
 def hybrid_cascade(
@@ -71,6 +71,8 @@ def hybrid_cascade(
     k_final: int = 10,
     rrf_k: int = 60,
     prefilter: int = 0,        # >0: pruned dense stage (ops/prefilter.py)
+    approx_recall: float = 0.95,  # candidate top-k via approx_max_k when
+                                  # k <= n/8 (exact rerank still follows)
 ) -> Tuple[jax.Array, jax.Array, Dict[str, jax.Array]]:
     """-> (final_ids (B, k_final), final_scores, debug dict)."""
     b = q_emb.shape[0]
@@ -88,7 +90,7 @@ def hybrid_cascade(
         ms_vals, ms_ids = maxsim_topk_pruned(
             q_emb, emb_flat, scales if is_int8 else None, doc_lengths,
             pooled, doc_len=doc_len, n_docs=n_docs,
-            n_candidates=prefilter, k=ke)
+            n_candidates=prefilter, k=ke, approx_recall=approx_recall)
     else:
         if is_int8:
             ms = maxsim_scores_int8(q_emb, emb_flat, scales, doc_lengths,
@@ -96,11 +98,11 @@ def hybrid_cascade(
         else:
             ms = maxsim_scores(q_emb, emb_flat, doc_lengths, doc_len=doc_len)
         ms = ms[:, :n_docs]                             # (B, n_docs)
-        ms_vals, ms_ids = jax.lax.top_k(ms, ke)
+        ms_vals, ms_ids = approx_or_exact_topk(ms, ke, approx_recall)
         ms_ids = ms_ids.astype(jnp.int32)
 
     # Per-source top-k (the "top-100" lists)
-    bm25_vals, bm25_ids = jax.lax.top_k(bm25, ke)
+    bm25_vals, bm25_ids = approx_or_exact_topk(bm25, ke, approx_recall)
     # BM25 can produce ties at 0 (docs with no query term) — mark missing
     bm25_ids = jnp.where(bm25_vals > 0, bm25_ids, -1).astype(jnp.int32)
 
@@ -183,7 +185,8 @@ class HybridRetriever:
         bv, bi = jax.lax.top_k(bm25, ke)
         bi = jnp.where(bv > 0, bi, -1).astype(jnp.int32)
         mv, mi = dense.search_topk(q_emb, min(cfg.colbert_top_k, n),
-                                   getattr(cfg, "dense_prefilter", 0))
+                                   getattr(cfg, "dense_prefilter", 0),
+                                   getattr(cfg, "approx_topk_recall", 0.95))
         mi = jnp.where(mv > -1e29, mi, -1).astype(jnp.int32)
         fused_scores, fused_ids = rrf_from_topk(
             bi, mi, n, k=min(cfg.fusion_candidates, n), rrf_k=cfg.rrf_k)
@@ -230,6 +233,7 @@ class HybridRetriever:
                 k_fuse=min(cfg.fusion_candidates, dense.n_docs),
                 k_final=min(k, cfg.fusion_candidates, dense.n_docs),
                 rrf_k=cfg.rrf_k,
+                approx_recall=getattr(cfg, "approx_topk_recall", 0.95),
             )
             ids = np.asarray(ids)
             scores = np.asarray(scores)

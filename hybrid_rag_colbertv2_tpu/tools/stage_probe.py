@@ -88,6 +88,9 @@ def main(argv=None) -> int:
     ap.add_argument("--prefilter", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--skip-brute", action="store_true")
+    ap.add_argument("--postings-cap", type=int, default=512)
+    ap.add_argument("--q-max", type=int, default=32,
+                    help="BM25 query term slots (kernel cost ~ B*Q*P)")
     args = ap.parse_args(argv)
 
     import jax
@@ -115,8 +118,12 @@ def main(argv=None) -> int:
     vocab = np.array([f"term{i}" for i in range(5_000)])
     corpus = [" ".join(r) for r in vocab[
         rng.integers(0, len(vocab), size=(min(n_docs, 20_000), 12))]]
-    lex = LexicalIndex.build(corpus * max(1, n_docs // len(corpus) + 1)
-                             if len(corpus) < n_docs else corpus[:n_docs])
+    full_corpus = (corpus * max(1, n_docs // len(corpus) + 1)
+                   if len(corpus) < n_docs else corpus)[:n_docs]
+    t0 = time.perf_counter()
+    lex = LexicalIndex.build(full_corpus, postings_cap=args.postings_cap)
+    log(f"bm25 build: {time.perf_counter() - t0:.1f}s "
+        f"max_post={lex.max_postings}")
 
     n_pad = ((n_docs + 127) // 128) * 128
     lengths = np.zeros((n_pad,), np.int32)
@@ -147,7 +154,8 @@ def main(argv=None) -> int:
         ColBERTConfig.small(vocab_size=tok.vocab_size), tok, seed=0)
     queries = [" ".join(rng.choice(vocab, size=6)) for _ in range(batch)]
     q_emb = jax.block_until_ready(encoder.encode_queries(queries))
-    q_terms = jnp.asarray(np.stack([lex.encode_query(q) for q in queries]))
+    q_terms = jnp.asarray(np.stack(
+        [lex.encode_query(q, args.q_max) for q in queries]))
     lexd = (jnp.asarray(lex.indptr), jnp.asarray(lex.post_docs),
             jnp.asarray(lex.post_weights))
 

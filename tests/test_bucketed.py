@@ -89,3 +89,38 @@ def test_single_bucket_degenerates(data):
     ref = maxsim_scores_exact(q, docs, lengths)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=3e-3, atol=3e-3)
+
+
+def test_dense_append_matches_full_build():
+    """Incremental append must give the same index as building from the
+    full corpus (same layout, same quantization — row-wise, so per-doc
+    deterministic)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from hybrid_rag_colbertv2_tpu.index.dense import DenseTokenIndex
+
+    rng = np.random.default_rng(3)
+    n1, n2, L, D = 150, 90, 16, 32
+    toks = rng.normal(size=(n1 + n2, L, D)).astype(np.float32)
+    toks /= np.linalg.norm(toks, axis=-1, keepdims=True)
+    lens = rng.integers(L // 2, L + 1, n1 + n2).astype(np.int32)
+
+    for dtype in ("float32", "int8"):
+        full = DenseTokenIndex.build(jnp.asarray(toks), jnp.asarray(lens),
+                                     doc_len=L, dtype=dtype)
+        part = DenseTokenIndex.build(jnp.asarray(toks[:n1]),
+                                     jnp.asarray(lens[:n1]),
+                                     doc_len=L, dtype=dtype)
+        inc = part.append(jnp.asarray(toks[n1:]), jnp.asarray(lens[n1:]))
+        assert inc.n_docs == full.n_docs
+        assert inc.n_pad == full.n_pad
+        np.testing.assert_array_equal(np.asarray(inc.doc_lengths),
+                                      np.asarray(full.doc_lengths))
+        np.testing.assert_array_equal(np.asarray(inc.emb_flat),
+                                      np.asarray(full.emb_flat))
+        if dtype == "int8":
+            np.testing.assert_allclose(np.asarray(inc.scales),
+                                       np.asarray(full.scales), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(inc.pooled.astype(jnp.float32)),
+            np.asarray(full.pooled.astype(jnp.float32)), atol=1e-2)

@@ -212,3 +212,25 @@ def test_sharded_prefilter_matches_single_device(data):
     for b in range(2):
         np.testing.assert_allclose(np.sort(s8[b]), np.sort(s1[b]), rtol=1e-4)
         assert set(ids8[b].tolist()) == set(ids1[b].tolist()), b
+
+
+def test_approx_or_exact_topk_gate():
+    from hybrid_rag_colbertv2_tpu.ops.prefilter import approx_or_exact_topk
+
+    rng = np.random.default_rng(5)
+    s = jnp.asarray(rng.normal(size=(4, 1024)).astype(np.float32))
+    # gate off (k > n/8): exact — identical to lax.top_k
+    v_exact, i_exact = jax.lax.top_k(s, 256)
+    v, i = approx_or_exact_topk(s, 256, approx_recall=0.95)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_exact))
+    # gate on (k <= n/8): approx — still a valid high-recall candidate set
+    v_exact, i_exact = jax.lax.top_k(s, 64)
+    v, i = approx_or_exact_topk(s, 64, approx_recall=0.95)
+    assert i.shape == (4, 64)
+    for b in range(4):
+        overlap = len(set(np.asarray(i)[b].tolist())
+                      & set(np.asarray(i_exact)[b].tolist()))
+        assert overlap >= 57, overlap  # ~0.95 per-element recall
+    # recall 1.0 -> exact regardless of k
+    v, i = approx_or_exact_topk(s, 64, approx_recall=1.0)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_exact))
