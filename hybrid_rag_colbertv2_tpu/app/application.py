@@ -213,6 +213,28 @@ class RAGApplication:
             self.initialize_chatbot()
         return self.retriever.retrieve(query, top_k)
 
+    def query_batch(self, queries: Sequence[str],
+                    top_k: Optional[int] = None) -> List[List[Dict]]:
+        """Batched retrieval: one device dispatch for many queries (the
+        serving layer's micro-batcher rides this)."""
+        if self.retriever is None:
+            self.initialize_chatbot()
+        ids, scores = self.retriever.retrieve_batch(list(queries), top_k)
+        out: List[List[Dict]] = []
+        for b in range(ids.shape[0]):
+            rows = []
+            for rank, (cid, score) in enumerate(
+                    zip(ids[b], scores[b]), 1):
+                if cid < 0:
+                    continue
+                row = dict(chunk_id=int(cid), score=float(score), rank=rank)
+                meta = self.store.get_chunk(int(cid))
+                if meta:
+                    row.update(meta)
+                rows.append(row)
+            out.append(rows)
+        return out
+
     # ------------------------------------------------------------------
     def interactive_chat(self) -> None:
         """REPL parity with local_rag_complete.py:1189-1227."""

@@ -9,25 +9,117 @@ local_rag_complete.py:1189-1227). Endpoints:
   POST /chat              {"query": str, "generate"?: bool} -> response +
                           sources + per-stage timings
 
-Design: queries are funneled through a single lock — retrieval itself is a
-sub-millisecond on-device call, so a lock (not a batching queue) is the
-right complexity point for this tier; concurrent clients are still served
-by the threading server for IO. Batched serving rides ``retrieve_batch``.
+Design: concurrent ``/query`` requests are merged by a micro-batcher —
+requests arriving within a small window ride ONE ``retrieve_batch`` call
+(the cascade's cost is nearly flat in batch size up to 8, so batching
+multiplies throughput at almost no latency cost). Batches are padded to
+power-of-two sizes so the jitted cascade compiles at most for
+{1, 2, 4, 8}-query shapes — recompiles are expensive. ``/chat`` (which
+calls the generation sidecar) keeps a plain lock.
 """
 
 from __future__ import annotations
 
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Optional
+from typing import Callable, List, Optional
 
 from ..utils.logging import get_logger
 
 log = get_logger(__name__)
 
 
-def make_handler(app):
+class MicroBatcher:
+    """Merge concurrent single-query requests into batched retriever calls.
+
+    ``fn_batch(queries, top_k) -> List[List[rows]]`` is invoked from one
+    worker thread; callers block on ``submit`` until their slice is ready.
+    """
+
+    def __init__(self, fn_batch: Callable, max_batch: int = 8,
+                 window_s: float = 0.002, timeout_s: float = 60.0):
+        self._fn = fn_batch
+        self.max_batch = max_batch
+        self.window_s = window_s
+        self.timeout_s = timeout_s
+        self.batches_run = 0          # observability / tests
+        self.requests_served = 0
+        self._cv = threading.Condition()
+        self._items: List[dict] = []
+        self._stop = False
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="microbatcher")
+        self._thread.start()
+
+    # ------------------------------------------------------------------
+    def submit(self, query: str, top_k: Optional[int] = None):
+        item = {"query": query, "top_k": top_k, "ev": threading.Event()}
+        with self._cv:
+            self._items.append(item)
+            self._cv.notify()
+        if not item["ev"].wait(self.timeout_s):
+            raise TimeoutError("retrieval batch timed out")
+        if "err" in item:
+            raise item["err"]
+        return item["rows"]
+
+    def close(self):
+        with self._cv:
+            self._stop = True
+            self._cv.notify_all()
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _pad_size(n: int, cap: int) -> int:
+        p = 1
+        while p < n:
+            p *= 2
+        return min(p, cap)
+
+    def _run(self):
+        while True:
+            with self._cv:
+                while not self._items and not self._stop:
+                    self._cv.wait(0.25)
+                if self._stop:
+                    for it in self._items:
+                        it["err"] = RuntimeError("server shutting down")
+                        it["ev"].set()
+                    return
+                batch = [self._items.pop(0)]
+            # gather more arrivals within the window, up to max_batch
+            deadline = time.monotonic() + self.window_s
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                with self._cv:
+                    if not self._items:
+                        self._cv.wait(remaining)
+                    while self._items and len(batch) < self.max_batch:
+                        batch.append(self._items.pop(0))
+            try:
+                queries = [it["query"] for it in batch]
+                size = self._pad_size(len(queries), self.max_batch)
+                padded = queries + [queries[-1]] * (size - len(queries))
+                top_k = max((it["top_k"] or 0) for it in batch) or None
+                rows = self._fn(padded, top_k)
+                self.batches_run += 1
+                self.requests_served += len(batch)
+                for it, r in zip(batch, rows):
+                    it["rows"] = (r if it["top_k"] is None
+                                  else r[: it["top_k"]])
+                    it["ev"].set()
+            except Exception as e:  # deliver the failure to every waiter
+                log.exception("micro-batch failed")
+                for it in batch:
+                    it["err"] = e
+                    it["ev"].set()
+
+
+def make_handler(app, batcher: Optional[MicroBatcher] = None):
     lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
@@ -70,8 +162,11 @@ def make_handler(app):
                 return
             try:
                 if self.path == "/query":
-                    with lock:
-                        rows = app.query(req["query"], req.get("top_k"))
+                    if batcher is not None:
+                        rows = batcher.submit(req["query"], req.get("top_k"))
+                    else:
+                        with lock:
+                            rows = app.query(req["query"], req.get("top_k"))
                     self._send(200, {"results": rows})
                 elif self.path == "/chat":
                     gen = bool(req.get("generate", True))
@@ -87,14 +182,19 @@ def make_handler(app):
     return Handler
 
 
-def serve(app, host: str = "127.0.0.1", port: int = 8080) -> None:
+def serve(app, host: str = "127.0.0.1", port: int = 8080,
+          max_batch: int = 8, batch_window_s: float = 0.002) -> None:
     """Blocking server loop. ``app`` must have initialize_chatbot() done."""
-    httpd = ThreadingHTTPServer((host, port), make_handler(app))
-    log.info("serving on http://%s:%d (endpoints: /health /stats /query /chat)",
-             host, port)
+    batcher = MicroBatcher(app.query_batch, max_batch=max_batch,
+                           window_s=batch_window_s)
+    httpd = ThreadingHTTPServer((host, port), make_handler(app, batcher))
+    log.info("serving on http://%s:%d (endpoints: /health /stats /query "
+             "/chat; micro-batch window %.1fms, max %d)",
+             host, port, batch_window_s * 1e3, max_batch)
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
+        batcher.close()
         httpd.server_close()

@@ -9,7 +9,7 @@ from http.server import ThreadingHTTPServer
 import pytest
 
 from hybrid_rag_colbertv2_tpu.app.application import RAGApplication
-from hybrid_rag_colbertv2_tpu.app.server import make_handler
+from hybrid_rag_colbertv2_tpu.app.server import MicroBatcher, make_handler
 from hybrid_rag_colbertv2_tpu.config import RAGConfig
 
 
@@ -31,10 +31,12 @@ def server(tmp_path_factory):
     app = RAGApplication(cfg, use_ollama=False)
     app.index_documents([str(root / "doc.md")])
     app.initialize_chatbot(use_mesh=False)
-    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(app))
+    batcher = MicroBatcher(app.query_batch, max_batch=4, window_s=0.005)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(app, batcher))
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
     yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    batcher.close()
     httpd.shutdown()
 
 
@@ -90,3 +92,81 @@ def test_bad_requests(server):
     assert code == 404
     code, body = _get(server + "/nothing")
     assert code == 404
+
+
+# ---------------------------------------------------------------------------
+# Micro-batcher
+# ---------------------------------------------------------------------------
+
+def test_microbatcher_merges_concurrent_requests():
+    import time
+    from hybrid_rag_colbertv2_tpu.app.server import MicroBatcher
+
+    calls = []
+
+    def fn_batch(queries, top_k):
+        calls.append(list(queries))
+        time.sleep(0.01)  # simulate device latency so arrivals pile up
+        return [[{"chunk_id": i, "q": q, "rank": 1}]
+                for i, q in enumerate(queries)]
+
+    mb = MicroBatcher(fn_batch, max_batch=8, window_s=0.05)
+    try:
+        results = {}
+        def worker(i):
+            results[i] = mb.submit(f"query {i}")
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        # every caller got ITS OWN query's rows
+        for i in range(6):
+            assert results[i][0]["q"] == f"query {i}", results[i]
+        # merged: fewer batches than requests, padded to power of two
+        assert mb.batches_run < 6
+        assert mb.requests_served == 6
+        assert all(len(c) in (1, 2, 4, 8) for c in calls), calls
+    finally:
+        mb.close()
+
+
+def test_microbatcher_propagates_errors_and_top_k():
+    from hybrid_rag_colbertv2_tpu.app.server import MicroBatcher
+
+    def fn_batch(queries, top_k):
+        if queries[0] == "boom":
+            raise ValueError("kernel exploded")
+        return [[{"chunk_id": j, "rank": j + 1} for j in range(top_k or 5)]
+                for _ in queries]
+
+    mb = MicroBatcher(fn_batch, max_batch=4, window_s=0.001)
+    try:
+        rows = mb.submit("fine", top_k=2)
+        assert len(rows) == 2
+        with pytest.raises(ValueError, match="kernel exploded"):
+            mb.submit("boom")
+        # batcher survives the failure
+        assert len(mb.submit("fine again", top_k=1)) == 1
+    finally:
+        mb.close()
+
+
+def test_server_query_under_concurrency(server):
+    """Concurrent /query requests through the live server + batcher."""
+    outs = {}
+
+    def worker(i):
+        outs[i] = _post(server + "/query",
+                        {"query": "systolic array", "top_k": 1})
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i in range(4):
+        code, payload = outs[i]
+        assert code == 200
+        assert payload["results"][0]["rank"] == 1
