@@ -111,6 +111,10 @@ class RAGConfig:
     # init (self-contained mode) persisted alongside the index.
     encoder_preset: str = "small"
     encoder_checkpoint: Optional[str] = None
+    # Encoder activation dtype: "bfloat16" ~doubles MXU throughput for the
+    # corpus-encoding hot loop; embeddings are L2-normalized so retrieval
+    # quality is insensitive. "float32" = reference-exact numerics.
+    encoder_dtype: str = "float32"
     encoder_seed: int = 0
     tokenizer_vocab_size: int = 8192
     # >0: contrastively train the (random-init) encoder on ICT

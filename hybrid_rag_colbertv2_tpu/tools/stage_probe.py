@@ -91,6 +91,11 @@ def main(argv=None) -> int:
     ap.add_argument("--postings-cap", type=int, default=512)
     ap.add_argument("--q-max", type=int, default=32,
                     help="BM25 query term slots (kernel cost ~ B*Q*P)")
+    ap.add_argument("--encode-docs", type=int, default=0, metavar="N",
+                    help="ALSO measure corpus-encoding throughput over N "
+                         "docs (the indexing hot loop)")
+    ap.add_argument("--encoder-dtype", type=str, default="float32",
+                    choices=["float32", "bfloat16"])
     args = ap.parse_args(argv)
 
     import jax
@@ -151,7 +156,30 @@ def main(argv=None) -> int:
 
     tok = ColBERTTokenizer.train_bpe(corpus[:2000], vocab_size=8192)
     encoder = ColBERTEncoder(
-        ColBERTConfig.small(vocab_size=tok.vocab_size), tok, seed=0)
+        ColBERTConfig.small(vocab_size=tok.vocab_size,
+                            dtype=jnp.dtype(args.encoder_dtype)),
+        tok, seed=0)
+
+    if args.encode_docs:
+        # corpus-encoding throughput (the indexing hot loop; reference:
+        # 12.87 s for 287 chunks, README.md:160)
+        texts = (full_corpus * (args.encode_docs // len(full_corpus) + 1)
+                 )[: args.encode_docs]
+        scal_l = jax.jit(lambda v: jnp.sum(v[:1]).astype(jnp.float32))
+        # full-size warmup: compiles the forward AND the final concat /
+        # scalarizer shapes (one-time costs that would otherwise pollute
+        # the throughput number)
+        embs, lens = encoder.encode_docs(texts, doc_len=doc_len)
+        float(scal_l(lens))
+        t0 = time.perf_counter()
+        embs, lens = encoder.encode_docs(texts, doc_len=doc_len)
+        float(scal_l(lens))          # force completion
+        dt = time.perf_counter() - t0
+        print(json.dumps({
+            "stage": f"encode_docs_{args.encoder_dtype}",
+            "docs": args.encode_docs, "seconds": round(dt, 2),
+            "docs_per_sec": round(args.encode_docs / dt, 1),
+            "backend": backend}), flush=True)
     queries = [" ".join(rng.choice(vocab, size=6)) for _ in range(batch)]
     q_emb = jax.block_until_ready(encoder.encode_queries(queries))
     q_terms = jnp.asarray(np.stack(

@@ -1,0 +1,83 @@
+"""Tokenizer protocols (models/tokenizer.py): ColBERT query/doc encoding,
+persistence, and the hash fallback."""
+
+import numpy as np
+import pytest
+
+from hybrid_rag_colbertv2_tpu.models.tokenizer import (
+    ColBERTTokenizer,
+    HashTokenizer,
+)
+
+CORPUS = [
+    "TPUs multiply matrices using a systolic array called the MXU.",
+    "JAX compiles numerical programs with XLA.",
+    "Information retrieval ranks documents by relevance.",
+] * 8
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return ColBERTTokenizer.train_bpe(CORPUS, vocab_size=512)
+
+
+def test_query_protocol_mask_augmented(tok):
+    """Queries: [BOS][Q]...[EOS] then [MASK]-padded to EXACTLY max_len
+    (ColBERT query augmentation — all positions live)."""
+    ids = tok.encode_query("systolic array", 16)
+    assert ids.shape == (16,)
+    assert ids[0] == tok.bos
+    assert ids[1] == tok.qmark
+    # padding region is MASK, never PAD
+    content = [i for i in ids if i != tok.mask]
+    assert tok.pad not in ids.tolist()
+    assert ids.tolist().count(tok.mask) > 0
+    assert tok.eos in content
+
+
+def test_doc_protocol_padded_and_truncated(tok):
+    ids, n = tok.encode_doc("JAX compiles numerical programs", 32)
+    assert ids.shape == (32,)
+    assert ids[0] == tok.bos and ids[1] == tok.dmark
+    assert 4 <= n <= 32
+    assert (ids[n:] == tok.pad).all()
+    # truncation to max_len
+    long_ids, n_long = tok.encode_doc(" ".join(CORPUS), 8)
+    assert long_ids.shape == (8,) and n_long == 8
+
+
+def test_count_tokens_monotonic(tok):
+    a = tok.count_tokens("matrix")
+    b = tok.count_tokens("matrix multiply units in the MXU")
+    assert 0 < a < b
+
+
+def test_save_load_identical(tok, tmp_path):
+    p = tmp_path / "tok.json"
+    tok.save(p)
+    tok2 = ColBERTTokenizer.load(p)
+    q1 = tok.encode_query("systolic array multiplication", 16)
+    q2 = tok2.encode_query("systolic array multiplication", 16)
+    np.testing.assert_array_equal(q1, q2)
+    d1, n1 = tok.encode_doc(CORPUS[0], 24)
+    d2, n2 = tok2.encode_doc(CORPUS[0], 24)
+    np.testing.assert_array_equal(d1, d2)
+    assert n1 == n2
+
+
+def test_deterministic_across_training_runs():
+    t1 = ColBERTTokenizer.train_bpe(CORPUS, vocab_size=512)
+    t2 = ColBERTTokenizer.train_bpe(CORPUS, vocab_size=512)
+    np.testing.assert_array_equal(t1.encode_query("the MXU", 8),
+                                  t2.encode_query("the MXU", 8))
+
+
+def test_hash_fallback_protocol():
+    ht = HashTokenizer(vocab_size=128)
+    ids = ht.encode_query("anything at all", 16)
+    assert ids.shape == (16,)
+    d, n = ht.encode_doc("some document text", 16)
+    assert d.shape == (16,) and 0 < n <= 16
+    # deterministic
+    np.testing.assert_array_equal(ids, ht.encode_query("anything at all", 16))
+    assert ht.count_tokens("a b c") > 0
