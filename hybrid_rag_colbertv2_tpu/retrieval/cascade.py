@@ -126,7 +126,7 @@ def hybrid_cascade(
     rerank = jax.vmap(rerank_one)(q_emb.astype(jnp.float32), safe,
                                   fused_ids >= 0)       # (B, k_fuse)
 
-    kf = min(k_final, k_fuse)
+    kf = min(k_final, k_fuse, fused_ids.shape[1])
     top_vals, top_pos = jax.lax.top_k(rerank, kf)
     final_ids = jnp.take_along_axis(fused_ids, top_pos, axis=1)
     final_ids = jnp.where(top_vals > -1e29, final_ids, -1)
