@@ -156,37 +156,22 @@ def main():
             k_each=100, k_fuse=50, k_final=10)
         return scores
 
-    # honest timing: scalar-fetch RTT, then queued executions + one fetch
-    scal = jax.jit(lambda v: jnp.sum(v[:1, :1]))
+    # honest timing: the shared queued-dispatch protocol (utils/timing.py —
+    # queue N executions, one scalar fetch, subtract the measured RTT)
+    from hybrid_rag_colbertv2_tpu.utils.timing import (
+        measure_rtt_ms, queued_timeit)
+
     t0 = time.perf_counter()
-    float(scal(run_once()))  # compile everything
+    jax.block_until_ready(run_once())  # trigger compiles before timing
     log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
-    rtts = []
-    x = jnp.ones((8, 8), jnp.float32)
-    triv = jax.jit(lambda v: jnp.sum(v))
-    float(triv(x))
-    for _ in range(5):
-        t0 = time.perf_counter()
-        float(triv(x))
-        rtts.append(time.perf_counter() - t0)
-    rtt = float(np.median(rtts))
-    log(f"scalar-fetch rtt: {rtt * 1e3:.1f}ms")
+    log(f"scalar-fetch rtt: {measure_rtt_ms():.1f}ms")
 
     iters = 16 if on_tpu else 4
     reps = 5 if on_tpu else 2
-    lat_ms = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        r = None
-        for _ in range(iters):
-            r = run_once()
-        float(scal(r))
-        lat_ms.append(max(0.0, (time.perf_counter() - t0 - rtt)) / iters * 1e3)
-    lat_ms = np.array(lat_ms)
-    p50 = float(np.percentile(lat_ms, 50))
+    p50, worst = queued_timeit(run_once, iters, reps)
     p50_per_query = p50 / batch
     qps = batch / (p50 / 1e3)
-    log(f"batch={batch} p50={p50:.2f}ms worst={lat_ms.max():.2f}ms"
+    log(f"batch={batch} p50={p50:.2f}ms worst={worst:.2f}ms"
         f" per-query={p50_per_query:.2f}ms qps/chip={qps:.0f}")
 
     baseline_ms = 321.0  # reference total retrieval (README.md:182)

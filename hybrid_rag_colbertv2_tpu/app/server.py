@@ -39,8 +39,11 @@ class MicroBatcher:
     """
 
     def __init__(self, fn_batch: Callable, max_batch: int = 8,
-                 window_s: float = 0.002, timeout_s: float = 60.0):
+                 window_s: float = 0.002, timeout_s: float = 60.0,
+                 default_top_k: int = 10):
         self._fn = fn_batch
+        self.default_top_k = default_top_k  # resolves omitted top_k so one
+        #   caller's small explicit top_k can't truncate another's default
         self.max_batch = max_batch
         self.window_s = window_s
         self.timeout_s = timeout_s
@@ -104,13 +107,12 @@ class MicroBatcher:
                 queries = [it["query"] for it in batch]
                 size = self._pad_size(len(queries), self.max_batch)
                 padded = queries + [queries[-1]] * (size - len(queries))
-                top_k = max((it["top_k"] or 0) for it in batch) or None
-                rows = self._fn(padded, top_k)
+                ks = [it["top_k"] or self.default_top_k for it in batch]
+                rows = self._fn(padded, max(ks))
                 self.batches_run += 1
                 self.requests_served += len(batch)
-                for it, r in zip(batch, rows):
-                    it["rows"] = (r if it["top_k"] is None
-                                  else r[: it["top_k"]])
+                for it, r, k in zip(batch, rows, ks):
+                    it["rows"] = r[:k]
                     it["ev"].set()
             except Exception as e:  # deliver the failure to every waiter
                 log.exception("micro-batch failed")
@@ -186,7 +188,8 @@ def serve(app, host: str = "127.0.0.1", port: int = 8080,
           max_batch: int = 8, batch_window_s: float = 0.002) -> None:
     """Blocking server loop. ``app`` must have initialize_chatbot() done."""
     batcher = MicroBatcher(app.query_batch, max_batch=max_batch,
-                           window_s=batch_window_s)
+                           window_s=batch_window_s,
+                           default_top_k=app.config.final_top_k)
     httpd = ThreadingHTTPServer((host, port), make_handler(app, batcher))
     log.info("serving on http://%s:%d (endpoints: /health /stats /query "
              "/chat; micro-batch window %.1fms, max %d)",

@@ -47,7 +47,10 @@ def save_sharded(dense: DenseTokenIndex, path) -> None:
         "has_scales": dense.scales is not None,
         "has_pooled": dense.pooled is not None,
     }
-    Path(d / "meta.json").write_text(json.dumps(meta))
+    # orbax coordinates the array writes across processes; the metadata
+    # file is ours — only one process may write it on shared storage
+    if jax.process_index() == 0:
+        Path(d / "meta.json").write_text(json.dumps(meta))
 
 
 def load_sharded(path, mesh=None, axis: str = "data") -> DenseTokenIndex:

@@ -219,8 +219,18 @@ class ShardedRetriever:
                 scales = jnp.zeros((0,), jnp.float32)
             pooled = self.dense.pooled
             if pooled is None:
-                pooled = jnp.zeros((self.dense.n_pad, self.dense.dim),
-                                   jnp.bfloat16)
+                if getattr(self.config, "dense_prefilter", 0) > 0:
+                    # pre-pooled-era index: compute the prefilter vectors
+                    # from the (sharded) embeddings and keep the doc-axis
+                    # placement — zeros here would silently collapse the
+                    # pruned search's recall
+                    pooled = jax.device_put(
+                        self.dense.ensure_pooled(),
+                        NamedSharding(self.mesh, P("data", None)))
+                    self.dense.pooled = pooled
+                else:  # placeholder; unused by the cascade
+                    pooled = jnp.zeros((self.dense.n_pad, self.dense.dim),
+                                       jnp.bfloat16)
             ids, scores = self._fn(
                 q_emb, q_terms, *self._lex_dev,
                 self.dense.emb_flat, scales, self.dense.doc_lengths, pooled)

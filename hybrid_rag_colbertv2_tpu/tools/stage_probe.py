@@ -26,57 +26,12 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-_RTT_MS = None
-
-
-def _measure_rtt():
-    """Fixed host<->device round-trip cost of fetching one scalar.
-
-    On tunneled devices (axon) ``block_until_ready`` returns before device
-    execution finishes, so the ONLY honest timing is: queue N executions,
-    then force ONE tiny device->host fetch and subtract this RTT. Validated
-    against a data-dependency lax.scan chain (same ms/op).
-    """
-    global _RTT_MS
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    if _RTT_MS is None:
-        x = jnp.ones((8, 8), jnp.float32)
-        triv = jax.jit(lambda v: jnp.sum(v))
-        float(triv(x))
-        ts = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            float(triv(x))
-            ts.append(time.perf_counter() - t0)
-        _RTT_MS = float(np.median(ts)) * 1e3
-        log(f"scalar-fetch rtt: {_RTT_MS:.1f}ms")
-    return _RTT_MS
-
-
-def _timeit(fn, iters: int, reps: int = 3):
-    """Queue ``iters`` executions back-to-back, fetch one scalar, subtract
-    the RTT; device programs execute serially, so this is per-call device
-    time. Returns (p50_ms, p90_ms) over ``reps`` repetitions."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    rtt = _measure_rtt()
-    scal = jax.jit(lambda v: jnp.sum(v.reshape(-1)[:1]).astype(jnp.float32))
-    float(scal(fn()))  # compile fn + scalarizer, warm
-    ms = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        r = None
-        for _ in range(iters):
-            r = fn()
-        float(scal(r))
-        ms.append(max(0.0, (time.perf_counter() - t0) * 1e3 - rtt) / iters)
-    ms = np.asarray(ms)
-    return float(np.percentile(ms, 50)), float(np.max(ms))
+# Timing protocol lives in utils/timing.py (shared with bench.py): queue N
+# executions, one scalar fetch, subtract the measured RTT.
+from hybrid_rag_colbertv2_tpu.utils.timing import (  # noqa: E402
+    measure_rtt_ms,
+    queued_timeit as _timeit,
+)
 
 
 def main(argv=None) -> int:
@@ -196,6 +151,7 @@ def main(argv=None) -> int:
         print(json.dumps(row), flush=True)
 
     # --- isolated stages ---------------------------------------------------
+    log(f"scalar-fetch rtt: {measure_rtt_ms():.1f}ms")
     emit("encode_query", *_timeit(
         lambda: encoder.encode_queries(queries), args.iters))
     emit("bm25", *_timeit(
