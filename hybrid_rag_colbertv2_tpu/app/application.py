@@ -136,6 +136,10 @@ class RAGApplication:
             self.indexes.add_documents(corpus)
         else:
             self.indexes.build_all(corpus)
+        # a live retriever/chatbot would keep serving the PREVIOUS index —
+        # drop them so the next query() / chat() rebinds to the new one
+        self.retriever = None
+        self.chatbot = None
         log.info("Indexed %d documents (%d chunks total)",
                  len(paths), len(corpus))
         return {"documents": results, "total_chunks": len(corpus),

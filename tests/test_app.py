@@ -219,3 +219,26 @@ def test_bucketed_layout_end_to_end(tmp_path):
     b.initialize_chatbot(use_mesh=False)
     res2 = b.query("tiny section", top_k=2)
     assert [r["chunk_id"] for r in res2] == [r["chunk_id"] for r in res]
+
+
+def test_query_sees_newly_indexed_docs_without_reinit(tmp_path):
+    """Regression: a live retriever must not keep serving the previous
+    index after index_documents (staleness bug found via examples/demo.py)."""
+    (tmp_path / "a.md").write_text("# A\n\nsystolic arrays multiply\n")
+    cfg = RAGConfig(
+        db_path=str(tmp_path / "s.db"),
+        bm25_index_path=str(tmp_path / "i/b"),
+        colbert_index_path=str(tmp_path / "i/c"),
+        images_dir=str(tmp_path / "im"),
+        tokenizer_path=str(tmp_path / "i/t.json"),
+        min_chunk_size=2, max_chunk_size=64,
+        encoder_preset="tiny", tokenizer_vocab_size=256,
+    )
+    app = RAGApplication(cfg, use_ollama=False)
+    app.index_documents([str(tmp_path / "a.md")])
+    assert len(app.query("systolic", 5)) >= 1      # binds a retriever
+
+    (tmp_path / "b.md").write_text("# B\n\nquantum flux capacitors hum\n")
+    app.index_documents([str(tmp_path / "b.md")])
+    rows = app.query("quantum flux capacitors", 5)
+    assert any("quantum" in r.get("text", "") for r in rows), rows
