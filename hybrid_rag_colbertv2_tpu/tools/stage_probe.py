@@ -51,6 +51,9 @@ def main(argv=None) -> int:
                          "docs (the indexing hot loop)")
     ap.add_argument("--encoder-dtype", type=str, default="float32",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--profile", type=str, default=None, metavar="DIR",
+                    help="also write a jax.profiler trace of one cascade "
+                         "batch to DIR (utils/profiling.py)")
     args = ap.parse_args(argv)
 
     import jax
@@ -195,6 +198,13 @@ def main(argv=None) -> int:
         emit("cascade_brute", *_timeit(lambda: run_cascade(0), args.iters))
     emit(f"cascade_pruned_C{args.prefilter}", *_timeit(
         lambda: run_cascade(args.prefilter), args.iters))
+
+    if args.profile:
+        from hybrid_rag_colbertv2_tpu.utils import profiling
+
+        with profiling.trace(args.profile):
+            jax.block_until_ready(run_cascade(args.prefilter))
+        log(f"profiler trace written to {args.profile}")
 
     log("summary: " + ", ".join(
         f"{r['stage']}={r['p50_ms']}ms" for r in results))
