@@ -109,3 +109,66 @@ def test_enrich_keyword_heuristic():
     assert out[0]["has_images"] and "[Images in this section]" in out[0]["text"]
     assert "Chart: a bar chart" in out[0]["text"]
     assert not out[1]["has_images"]
+
+
+def test_vision_analysis_pipeline_end_to_end(tmp_path, monkeypatch):
+    """Step 2+4 of the processor (reference local_rag_complete.py:488-605):
+    image extraction -> vision analysis -> DB -> keyword enrichment, with a
+    stub vision client standing in for the LLaVA sidecar."""
+    from hybrid_rag_colbertv2_tpu.ingest import processor as proc_mod
+
+    class StubVision:
+        calls = []
+
+        def analyze_image(self, path):
+            StubVision.calls.append(path)
+            return {"description": "A systolic array block diagram.",
+                    "type": "diagram", "ocr_text": "MXU 128x128"}
+
+    monkeypatch.setattr(
+        proc_mod, "extract_pdf_images",
+        lambda path, images_dir, doc_id: [
+            {"page_number": 1, "image_path": str(tmp_path / "fig1.png")}])
+    monkeypatch.setattr(
+        proc_mod, "document_to_markdown",
+        lambda path: ("# Arch\n\nSee the figure below for the MXU layout.\n",
+                      1))
+
+    cfg = RAGConfig(images_dir=str(tmp_path / "imgs"),
+                    min_chunk_size=2, max_chunk_size=64)
+    store = ChunkStore(str(tmp_path / "v.db"))
+    proc = DocumentProcessor(cfg, store, vision_client=StubVision())
+    chunks, doc_id, ids = proc.process_document(tmp_path / "whatever.pdf")
+
+    assert StubVision.calls  # the sidecar was consulted
+    imgs = store.get_images(doc_id)
+    assert imgs[0]["description"] == "A systolic array block diagram."
+    assert imgs[0]["image_type"] == "diagram"
+    assert imgs[0]["ocr_text"] == "MXU 128x128"
+    # keyword heuristic ('figure') attaches the analyzed image to the chunk
+    enriched = [c for c in chunks if c["has_images"]]
+    assert enriched and "systolic array block diagram" in enriched[0]["text"].lower()
+
+
+def test_vision_failure_degrades_not_blocks(tmp_path, monkeypatch):
+    from hybrid_rag_colbertv2_tpu.ingest import processor as proc_mod
+
+    class DownVision:
+        def analyze_image(self, path):
+            raise ConnectionError("sidecar down")
+
+    monkeypatch.setattr(
+        proc_mod, "extract_pdf_images",
+        lambda path, images_dir, doc_id: [
+            {"page_number": 1, "image_path": "/nope.png"}])
+    monkeypatch.setattr(
+        proc_mod, "document_to_markdown",
+        lambda path: ("# T\n\nplain text content\n", 1))
+
+    cfg = RAGConfig(images_dir=str(tmp_path / "imgs"),
+                    min_chunk_size=2, max_chunk_size=64)
+    store = ChunkStore(str(tmp_path / "w.db"))
+    proc = DocumentProcessor(cfg, store, vision_client=DownVision())
+    chunks, doc_id, ids = proc.process_document(tmp_path / "x.pdf")
+    assert chunks                       # ingestion proceeded
+    assert store.get_images(doc_id)[0]["description"] == ""
