@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=("n_docs", "k", "rrf_k"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_docs", "k", "rrf_k", "approx_recall"))
 def rrf_from_topk(
     ids_a: jax.Array,      # (B, Ka) int32 doc ids (global id space)
     ids_b: jax.Array,      # (B, Kb) int32
@@ -27,6 +28,8 @@ def rrf_from_topk(
     *,
     k: int,                # number of fused candidates to keep
     rrf_k: int = 60,       # reference hard-codes 60 (local_rag_complete.py:964)
+    approx_recall: float = 0.0,  # >0: approx_max_k candidate select over
+                                 # the dense fused vector when k <= n/8
 ) -> Tuple[jax.Array, jax.Array]:
     """Fuse two ranked id lists -> (fused_scores (B,k), fused_ids (B,k)).
 
@@ -48,7 +51,11 @@ def rrf_from_topk(
         return dense[:n]
 
     dense = jax.vmap(fuse_one)(ids_a, ids_b)       # (B, n)
-    scores, ids = jax.lax.top_k(dense, k)
+    if approx_recall and approx_recall < 1.0 and k <= n // 8:
+        scores, ids = jax.lax.approx_max_k(dense, k,
+                                           recall_target=approx_recall)
+    else:
+        scores, ids = jax.lax.top_k(dense, k)
     # docs with zero fused score were in neither list — mark id -1
     ids = jnp.where(scores > 0.0, ids, -1)
     return scores, ids.astype(jnp.int32)

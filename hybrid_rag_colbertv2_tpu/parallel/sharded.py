@@ -122,7 +122,8 @@ def make_sharded_cascade(
 
         # --- fusion (replicated) ------------------------------------------
         fused_scores, fused_ids = rrf_from_topk(
-            bi, ms_ids, n_docs, k=kf, rrf_k=rrf_k)
+            bi, ms_ids, n_docs, k=kf, rrf_k=rrf_k,
+            approx_recall=approx_recall)
 
         # --- stage 3: rerank owned candidates, psum across shards --------
         local_pos = fused_ids - offset

@@ -109,6 +109,7 @@ def hybrid_cascade(
     # Fusion: RRF -> k_fuse candidates
     fused_scores, fused_ids = rrf_from_topk(
         bm25_ids, ms_ids, n_docs, k=min(k_fuse, n_docs), rrf_k=rrf_k,
+        approx_recall=approx_recall,
     )
 
     # Stage 3: exact fp32 rerank over gathered candidate embeddings
@@ -189,7 +190,8 @@ class HybridRetriever:
                                    getattr(cfg, "approx_topk_recall", 0.95))
         mi = jnp.where(mv > -1e29, mi, -1).astype(jnp.int32)
         fused_scores, fused_ids = rrf_from_topk(
-            bi, mi, n, k=min(cfg.fusion_candidates, n), rrf_k=cfg.rrf_k)
+            bi, mi, n, k=min(cfg.fusion_candidates, n), rrf_k=cfg.rrf_k,
+            approx_recall=getattr(cfg, "approx_topk_recall", 0.95))
         rerank = dense.rerank_scores(q_emb, fused_ids)
         rerank = jnp.where(fused_ids >= 0, rerank, -1e30)
         tv, tp = jax.lax.top_k(rerank, min(k_final, rerank.shape[1]))
