@@ -53,3 +53,65 @@ def bm25_scores_device(
         return dense[:n_docs]
 
     return jax.vmap(score_one)(query_terms)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_docs", "max_postings", "k"))
+def bm25_topk_device(
+    query_terms: jax.Array,    # (B, Q) int32, -1 padded
+    indptr: jax.Array,         # (V + 1,) int32
+    post_docs: jax.Array,      # (nnz_pad,) int32
+    post_weights: jax.Array,   # (nnz_pad,) float32
+    *,
+    n_docs: int,
+    max_postings: int,
+    k: int,
+) -> tuple:                    # (vals (B, k) f32, ids (B, k) int32)
+    """EXACT BM25 top-k without the (B, N)-wide scatter.
+
+    ``bm25_scores_device`` scatter-adds into a dense N-vector — O(N) memory
+    traffic per query (3.8 ms at 1M docs). But a query touches at most
+    Q*max_postings postings, so instead: gather the (doc, weight) pairs,
+    SORT by doc id (Q*P keys, ~16k), segment-sum runs via a cumsum
+    difference, and top-k the per-run totals. All work is O(Q*P log(Q*P)),
+    independent of corpus size. Missing slots (score <= 0) are id -1,
+    matching the dense scorer's downstream convention.
+    """
+    nnz = post_docs.shape[0]
+    qp = query_terms.shape[1] * max_postings
+    kk = min(k, qp)
+
+    def one(terms):
+        t = jnp.clip(terms, 0, indptr.shape[0] - 2)
+        start = indptr[t]
+        length = indptr[t + 1] - start
+        offs = jnp.arange(max_postings, dtype=jnp.int32)
+        idx = jnp.clip(start[:, None] + offs[None, :], 0, nnz - 1)
+        valid = (offs[None, :] < length[:, None]) & (terms >= 0)[:, None]
+        big = jnp.int32(2**30)                    # sentinel sorts last
+        docs = jnp.where(valid, post_docs[idx], big).reshape(-1)
+        w = jnp.where(valid, post_weights[idx], 0.0).reshape(-1)
+
+        docs_s, w_s = jax.lax.sort_key_val(docs, w)          # (QP,)
+        cs = jnp.cumsum(w_s)
+        run_end = jnp.concatenate(
+            [docs_s[1:] != docs_s[:-1], jnp.ones((1,), bool)])
+        # total of each run = cs at its end minus cs at the PREVIOUS run's
+        # end. A run start at position i (run_end[i-1]) records i-1; a
+        # running max then gives every position the last run-end before
+        # its own run (-1 for the first run).
+        idx_pos = jnp.arange(qp, dtype=jnp.int32)
+        prev_end_pos = jnp.where(
+            jnp.concatenate([jnp.zeros((1,), bool), run_end[:-1]]),
+            idx_pos - 1, -1)
+        prev_end_pos = jax.lax.associative_scan(jnp.maximum, prev_end_pos)
+        prev_cs = jnp.where(prev_end_pos >= 0,
+                            cs[jnp.clip(prev_end_pos, 0, qp - 1)], 0.0)
+        totals = jnp.where(run_end & (docs_s < big), cs - prev_cs, 0.0)
+
+        vals, pos = jax.lax.top_k(totals, kk)
+        ids = docs_s[pos]
+        ids = jnp.where(vals > 0, ids, -1)
+        return vals, ids.astype(jnp.int32)
+
+    return jax.vmap(one)(query_terms)

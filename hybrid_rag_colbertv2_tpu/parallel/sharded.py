@@ -30,7 +30,7 @@ from jax import shard_map
 from ..config import RAGConfig
 from ..index.dense import DenseTokenIndex
 from ..index.lexical import LexicalIndex
-from ..ops.bm25 import bm25_scores_device
+from ..ops.bm25 import bm25_topk_device
 from ..ops.fusion import rrf_from_topk
 from ..ops.maxsim import maxsim_scores, maxsim_scores_exact, maxsim_scores_int8
 from ..ops.prefilter import approx_or_exact_topk, maxsim_topk_pruned
@@ -112,13 +112,11 @@ def make_sharded_cascade(
         ms_ids = jnp.take_along_axis(ai, pos, axis=1)
         ms_ids = jnp.where(ms_vals > NEG_INF / 2, ms_ids, -1)
 
-        # --- stage 1 (replicated): BM25 over the full corpus -------------
-        bm25 = bm25_scores_device(
+        # --- stage 1 (replicated): sort-based BM25 top-k ------------------
+        bv, bi = bm25_topk_device(
             q_terms, indptr, post_docs, post_weights,
-            n_docs=n_docs, max_postings=max_postings)
-        bv, bi = approx_or_exact_topk(bm25, min(k_each, n_docs),
-                                      approx_recall)
-        bi = jnp.where(bv > 0, bi, -1).astype(jnp.int32)
+            n_docs=n_docs, max_postings=max_postings,
+            k=min(k_each, n_docs))
 
         # --- fusion (replicated) ------------------------------------------
         fused_scores, fused_ids = rrf_from_topk(

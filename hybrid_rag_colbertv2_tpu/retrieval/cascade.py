@@ -35,7 +35,7 @@ from ..config import RAGConfig
 from ..index.dense import DenseTokenIndex
 from ..index.lexical import LexicalIndex
 from ..index.manager import IndexManager
-from ..ops.bm25 import bm25_scores_device
+from ..ops.bm25 import bm25_scores_device, bm25_topk_device
 from ..ops.fusion import rrf_from_topk
 from ..ops.maxsim import maxsim_scores, maxsim_scores_exact, maxsim_scores_int8
 from ..ops.prefilter import approx_or_exact_topk, maxsim_topk_pruned
@@ -78,12 +78,6 @@ def hybrid_cascade(
     b = q_emb.shape[0]
     n_pad = doc_lengths.shape[0]
 
-    # Stage 1: BM25 lexical scores over all docs
-    bm25 = bm25_scores_device(
-        q_terms, indptr, post_docs, post_weights,
-        n_docs=n_docs, max_postings=max_postings,
-    )                                                   # (B, n_docs)
-
     # Stage 2: dense top-k — pruned two-stage search or full MaxSim scan
     ke = min(k_each, n_docs)
     if prefilter > 0:
@@ -101,10 +95,11 @@ def hybrid_cascade(
         ms_vals, ms_ids = approx_or_exact_topk(ms, ke, approx_recall)
         ms_ids = ms_ids.astype(jnp.int32)
 
-    # Per-source top-k (the "top-100" lists)
-    bm25_vals, bm25_ids = approx_or_exact_topk(bm25, ke, approx_recall)
-    # BM25 can produce ties at 0 (docs with no query term) — mark missing
-    bm25_ids = jnp.where(bm25_vals > 0, bm25_ids, -1).astype(jnp.int32)
+    # Stage 1: BM25 top-k — sort-based exact kernel, no (B, N) scatter
+    # (ops/bm25.py::bm25_topk_device); missing slots are id -1
+    bm25_vals, bm25_ids = bm25_topk_device(
+        q_terms, indptr, post_docs, post_weights,
+        n_docs=n_docs, max_postings=max_postings, k=ke)
 
     # Fusion: RRF -> k_fuse candidates
     fused_scores, fused_ids = rrf_from_topk(
@@ -178,13 +173,11 @@ class HybridRetriever:
         lex = self.indexes.lexical
         dense = self.indexes.dense
         n = dense.n_docs
-        bm25 = bm25_scores_device(
+        ke = min(cfg.bm25_top_k, n)
+        bv, bi = bm25_topk_device(
             q_terms, self._lex_dev["indptr"], self._lex_dev["post_docs"],
             self._lex_dev["post_weights"], n_docs=n,
-            max_postings=lex.max_postings)
-        ke = min(cfg.bm25_top_k, n)
-        bv, bi = jax.lax.top_k(bm25, ke)
-        bi = jnp.where(bv > 0, bi, -1).astype(jnp.int32)
+            max_postings=lex.max_postings, k=ke)
         mv, mi = dense.search_topk(q_emb, min(cfg.colbert_top_k, n),
                                    getattr(cfg, "dense_prefilter", 0),
                                    getattr(cfg, "approx_topk_recall", 0.95))

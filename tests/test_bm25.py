@@ -159,3 +159,49 @@ def test_postings_cap_truncates_low_weight_tail():
     rare_docs = {i for i in range(400) if i % 40 == 7}
     assert len(top_exact & rare_docs) == 10
     assert len(top_capped & rare_docs) == 10
+
+
+def test_topk_matches_dense_scorer():
+    """Sort-based bm25_topk_device must agree with the dense-scatter scorer
+    (exact — same totals, same top-k sets)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from hybrid_rag_colbertv2_tpu.ops.bm25 import (
+        bm25_scores_device, bm25_topk_device)
+
+    rng = np.random.default_rng(2)
+    vocab = [f"w{i}" for i in range(60)]
+    corpus = [" ".join(rng.choice(vocab, size=rng.integers(4, 12)))
+              for _ in range(300)]
+    idx = LexicalIndex.build(corpus)
+    queries = [
+        "w1 w2 w3", "w10 w10 w10 w4",          # duplicates accumulate
+        "zzz unknown only",                     # OOV -> all -1
+        " ".join(rng.choice(vocab, size=6)),
+    ]
+    q = jnp.asarray(np.stack([idx.encode_query(x, 16) for x in queries]))
+    lexd = (jnp.asarray(idx.indptr), jnp.asarray(idx.post_docs),
+            jnp.asarray(idx.post_weights))
+    k = 20
+    dense = bm25_scores_device(q, *lexd, n_docs=idx.n_docs,
+                               max_postings=idx.max_postings)
+    dv, di = jax.lax.top_k(dense, k)
+    tv, ti = bm25_topk_device(q, *lexd, n_docs=idx.n_docs,
+                              max_postings=idx.max_postings, k=k)
+    dv, di, tv, ti = map(np.asarray, (dv, di, tv, ti))
+    for b in range(len(queries)):
+        np.testing.assert_allclose(np.where(dv[b] > 0, dv[b], 0.0),
+                                   np.where(tv[b] > 0, tv[b], 0.0),
+                                   rtol=1e-5, atol=1e-6, err_msg=str(b))
+        pos_d = {int(i) for i, v in zip(di[b], dv[b]) if v > 0}
+        pos_t = {int(i) for i in ti[b] if i >= 0}
+        # equal candidate sets except ties at the k-th score
+        kth = sorted((v for v in dv[b] if v > 0), reverse=True)
+        if len(pos_d) == k and kth and kth[-1] > 0:
+            shared = pos_d & pos_t
+            assert len(shared) >= k - 3, (b, pos_d, pos_t)
+        else:
+            assert pos_d == pos_t, b
+    # OOV row fully empty
+    assert (ti[2] == -1).all() and (tv[2] <= 0).all()
