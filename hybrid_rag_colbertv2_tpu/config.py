@@ -104,6 +104,11 @@ class RAGConfig:
     # Encoder limits (ColBERT-style: fixed query length w/ augmentation).
     query_max_tokens: int = 32
     doc_max_tokens: int = 256
+    # BM25 query term slots. The lexical stage costs
+    # O(B * query_max_terms * max_postings) regardless of how many terms a
+    # query actually has — keep this at the realistic ceiling, not the
+    # worst case (the index-side default is 64).
+    query_max_terms: int = 32
 
     # Encoder selection: "tiny" | "small" | "jina-colbert-v2". With
     # ``encoder_checkpoint`` pointing at a local HF checkpoint dir, weights

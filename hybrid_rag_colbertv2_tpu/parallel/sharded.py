@@ -210,7 +210,9 @@ class ShardedRetriever:
             q_emb = self.encoder.encode_queries(list(queries))
         with self.timer.stage("tokenize_bm25"):
             q_terms = jnp.asarray(
-                np.stack([self.lexical.encode_query(q) for q in queries]))
+                np.stack([self.lexical.encode_query(
+                    q, getattr(self.config, "query_max_terms", None))
+                    for q in queries]))
         with self.timer.stage("cascade"):
             scales = self.dense.scales
             if scales is None:

@@ -204,7 +204,9 @@ class HybridRetriever:
             q_emb = self.encoder.encode_queries(list(queries))
         with self.timer.stage("tokenize_bm25"):
             q_terms = jnp.asarray(
-                np.stack([lex.encode_query(q) for q in queries])
+                np.stack([lex.encode_query(
+                    q, getattr(cfg, "query_max_terms", None))
+                    for q in queries])
             )
         if not isinstance(dense, DenseTokenIndex):
             with self.timer.stage("cascade"):

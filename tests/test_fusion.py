@@ -74,3 +74,17 @@ def test_full_fusion_pipeline(rng):
         np.testing.assert_allclose(
             sorted((s for _, s in got), reverse=True), top_vals, rtol=1e-5
         )
+
+
+def test_queued_timeit_sane_on_cpu():
+    """utils/timing.py: the shared honest-timing helper returns positive,
+    ordered numbers and handles trivial fns."""
+    import jax.numpy as jnp
+    from hybrid_rag_colbertv2_tpu.utils.timing import (
+        measure_rtt_ms, queued_timeit)
+
+    rtt = measure_rtt_ms()
+    assert rtt >= 0.0
+    x = jnp.ones((64, 64))
+    p50, worst = queued_timeit(lambda: x @ x, iters=3, reps=2)
+    assert 0.0 <= p50 <= worst < 10_000.0
