@@ -137,9 +137,10 @@ class RAGApplication:
         else:
             self.indexes.build_all(corpus)
         # a live retriever/chatbot would keep serving the PREVIOUS index —
-        # drop them so the next query() / chat() rebinds to the new one
-        self.retriever = None
-        self.chatbot = None
+        # rebind them to the freshly built one (no disk reload; preserves
+        # an initialized chat session across re-indexing)
+        if self.retriever is not None or self.chatbot is not None:
+            self._bind_retriever(getattr(self, "_use_mesh", None))
         log.info("Indexed %d documents (%d chunks total)",
                  len(paths), len(corpus))
         return {"documents": results, "total_chunks": len(corpus),
@@ -189,9 +190,17 @@ class RAGApplication:
             raise RuntimeError(
                 "nothing indexed: upload documents first (--upload)")
 
+        self._use_mesh = use_mesh       # remembered for re-index rebinds
+        self._bind_retriever(use_mesh)
+
+    def _bind_retriever(self, use_mesh: Optional[bool] = None) -> None:
+        """Stand up retriever + chatbot over the CURRENT self.indexes
+        (no disk reload)."""
+        from ..index.dense import DenseTokenIndex as _DTI
+
         n_dev = len(jax.devices())
         if use_mesh is None:
-            use_mesh = n_dev > 1
+            use_mesh = n_dev > 1 and isinstance(self.indexes.dense, _DTI)
         if use_mesh and n_dev > 1:
             from ..parallel.mesh import make_mesh, shard_dense_index
             from ..parallel.sharded import ShardedRetriever
@@ -207,7 +216,10 @@ class RAGApplication:
             self.retriever = HybridRetriever(
                 self.config, self.indexes, self.encoder,
                 chunk_store=self.store)
+        history = (self.chatbot.conversation_history
+                   if self.chatbot is not None else [])
         self.chatbot = RAGChatbot(self.config, self.retriever, self.ollama)
+        self.chatbot.conversation_history = history
 
     # ------------------------------------------------------------------
     def chat(self, query: str, generate: bool = True) -> Dict:

@@ -79,7 +79,7 @@ def bm25_topk_device(
     """
     nnz = post_docs.shape[0]
     qp = query_terms.shape[1] * max_postings
-    kk = min(k, qp)
+    kk = min(k, qp)  # padded back to k below so the (B, k) contract holds
 
     def one(terms):
         t = jnp.clip(terms, 0, indptr.shape[0] - 2)
@@ -111,7 +111,12 @@ def bm25_topk_device(
 
         vals, pos = jax.lax.top_k(totals, kk)
         ids = docs_s[pos]
-        ids = jnp.where(vals > 0, ids, -1)
+        # guard against any id outside the corpus (sentinels score 0 and
+        # are already masked; this also uses n_docs defensively)
+        ids = jnp.where((vals > 0) & (ids < n_docs), ids, -1)
+        if kk < k:  # honor the (B, k) contract on tiny indexes
+            vals = jnp.pad(vals, (0, k - kk), constant_values=0.0)
+            ids = jnp.pad(ids, (0, k - kk), constant_values=-1)
         return vals, ids.astype(jnp.int32)
 
     return jax.vmap(one)(query_terms)

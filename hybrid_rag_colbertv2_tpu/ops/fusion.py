@@ -50,12 +50,10 @@ def rrf_from_topk(
         dense = dense.at[sb].add(jnp.where(ib >= 0, wb, 0.0))
         return dense[:n]
 
+    from .prefilter import approx_or_exact_topk
+
     dense = jax.vmap(fuse_one)(ids_a, ids_b)       # (B, n)
-    if approx_recall and approx_recall < 1.0 and k <= n // 8:
-        scores, ids = jax.lax.approx_max_k(dense, k,
-                                           recall_target=approx_recall)
-    else:
-        scores, ids = jax.lax.top_k(dense, k)
+    scores, ids = approx_or_exact_topk(dense, k, approx_recall)
     # docs with zero fused score were in neither list — mark id -1
     ids = jnp.where(scores > 0.0, ids, -1)
     return scores, ids.astype(jnp.int32)

@@ -113,7 +113,7 @@ def make_sharded_cascade(
         ms_ids = jnp.where(ms_vals > NEG_INF / 2, ms_ids, -1)
 
         # --- stage 1 (replicated): sort-based BM25 top-k ------------------
-        bv, bi = bm25_topk_device(
+        _, bi = bm25_topk_device(
             q_terms, indptr, post_docs, post_weights,
             n_docs=n_docs, max_postings=max_postings,
             k=min(k_each, n_docs))

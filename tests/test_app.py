@@ -242,3 +242,30 @@ def test_query_sees_newly_indexed_docs_without_reinit(tmp_path):
     app.index_documents([str(tmp_path / "b.md")])
     rows = app.query("quantum flux capacitors", 5)
     assert any("quantum" in r.get("text", "") for r in rows), rows
+
+
+def test_chat_survives_reindexing(tmp_path):
+    """Regression (self-review): re-indexing must rebind, not break, an
+    initialized chat session — and keep its history."""
+    (tmp_path / "a.md").write_text("# A\n\nsystolic arrays multiply\n")
+    cfg = RAGConfig(
+        db_path=str(tmp_path / "s.db"),
+        bm25_index_path=str(tmp_path / "i/b"),
+        colbert_index_path=str(tmp_path / "i/c"),
+        images_dir=str(tmp_path / "im"),
+        tokenizer_path=str(tmp_path / "i/t.json"),
+        min_chunk_size=2, max_chunk_size=64,
+        encoder_preset="tiny", tokenizer_vocab_size=256,
+    )
+    app = RAGApplication(cfg, use_ollama=False)
+    app.index_documents([str(tmp_path / "a.md")])
+    app.initialize_chatbot(use_mesh=False)
+    out1 = app.chat("systolic arrays", generate=False)
+    assert out1["sources"]
+    n_hist = len(app.chatbot.conversation_history)
+
+    (tmp_path / "b.md").write_text("# B\n\nquantum flux capacitors\n")
+    app.index_documents([str(tmp_path / "b.md")])
+    out2 = app.chat("quantum flux capacitors", generate=False)  # no re-init
+    assert any("quantum" in s.get("preview", "") for s in out2["sources"])
+    assert len(app.chatbot.conversation_history) > n_hist  # history kept
