@@ -269,3 +269,35 @@ def test_chat_survives_reindexing(tmp_path):
     out2 = app.chat("quantum flux capacitors", generate=False)  # no re-init
     assert any("quantum" in s.get("preview", "") for s in out2["sources"])
     assert len(app.chatbot.conversation_history) > n_hist  # history kept
+
+
+def test_eval_recall_tool(tmp_path, capsys):
+    import json as _json
+    from hybrid_rag_colbertv2_tpu.tools.eval_recall import main as eval_main
+
+    (tmp_path / "d.md").write_text(
+        "# T\n\n" + "\n\n".join(
+            f"## S{i}\n\nunique topic{i} words alpha{i} beta{i} gamma{i} "
+            f"delta{i} epsilon{i} zeta{i}" for i in range(12)))
+    cfg = RAGConfig(
+        db_path=str(tmp_path / "s.db"),
+        bm25_index_path=str(tmp_path / "i/b"),
+        colbert_index_path=str(tmp_path / "i/c"),
+        images_dir=str(tmp_path / "im"),
+        tokenizer_path=str(tmp_path / "i/t.json"),
+        min_chunk_size=2, max_chunk_size=32,
+        encoder_preset="tiny", tokenizer_vocab_size=256,
+        dense_prefilter=16,
+    )
+    cfg.save(tmp_path / "cfg.json")
+    app = RAGApplication(cfg, use_ollama=False)
+    app.index_documents([str(tmp_path / "d.md")])
+
+    rc = eval_main(["--config", str(tmp_path / "cfg.json"),
+                    "--n-queries", "8", "--k", "3", "--batch", "4"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["queries"] == 8 and out["k"] == 3
+    # BM25 alone nails unique-vocabulary pseudo-queries
+    assert out["hit@3_exact"] >= 0.5
+    assert 0.0 <= out["agreement@3"] <= 1.0
