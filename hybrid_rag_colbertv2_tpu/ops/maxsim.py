@@ -19,6 +19,19 @@ to a static ``L`` tokens; embeddings are stored flattened as ``(N * L, D)``
 (token-major) so the kernel is one big ``(rows, D) x (D, Lq)`` matmul per
 tile — ideal for the MXU — followed by a per-doc max/sum reduction.
 
+Performance envelope (measured, v5e, 100k docs x 128 tokens int8, batch 8):
+the bare (12.8M, 128) x (128, 256) matmul runs at ~5 ms (170 TFLOPS; the
+int8xint8->int32 MXU path at 4 ms), while this fused kernel measures
+~21 ms — the gap is the VPU post-processing of the 3.3-GIGA-element sims
+matrix (per-row dequant scale-mul + padding bias + max over L), which
+per-token-row scales force to touch every sims element. Tile size does not
+move it (64/128/256 docs/tile identical). Getting closer to the matmul
+floor requires per-DOCUMENT quantization scales (max then commutes with
+the scale, removing the big multiply and enabling the int8 MXU path) at
+the cost of an index-format change and coarser quantization — a deliberate
+non-goal while the pruned search (ops/prefilter.py) is the production
+path; this scan is the exact fallback.
+
 Masking convention (shared with ``maxsim_scores_exact`` so numerics tests
 compare like for like):
   * padded document tokens (j >= doc_length) are excluded from the max via a
