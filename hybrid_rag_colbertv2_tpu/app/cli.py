@@ -35,6 +35,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="show database statistics")
     p.add_argument("--bench", action="store_true",
                    help="run the retrieval benchmark (see bench.py)")
+    p.add_argument("--eval", type=int, default=None, metavar="N",
+                   help="evaluate retrieval quality over the indexed corpus "
+                        "with N pseudo-queries (tools/eval_recall.py)")
     p.add_argument("--model", type=str, default=None,
                    help="Ollama chat model (default llama3.2:3b)")
     p.add_argument("--config", type=str, default=None,
@@ -121,9 +124,17 @@ def _main(argv=None) -> int:
             app.print_stats()
         return 0
 
+    if args.eval:
+        from ..tools.eval_recall import main as eval_main
+        eval_args = ["--n-queries", str(args.eval)]
+        if args.config:
+            eval_args += ["--config", args.config]
+        return eval_main(eval_args)
+
     if args.bench:
         import subprocess
-        return subprocess.call([sys.executable, "bench.py"])
+        bench = Path(__file__).resolve().parents[2] / "bench.py"
+        return subprocess.call([sys.executable, str(bench)])
 
     build_parser().print_help()
     return 0
