@@ -106,7 +106,11 @@ def maxsim_topk_pruned(
     n_docs: int,
     n_candidates: int,
     k: int,
-    block: int = 256,
+    block: int = 256,    # candidates scored per lax.map step; the fp32
+                         # working set is B*block*L*D*4 bytes. Swept on
+                         # v5e at 1M docs: 512/1024 are ~8% faster than
+                         # 256 but double/quadruple the transient — keep
+                         # 256 as the safe default, tune per deployment.
     approx_recall: float = 0.95,
 ) -> Tuple[jax.Array, jax.Array]:    # (B, k) scores f32, (B, k) ids int32
     """Two-stage dense top-k: pooled-cosine top-C, exact MaxSim rerank.
