@@ -4,5 +4,10 @@ from .maxsim import (  # noqa: F401
     maxsim_scores_int8,
 )
 from .fusion import reciprocal_rank_fusion, rrf_from_topk  # noqa: F401
-from .bm25 import bm25_scores_device  # noqa: F401
+from .bm25 import bm25_scores_device, bm25_topk_device  # noqa: F401
+from .prefilter import (  # noqa: F401
+    approx_or_exact_topk,
+    maxsim_topk_pruned,
+    pooled_doc_embeddings,
+)
 from .quant import quantize_int8_rows, dequantize_int8_rows  # noqa: F401

@@ -133,11 +133,15 @@ def _maxsim_kernel(q_ref, emb_ref, sel_ref, out_ref, *,
     blq = sims.shape[-1]
     sims3 = sims.reshape(docs_per_tile, doc_len, blq)
     per_q = jnp.max(sims3, axis=1)                    # (docs_per_tile, B*Lq)
-    # sum over each query's Lq rows: tiny (T, B*Lq) @ (B*Lq, B) matmul
+    # sum over each query's Lq rows: tiny (T, B*Lq) @ (B*Lq, B) matmul.
+    # HIGHEST precision: the default MXU mode rounds per_q to bf16, which
+    # costs ~0.1% absolute error on fp32 indexes (caught by check_env on
+    # device); this matmul is negligible next to the main one.
     out_ref[:, :] = jax.lax.dot_general(
         per_q, sel_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -231,6 +235,7 @@ def _maxsim_int8_kernel(q_ref, emb_ref, scale_ref, sel_ref, out_ref, *,
         per_q, sel_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 

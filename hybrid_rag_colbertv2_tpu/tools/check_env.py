@@ -47,6 +47,36 @@ def _t_pallas() -> str:
     return f"MaxSim kernel max|err|={err:.2e}"
 
 
+def _t_pallas_int8() -> str:
+    """Compiled int8 kernel vs exact fp32 on dequantized embeddings — the
+    on-device guard for the production index dtype (CPU tests run the
+    kernel in interpret mode only)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hybrid_rag_colbertv2_tpu.index.dense import DenseTokenIndex
+    from hybrid_rag_colbertv2_tpu.ops.maxsim import (
+        maxsim_scores_exact, maxsim_scores_int8)
+
+    rng = np.random.default_rng(1)
+    toks = rng.standard_normal((16, 32, 128)).astype(np.float32)
+    toks /= np.linalg.norm(toks, axis=-1, keepdims=True)
+    lengths = rng.integers(16, 33, 16).astype(np.int32)
+    idx = DenseTokenIndex.build(jnp.asarray(toks), jnp.asarray(lengths),
+                                doc_len=32, dtype="int8")
+    q = rng.standard_normal((2, 32, 128)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    deq = (idx.emb_flat.reshape(idx.n_pad, 32, 128).astype(jnp.float32)
+           * idx.scales.reshape(idx.n_pad, 32)[..., None])
+    ref = maxsim_scores_exact(jnp.asarray(q), deq, idx.doc_lengths)
+    got = maxsim_scores_int8(jnp.asarray(q), idx.emb_flat, idx.scales,
+                             idx.doc_lengths, doc_len=32)
+    err = float(jnp.max(jnp.abs(got[:, :16] - ref[:, :16])))
+    # bf16 matmul on dequantized-magnitude scores (~|32|): allow 0.5%
+    assert err < 0.2, err
+    return f"int8 MaxSim kernel max|err|={err:.2e}"
+
+
 def _t_bm25() -> str:
     # behavioral parity with the reference's Test 1
     # (model_downloader_simplified.py:118-127): 2-doc index + query
@@ -100,6 +130,7 @@ def _t_native() -> str:
 TESTS: List[Tuple[str, Callable[[], str]]] = [
     ("jax backend", _t_jax),
     ("pallas maxsim", _t_pallas),
+    ("pallas maxsim int8", _t_pallas_int8),
     ("bm25 end-to-end", _t_bm25),
     ("tokenizer", _t_tokenizer),
     ("encoder", _t_encoder),
