@@ -77,7 +77,8 @@ def test_incremental_upload_rebuilds_full_corpus(app, tmp_path):
     d3 = tmp_path / "extra.md"
     d3.write_text("# Quantum\n\nQubits hold superpositions of states.\n")
     r = a.index_documents([str(d3)])
-    # rebuild covers ALL docs, not just the new one (reference bug fixed)
+    # the updated index covers ALL docs (incrementally appended), not just
+    # the new one (the reference loses old docs unless re-uploaded)
     assert r["total_chunks"] == a.store.stats()["chunks"]
     a.initialize_chatbot()
     res = a.query("qubits superposition")
