@@ -66,15 +66,17 @@ class MarkdownChunker:
     ):
         self.cfg = config or ChunkerConfig()
         self._raw_count = count_tokens or _default_counter
-        self._cache: Dict[int, int] = {}
+        self._cache: Dict[str, int] = {}
 
     # ------------------------------------------------------------------
     def _count(self, text: str) -> int:
-        key = hash(text)
-        n = self._cache.get(key)
+        # keyed on the string itself (not hash(text)): a hash collision
+        # would silently return a wrong token count; the key is a shared
+        # reference so memory cost is one pointer per entry
+        n = self._cache.get(text)
         if n is None:
             n = self._raw_count(text)
-            self._cache[key] = n
+            self._cache[text] = n
         return n
 
     # ------------------------------------------------------------------

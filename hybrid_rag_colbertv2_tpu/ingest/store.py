@@ -121,9 +121,21 @@ class ChunkStore:
 
     def add_chunks(self, document_id: int, chunks: Sequence[Dict]) -> List[int]:
         """Persist chunk dicts; returns their corpus indexes (global ids)."""
+        conn = self._conn()
+        # BEGIN IMMEDIATE takes the writer lock before reading MAX(..), so
+        # two concurrent writers cannot compute the same base and collide
+        # on the UNIQUE corpus_index constraint mid-batch.
+        conn.execute("BEGIN IMMEDIATE")
+        try:
+            return self._add_chunks_locked(conn, document_id, chunks)
+        except BaseException:
+            conn.rollback()
+            raise
+
+    def _add_chunks_locked(self, conn, document_id: int,
+                           chunks: Sequence[Dict]) -> List[int]:
         base = self.next_corpus_index()
         ids = []
-        conn = self._conn()
         for i, c in enumerate(chunks):
             corpus_index = base + i
             meta = {k: v for k, v in c.items()

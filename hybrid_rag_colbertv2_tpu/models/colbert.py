@@ -59,6 +59,12 @@ class ColBERTConfig:
     colbert_dim: int = 128
     position_embedding: str = "rope"   # "rope" | "learned"
     rope_base: float = 10000.0
+    # rotation pairing convention. False = flash-attn / GPT-NeoX style
+    # (rotate the two HALVES of the head dim), which is what the
+    # jina-xlm-roberta rotary backbone of jina-colbert-v2 uses
+    # (rotary_emb_interleaved defaults False in its MHA). True = GPT-J
+    # style (rotate even/odd PAIRS).
+    rope_interleaved: bool = False
     pad_token_id: int = 1              # RoBERTa convention
     # ColBERT protocol
     query_max_tokens: int = 32
@@ -100,15 +106,28 @@ def _rope_cache(seq_len: int, head_dim: int, base: float) -> Tuple[jax.Array, ja
     return jnp.cos(freqs), jnp.sin(freqs)
 
 
-def _apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
-    """x: (B, S, H, Dh) — rotate pairs (even, odd) along the last dim."""
-    x1 = x[..., 0::2]
-    x2 = x[..., 1::2]
+def _apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array,
+                interleaved: bool = False) -> jax.Array:
+    """x: (B, S, H, Dh) — rotary position embedding.
+
+    interleaved=False (flash-attn/GPT-NeoX, the jina-xlm-roberta backbone
+    convention): the two HALVES of the head dim form the rotation pairs.
+    interleaved=True (GPT-J): even/odd index pairs. Numerical fidelity of
+    both is tested against an independent torch reference
+    (tests/test_encoder.py::test_rope_fidelity_vs_torch).
+    """
     c = cos[None, :, None, :]
     s = sin[None, :, None, :]
-    ro1 = x1 * c - x2 * s
-    ro2 = x2 * c + x1 * s
-    return jnp.stack([ro1, ro2], axis=-1).reshape(x.shape)
+    if interleaved:
+        x1 = x[..., 0::2]
+        x2 = x[..., 1::2]
+        ro1 = x1 * c - x2 * s
+        ro2 = x2 * c + x1 * s
+        return jnp.stack([ro1, ro2], axis=-1).reshape(x.shape)
+    half = x.shape[-1] // 2
+    x1 = x[..., :half]
+    x2 = x[..., half:]
+    return jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
 
 
 class SelfAttention(nn.Module):
@@ -126,8 +145,8 @@ class SelfAttention(nn.Module):
         v = dense(h, name="value")(x).reshape(b, s, nh, dh)
         if cfg.position_embedding == "rope":
             cos, sin = _rope_cache(s, dh, cfg.rope_base)
-            q = _apply_rope(q, cos, sin)
-            k = _apply_rope(k, cos, sin)
+            q = _apply_rope(q, cos, sin, cfg.rope_interleaved)
+            k = _apply_rope(k, cos, sin, cfg.rope_interleaved)
         att = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                          preferred_element_type=jnp.float32)
         att = att / np.sqrt(dh)

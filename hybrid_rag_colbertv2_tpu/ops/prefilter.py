@@ -153,4 +153,9 @@ def maxsim_topk_pruned(
     vals, pos = jax.lax.top_k(exact, kk)
     ids = jnp.take_along_axis(cand, pos, axis=1)
     ids = jnp.where(vals > NEG_INF / 2, ids, -1)
+    if kk < k:
+        # keep the documented (B, k) contract when k exceeds the rounded
+        # candidate count C (mirrors bm25_topk_device's padding)
+        vals = jnp.pad(vals, ((0, 0), (0, k - kk)), constant_values=NEG_INF)
+        ids = jnp.pad(ids, ((0, 0), (0, k - kk)), constant_values=-1)
     return vals, ids.astype(jnp.int32)

@@ -76,7 +76,13 @@ def tokenize_corpus_native(corpus: List[str], stem: bool = True
     lib = get_lib()
     if lib is None:
         return None
-    joined = "\x1e".join(corpus).encode("utf-8", errors="replace")
+    # \x1e is the document separator in the C ABI; sanitize it out of the
+    # texts (PDF-extracted text can contain control bytes) so the returned
+    # doc count always matches len(corpus). The Python tokenizer treats
+    # \x1e as a non-word delimiter, so replacing with a space is
+    # token-identical to the fallback path.
+    joined = "\x1e".join(t.replace("\x1e", " ") for t in corpus).encode(
+        "utf-8", errors="replace")
     out_len = ctypes.c_int64()
     buf = lib.hrag_tokenize_corpus(joined, len(joined), 1 if stem else 0,
                                    ctypes.byref(out_len))

@@ -63,6 +63,22 @@ def test_tokenize_corpus_matches_python(lib, rng):
     assert got == want
 
 
+def test_tokenize_corpus_with_separator_byte(lib):
+    """ADVICE r1: \\x1e is the C-ABI document separator; a document
+    containing it (possible in PDF-extracted text) must not split into
+    extra documents or shift doc ids."""
+    corpus = [
+        "clean document one",
+        "dirty\x1edocument with a separator byte",
+        "\x1e leading and trailing \x1e",
+        "clean document two",
+    ]
+    got = native.tokenize_corpus_native(corpus)
+    want = [tokenize_lexical(t) for t in corpus]
+    assert len(got) == len(corpus)
+    assert got == want
+
+
 def test_tokenize_large_random_corpus(lib, rng):
     vocab = ["".join(rng.choice(list("abcdefghijklmnopqrstuvwxyz"),
                                 size=rng.integers(2, 12)))
