@@ -210,9 +210,245 @@ std::string porter_stem(const std::string& word) {
   return w;
 }
 
+// ---- Snowball "english" (Porter2) stemmer --------------------------------
+// Mirrors textproc.py SnowballStemmer statement for statement (official
+// fixed-R1/R2 integer semantics, as in libstemmer/PyStemmer — the stemmer
+// the reference intends via stemmer="english"). Byte-identical contract
+// tested in tests/test_native.py. Within the marked word, lowercase 'y'
+// counts as a vowel and the consonant marker 'Y' does not.
+
+inline bool sb_vowel(char c) {
+  return c == 'a' || c == 'e' || c == 'i' || c == 'o' || c == 'u' ||
+         c == 'y';
+}
+
+bool sb_short_syllable_at_end(const std::string& w) {
+  int n = (int)w.size();
+  if (n >= 3) {
+    char a = w[n - 1];
+    return !sb_vowel(a) && a != 'w' && a != 'x' && a != 'Y' &&
+           sb_vowel(w[n - 2]) && !sb_vowel(w[n - 3]);
+  }
+  if (n == 2) return sb_vowel(w[0]) && !sb_vowel(w[1]);
+  return false;
+}
+
+const std::unordered_map<std::string, std::string>& sb_special() {
+  static const auto* m = new std::unordered_map<std::string, std::string>{
+      {"skis", "ski"},       {"skies", "sky"},      {"dying", "die"},
+      {"lying", "lie"},      {"tying", "tie"},      {"idly", "idl"},
+      {"gently", "gentl"},   {"ugly", "ugli"},      {"early", "earli"},
+      {"only", "onli"},      {"singly", "singl"},   {"sky", "sky"},
+      {"news", "news"},      {"howe", "howe"},      {"atlas", "atlas"},
+      {"cosmos", "cosmos"},  {"bias", "bias"},      {"andes", "andes"},
+      {"inning", "inning"},  {"innings", "inning"}, {"outing", "outing"},
+      {"outings", "outing"}, {"canning", "canning"},
+      {"cannings", "canning"}, {"herring", "herring"},
+      {"herrings", "herring"}, {"earring", "earring"},
+      {"earrings", "earring"}, {"proceed", "proceed"},
+      {"proceeds", "proceed"}, {"proceeded", "proceed"},
+      {"proceeding", "proceed"}, {"exceed", "exceed"},
+      {"exceeds", "exceed"},   {"exceeded", "exceed"},
+      {"exceeding", "exceed"}, {"succeed", "succeed"},
+      {"succeeds", "succeed"}, {"succeeded", "succeed"},
+      {"succeeding", "succeed"}};
+  return *m;
+}
+
+const Rule kSbStep2[] = {
+    {"ization", "ize"}, {"ational", "ate"}, {"fulness", "ful"},
+    {"ousness", "ous"}, {"iveness", "ive"}, {"tional", "tion"},
+    {"biliti", "ble"},  {"lessli", "less"}, {"entli", "ent"},
+    {"ation", "ate"},   {"alism", "al"},    {"aliti", "al"},
+    {"ousli", "ous"},   {"iviti", "ive"},   {"fulli", "ful"},
+    {"enci", "ence"},   {"anci", "ance"},   {"abli", "able"},
+    {"izer", "ize"},    {"ator", "ate"},    {"alli", "al"},
+    {"bli", "ble"},     {"ogi", "og"},      {"li", ""},
+};
+
+const Rule kSbStep3[] = {
+    {"ational", "ate"}, {"tional", "tion"}, {"alize", "al"},
+    {"icate", "ic"},    {"iciti", "ic"},    {"ative", ""},
+    {"ical", "ic"},     {"ness", ""},       {"ful", ""},
+};
+
+const char* kSbStep4[] = {"ement", "ance", "ence", "able", "ible", "ment",
+                          "ant",   "ent",  "ism",  "ate",  "iti",  "ous",
+                          "ive",   "ize",  "ion",  "al",   "er",   "ic"};
+
+int sb_region_after_prefix(const std::string& w) {
+  if (w.rfind("gener", 0) == 0 || w.rfind("arsen", 0) == 0) return 5;
+  if (w.rfind("commun", 0) == 0) return 6;
+  for (int i = 1; i < (int)w.size(); ++i)
+    if (!sb_vowel(w[i]) && sb_vowel(w[i - 1])) return i + 1;
+  return (int)w.size();
+}
+
+std::string sb_step0(std::string w) {
+  for (const char* suf : {"'s'", "'s", "'"}) {
+    if (ends_with(w, suf)) return w.substr(0, w.size() - std::strlen(suf));
+  }
+  return w;
+}
+
+bool sb_any_vowel(const std::string& w, int end) {
+  for (int i = 0; i < end && i < (int)w.size(); ++i)
+    if (sb_vowel(w[i])) return true;
+  return false;
+}
+
+std::string sb_step1a(std::string w) {
+  if (ends_with(w, "sses")) return w.substr(0, w.size() - 2);
+  if (ends_with(w, "ied") || ends_with(w, "ies"))
+    return w.size() > 4 ? w.substr(0, w.size() - 2)
+                        : w.substr(0, w.size() - 1);
+  if (ends_with(w, "us") || ends_with(w, "ss")) return w;
+  if (ends_with(w, "s")) {
+    if (sb_any_vowel(w, (int)w.size() - 2)) return w.substr(0, w.size() - 1);
+  }
+  return w;
+}
+
+std::string sb_step1b(std::string w, int p1) {
+  for (const char* suf : {"eedly", "eed"}) {
+    if (ends_with(w, suf)) {
+      size_t n = std::strlen(suf);
+      if ((int)(w.size() - n) >= p1) return w.substr(0, w.size() - n) + "ee";
+      return w;
+    }
+  }
+  for (const char* suf : {"ingly", "edly", "ing", "ed"}) {
+    if (ends_with(w, suf)) {
+      std::string stem = w.substr(0, w.size() - std::strlen(suf));
+      if (!sb_any_vowel(stem, (int)stem.size())) return w;
+      if (ends_with(stem, "at") || ends_with(stem, "bl") ||
+          ends_with(stem, "iz"))
+        return stem + "e";
+      static const char* kDoubles[] = {"bb", "dd", "ff", "gg", "mm",
+                                       "nn", "pp", "rr", "tt"};
+      for (const char* d : kDoubles)
+        if (ends_with(stem, d)) return stem.substr(0, stem.size() - 1);
+      if (p1 >= (int)stem.size() && sb_short_syllable_at_end(stem))
+        return stem + "e";
+      return stem;
+    }
+  }
+  return w;
+}
+
+std::string sb_step1c(std::string w) {
+  if (w.size() > 2 && (w.back() == 'y' || w.back() == 'Y') &&
+      !sb_vowel(w[w.size() - 2]))
+    return w.substr(0, w.size() - 1) + "i";
+  return w;
+}
+
+std::string sb_step2(std::string w, int p1) {
+  for (const Rule& r : kSbStep2) {
+    if (ends_with(w, r.suf)) {
+      size_t n = std::strlen(r.suf);
+      if ((int)(w.size() - n) < p1) return w;
+      if (0 == std::strcmp(r.suf, "ogi"))
+        return w[w.size() - 4] == 'l' ? w.substr(0, w.size() - 1) : w;
+      if (0 == std::strcmp(r.suf, "li")) {
+        char c = w[w.size() - 3];
+        static const std::string li_ending = "cdeghkmnrt";
+        return li_ending.find(c) != std::string::npos
+                   ? w.substr(0, w.size() - 2)
+                   : w;
+      }
+      return w.substr(0, w.size() - n) + r.rep;
+    }
+  }
+  return w;
+}
+
+std::string sb_step3(std::string w, int p1, int p2) {
+  for (const Rule& r : kSbStep3) {
+    if (ends_with(w, r.suf)) {
+      size_t n = std::strlen(r.suf);
+      if ((int)(w.size() - n) < p1) return w;
+      if (0 == std::strcmp(r.suf, "ative"))
+        return (int)(w.size() - 5) >= p2 ? w.substr(0, w.size() - 5) : w;
+      return w.substr(0, w.size() - n) + r.rep;
+    }
+  }
+  return w;
+}
+
+std::string sb_step4(std::string w, int p2) {
+  for (const char* suf : kSbStep4) {
+    if (ends_with(w, suf)) {
+      size_t n = std::strlen(suf);
+      if ((int)(w.size() - n) < p2) return w;
+      if (0 == std::strcmp(suf, "ion")) {
+        char c = w[w.size() - 4];
+        return (c == 's' || c == 't') ? w.substr(0, w.size() - 3) : w;
+      }
+      return w.substr(0, w.size() - n);
+    }
+  }
+  return w;
+}
+
+std::string sb_step5(std::string w, int p1, int p2) {
+  if (ends_with(w, "e")) {
+    if ((int)w.size() - 1 >= p2) return w.substr(0, w.size() - 1);
+    if ((int)w.size() - 1 >= p1 &&
+        !sb_short_syllable_at_end(w.substr(0, w.size() - 1)))
+      return w.substr(0, w.size() - 1);
+    return w;
+  }
+  if (ends_with(w, "ll") && (int)w.size() - 1 >= p2)
+    return w.substr(0, w.size() - 1);
+  return w;
+}
+
+std::string snowball_stem(const std::string& word) {
+  if (word.size() <= 2) return word;
+  const auto& special = sb_special();
+  auto it = special.find(word);
+  if (it != special.end()) return it->second;
+  std::string w = word;
+  if (w[0] == '\'') {
+    w = w.substr(1);
+    if (w.size() <= 2) return w;
+  }
+  // mark consonant-y as Y: at the start, or right after a vowel
+  if (w[0] == 'y') w[0] = 'Y';
+  for (size_t i = 1; i < w.size(); ++i)
+    if (w[i] == 'y' && sb_vowel(w[i - 1])) w[i] = 'Y';
+
+  int p1 = sb_region_after_prefix(w);
+  int p2 = (int)w.size();
+  for (int i = p1 + 1; i < (int)w.size(); ++i) {
+    if (!sb_vowel(w[i]) && sb_vowel(w[i - 1])) {
+      p2 = i + 1;
+      break;
+    }
+  }
+
+  w = sb_step0(std::move(w));
+  w = sb_step1a(std::move(w));
+  w = sb_step1b(std::move(w), p1);
+  w = sb_step1c(std::move(w));
+  w = sb_step2(std::move(w), p1);
+  w = sb_step3(std::move(w), p1, p2);
+  w = sb_step4(std::move(w), p2);
+  w = sb_step5(std::move(w), p1, p2);
+  for (char& c : w)
+    if (c == 'Y') c = 'y';
+  return w;
+}
+
+// stem algorithm selector: 0 = none, 1 = snowball (default), 2 = porter
+std::string stem_word(const std::string& w, int32_t algo) {
+  return algo == 2 ? porter_stem(w) : snowball_stem(w);
+}
+
 // ---- tokenizer: [a-z0-9]+ over lowercased text --------------------------
 
-void tokenize_doc(const char* begin, const char* end, bool stem,
+void tokenize_doc(const char* begin, const char* end, int32_t stem_algo,
                   std::unordered_map<std::string, std::string>* memo,
                   std::string* out) {
   std::string tok;
@@ -223,10 +459,10 @@ void tokenize_doc(const char* begin, const char* end, bool stem,
     if (!stops.count(tok)) {
       if (!first) out->push_back(' ');
       first = false;
-      if (stem) {
+      if (stem_algo != 0) {
         auto it = memo->find(tok);
         if (it == memo->end())
-          it = memo->emplace(tok, porter_stem(tok)).first;
+          it = memo->emplace(tok, stem_word(tok, stem_algo)).first;
         out->append(it->second);
       } else {
         out->append(tok);
@@ -251,9 +487,10 @@ void tokenize_doc(const char* begin, const char* end, bool stem,
 extern "C" {
 
 // docs joined by '\x1e' -> stemmed tokens (' ' within doc, '\x1e' between).
+// stem_algo: 0 = none, 1 = snowball english (default), 2 = porter 1980.
 // Returns a malloc'd buffer the caller frees with hrag_free; *out_len gets
 // the byte length.
-char* hrag_tokenize_corpus(const char* data, int64_t len, int32_t stem,
+char* hrag_tokenize_corpus(const char* data, int64_t len, int32_t stem_algo,
                            int64_t* out_len) {
   std::string out;
   out.reserve((size_t)len);
@@ -266,7 +503,7 @@ char* hrag_tokenize_corpus(const char* data, int64_t len, int32_t stem,
     const char* doc_end = sep ? sep : end;
     if (!first_doc) out.push_back('\x1e');
     first_doc = false;
-    tokenize_doc(p, doc_end, stem != 0, &memo, &out);
+    tokenize_doc(p, doc_end, stem_algo, &memo, &out);
     if (!sep) break;
     p = sep + 1;
   }
@@ -277,10 +514,11 @@ char* hrag_tokenize_corpus(const char* data, int64_t len, int32_t stem,
   return buf;
 }
 
-// single-word stem (testing / query path)
-char* hrag_stem(const char* word, int64_t len, int64_t* out_len) {
+// single-word stem (testing / query path); algo as above (0 -> snowball)
+char* hrag_stem(const char* word, int64_t len, int32_t algo,
+                int64_t* out_len) {
   std::string w(word, (size_t)len);
-  std::string s = porter_stem(w);
+  std::string s = stem_word(w, algo == 0 ? 1 : algo);
   char* buf = (char*)malloc(s.size() + 1);
   memcpy(buf, s.data(), s.size());
   buf[s.size()] = 0;
@@ -290,6 +528,6 @@ char* hrag_stem(const char* word, int64_t len, int64_t* out_len) {
 
 void hrag_free(char* p) { free(p); }
 
-int32_t hrag_abi_version() { return 1; }
+int32_t hrag_abi_version() { return 2; }
 
 }  // extern "C"

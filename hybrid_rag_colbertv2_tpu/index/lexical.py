@@ -48,6 +48,9 @@ class LexicalIndex:
     b: float = 0.75
     max_postings: int = 0     # longest postings list, rounded up to 128
     query_max_terms: int = 64
+    stemmer: str = "snowball"  # persisted: queries must tokenize like the
+                               # corpus did ("snowball" = reference parity,
+                               # local_rag_complete.py:854; "porter" opt-in)
 
     # ------------------------------------------------------------------
     @classmethod
@@ -59,6 +62,7 @@ class LexicalIndex:
         b: float = 0.75,
         query_max_terms: int = 64,
         postings_cap: int = 0,
+        stemmer: str = "snowball",
     ) -> "LexicalIndex":
         """``postings_cap`` > 0 truncates each term's postings list to its
         ``cap`` highest-weight entries (idf stays computed from the TRUE
@@ -69,7 +73,7 @@ class LexicalIndex:
         term's df <= cap."""
         n = len(corpus)
         # tokenization takes the native C++ path when csrc/ is built
-        all_toks = tokenize_corpus(list(corpus))
+        all_toks = tokenize_corpus(list(corpus), stemmer=stemmer)
         doc_lens_i = np.array([len(t) for t in all_toks], np.int64)
         doc_lens = doc_lens_i.astype(np.float64)
         avgdl = float(doc_lens.mean()) if n else 1.0
@@ -134,6 +138,7 @@ class LexicalIndex:
             b=b,
             max_postings=max_post,
             query_max_terms=query_max_terms,
+            stemmer=stemmer,
         )
 
     # ------------------------------------------------------------------
@@ -145,7 +150,8 @@ class LexicalIndex:
         duplicates are kept (each occurrence accumulates, see ops/bm25.py).
         """
         q_max = q_max or self.query_max_terms
-        ids = [self.vocab[t] for t in tokenize_lexical(query)
+        ids = [self.vocab[t]
+               for t in tokenize_lexical(query, stemmer=self.stemmer)
                if t in self.vocab]
         ids = ids[:q_max]
         out = np.full((q_max,), -1, np.int32)
@@ -180,6 +186,7 @@ class LexicalIndex:
             "b": self.b,
             "max_postings": self.max_postings,
             "query_max_terms": self.query_max_terms,
+            "stemmer": self.stemmer,
         }
         (path / "meta.json").write_text(json.dumps(meta))
         (path / "vocab.json").write_text(

@@ -203,42 +203,261 @@ class PorterStemmer:
         return w
 
 
-_STEMMER = PorterStemmer()
-_STEM_CACHE: dict = {}
+# ---------------------------------------------------------------------------
+# Snowball "english" (Porter2) — the stemmer the reference actually intends
+# (``stemmer="english"`` via PyStemmer, local_rag_complete.py:854,942; used
+# correctly at model_downloader_simplified.py:118). Implemented from the
+# published algorithm with the official fixed R1/R2 positions; validated
+# token-for-token against nltk's SnowballStemmer("english") in
+# tests/test_native.py. Porter (1980) above is kept for explicit opt-in.
+# ---------------------------------------------------------------------------
+
+_SB_VOWELS = frozenset("aeiouy")
+_SB_DOUBLES = ("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+_SB_LI = frozenset("cdeghkmnrt")
+_SB_SPECIAL = {
+    "skis": "ski", "skies": "sky", "dying": "die", "lying": "lie",
+    "tying": "tie", "idly": "idl", "gently": "gentl", "ugly": "ugli",
+    "early": "earli", "only": "onli", "singly": "singl",
+    # invariants (incl. the post-step-1a exception list and its plurals)
+    "sky": "sky", "news": "news", "howe": "howe", "atlas": "atlas",
+    "cosmos": "cosmos", "bias": "bias", "andes": "andes",
+    "inning": "inning", "innings": "inning", "outing": "outing",
+    "outings": "outing", "canning": "canning", "cannings": "canning",
+    "herring": "herring", "herrings": "herring", "earring": "earring",
+    "earrings": "earring", "proceed": "proceed", "proceeds": "proceed",
+    "proceeded": "proceed", "proceeding": "proceed", "exceed": "exceed",
+    "exceeds": "exceed", "exceeded": "exceed", "exceeding": "exceed",
+    "succeed": "succeed", "succeeds": "succeed", "succeeded": "succeed",
+    "succeeding": "succeed",
+}
+
+_SB_STEP2 = (
+    ("ization", "ize"), ("ational", "ate"), ("fulness", "ful"),
+    ("ousness", "ous"), ("iveness", "ive"), ("tional", "tion"),
+    ("biliti", "ble"), ("lessli", "less"), ("entli", "ent"),
+    ("ation", "ate"), ("alism", "al"), ("aliti", "al"), ("ousli", "ous"),
+    ("iviti", "ive"), ("fulli", "ful"), ("enci", "ence"), ("anci", "ance"),
+    ("abli", "able"), ("izer", "ize"), ("ator", "ate"), ("alli", "al"),
+    ("bli", "ble"), ("ogi", "og"), ("li", ""),
+)
+_SB_STEP3 = (
+    ("ational", "ate"), ("tional", "tion"), ("alize", "al"),
+    ("icate", "ic"), ("iciti", "ic"), ("ative", ""), ("ical", "ic"),
+    ("ness", ""), ("ful", ""),
+)
+_SB_STEP4 = (
+    "ement", "ance", "ence", "able", "ible", "ment", "ant", "ent", "ism",
+    "ate", "iti", "ous", "ive", "ize", "ion", "al", "er", "ic",
+)
 
 
-def _stem_cached(tok: str) -> str:
-    s = _STEM_CACHE.get(tok)
+def _sb_is_vowel(w: str, i: int) -> bool:
+    return w[i] in _SB_VOWELS  # y already rewritten to Y where consonant
+
+
+def _sb_short_syllable_at_end(w: str) -> bool:
+    """Ends in a short syllable: non-vowel (not w/x/Y) after a vowel after a
+    non-vowel; or a 2-letter word of vowel + non-vowel."""
+    n = len(w)
+    if n >= 3:
+        return (w[-1] not in _SB_VOWELS and w[-1] not in "wxY"
+                and w[-2] in _SB_VOWELS and w[-3] not in _SB_VOWELS)
+    if n == 2:
+        return w[0] in _SB_VOWELS and w[1] not in _SB_VOWELS
+    return False
+
+
+class SnowballStemmer:
+    """Snowball English (Porter2) stemmer, official fixed-R1/R2 semantics."""
+
+    def stem(self, word: str) -> str:
+        if len(word) <= 2:
+            return word
+        sp = _SB_SPECIAL.get(word)
+        if sp is not None:
+            return sp
+        if word[0] == "'":
+            word = word[1:]
+            if len(word) <= 2:
+                return word
+
+        # mark consonant-y as Y: at the start, or right after a vowel
+        chars = list(word)
+        if chars[0] == "y":
+            chars[0] = "Y"
+        for i in range(1, len(chars)):
+            if chars[i] == "y" and chars[i - 1] in _SB_VOWELS:
+                chars[i] = "Y"
+        w = "".join(chars)
+
+        # R1/R2 start positions (fixed; regions are w[p1:], w[p2:])
+        p1 = self._region_after_prefix(w)
+        p2 = len(w)
+        for i in range(p1 + 1, len(w)):
+            if w[i] not in _SB_VOWELS and w[i - 1] in _SB_VOWELS:
+                p2 = i + 1
+                break
+
+        w = self._step0(w)
+        w = self._step1a(w)
+        w = self._step1b(w, p1)
+        w = self._step1c(w)
+        w = self._step2(w, p1)
+        w = self._step3(w, p1, p2)
+        w = self._step4(w, p2)
+        w = self._step5(w, p1, p2)
+        return w.replace("Y", "y")
+
+    @staticmethod
+    def _region_after_prefix(w: str) -> int:
+        if w.startswith(("gener", "arsen")):
+            return 5
+        if w.startswith("commun"):
+            return 6
+        for i in range(1, len(w)):
+            if w[i] not in _SB_VOWELS and w[i - 1] in _SB_VOWELS:
+                return i + 1
+        return len(w)
+
+    @staticmethod
+    def _step0(w: str) -> str:
+        for suf in ("'s'", "'s", "'"):
+            if w.endswith(suf):
+                return w[: -len(suf)]
+        return w
+
+    @staticmethod
+    def _step1a(w: str) -> str:
+        if w.endswith("sses"):
+            return w[:-2]
+        if w.endswith(("ied", "ies")):
+            return w[:-2] if len(w) > 4 else w[:-1]
+        if w.endswith(("us", "ss")):
+            return w
+        if w.endswith("s"):
+            # delete if a vowel exists before the penultimate position
+            if any(c in _SB_VOWELS for c in w[:-2]):
+                return w[:-1]
+        return w
+
+    @staticmethod
+    def _step1b(w: str, p1: int) -> str:
+        for suf in ("eedly", "eed"):
+            if w.endswith(suf):
+                if len(w) - len(suf) >= p1:
+                    return w[: -len(suf)] + "ee"
+                return w
+        for suf in ("ingly", "edly", "ing", "ed"):
+            if w.endswith(suf):
+                stem = w[: -len(suf)]
+                if not any(c in _SB_VOWELS for c in stem):
+                    return w
+                if stem.endswith(("at", "bl", "iz")):
+                    return stem + "e"
+                if stem.endswith(_SB_DOUBLES):
+                    return stem[:-1]
+                if p1 >= len(stem) and _sb_short_syllable_at_end(stem):
+                    return stem + "e"
+                return stem
+        return w
+
+    @staticmethod
+    def _step1c(w: str) -> str:
+        if (len(w) > 2 and w[-1] in "yY" and w[-2] not in _SB_VOWELS):
+            return w[:-1] + "i"
+        return w
+
+    @staticmethod
+    def _step2(w: str, p1: int) -> str:
+        for suf, rep in _SB_STEP2:
+            if w.endswith(suf):
+                if len(w) - len(suf) < p1:
+                    return w
+                if suf == "ogi":
+                    return w[:-1] if w[-4] == "l" else w
+                if suf == "li":
+                    return w[:-2] if w[-3] in _SB_LI else w
+                return w[: -len(suf)] + rep
+        return w
+
+    @staticmethod
+    def _step3(w: str, p1: int, p2: int) -> str:
+        for suf, rep in _SB_STEP3:
+            if w.endswith(suf):
+                if len(w) - len(suf) < p1:
+                    return w
+                if suf == "ative":
+                    return w[:-5] if len(w) - 5 >= p2 else w
+                return w[: -len(suf)] + rep
+        return w
+
+    @staticmethod
+    def _step4(w: str, p2: int) -> str:
+        for suf in _SB_STEP4:
+            if w.endswith(suf):
+                if len(w) - len(suf) < p2:
+                    return w
+                if suf == "ion":
+                    return w[:-3] if w[-4] in "st" else w
+                return w[: -len(suf)]
+        return w
+
+    @staticmethod
+    def _step5(w: str, p1: int, p2: int) -> str:
+        if w.endswith("e"):
+            if len(w) - 1 >= p2:
+                return w[:-1]
+            if (len(w) - 1 >= p1
+                    and not _sb_short_syllable_at_end(w[:-1])):
+                return w[:-1]
+            return w
+        if w.endswith("ll") and len(w) - 1 >= p2:
+            return w[:-1]
+        return w
+
+
+_STEMMERS = {"porter": PorterStemmer(), "snowball": SnowballStemmer()}
+_STEM_CACHES: dict = {"porter": {}, "snowball": {}}
+
+
+def _stem_cached(tok: str, algo: str = "snowball") -> str:
+    cache = _STEM_CACHES[algo]
+    s = cache.get(tok)
     if s is None:
-        s = _STEMMER.stem(tok)
-        _STEM_CACHE[tok] = s
+        s = _STEMMERS[algo].stem(tok)
+        cache[tok] = s
     return s
 
 
 def tokenize_lexical(text: str, *, stopwords=ENGLISH_STOPWORDS,
-                     stem: bool = True) -> List[str]:
-    """Lowercase word tokens, stopword-filtered, Porter-stemmed.
+                     stem: bool = True,
+                     stemmer: str = "snowball") -> List[str]:
+    """Lowercase word tokens, stopword-filtered, Snowball-stemmed.
 
     Deterministic and used identically for corpus and query (the reference
     applies the same bm25s tokenization on both sides,
-    local_rag_complete.py:851-855 and :939-943).
-    """
+    local_rag_complete.py:851-855 and :939-943). The default stemmer is
+    Snowball English (Porter2), matching the reference's
+    ``stemmer="english"`` intent (local_rag_complete.py:854);
+    ``stemmer="porter"`` keeps the Porter-1980 behavior."""
     toks = _WORD_RE.findall(text.lower())
     out = []
     for t in toks:
         if t in stopwords:
             continue
-        out.append(_stem_cached(t) if stem else t)
+        out.append(_stem_cached(t, stemmer) if stem else t)
     return out
 
 
-def tokenize_corpus(corpus: List[str], stem: bool = True) -> List[List[str]]:
+def tokenize_corpus(corpus: List[str], stem: bool = True,
+                    stemmer: str = "snowball") -> List[List[str]]:
     """Batch tokenization — native C++ fast path when built (csrc/), with
     this module's pure-Python implementation as the tested-identical
     fallback."""
     from ..utils.native import tokenize_corpus_native
 
-    native = tokenize_corpus_native(corpus, stem=stem)
+    native = tokenize_corpus_native(corpus, stem=stem, stemmer=stemmer)
     if native is not None:
         return native
-    return [tokenize_lexical(t, stem=stem) for t in corpus]
+    return [tokenize_lexical(t, stem=stem, stemmer=stemmer) for t in corpus]

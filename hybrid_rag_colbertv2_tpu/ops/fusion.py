@@ -4,10 +4,13 @@ Behavioral parity with the reference's ``_reciprocal_rank_fusion``
 (local_rag_complete.py:960-978): each source list contributes
 ``1 / (k + rank)`` with rank starting at 1; a document appearing in both
 lists accumulates both contributions; results are ordered by fused score
-descending. The reference does this in a Python dict on the host; here it is
-a scatter-add into a dense per-document score vector followed by a fused
-top-k, so the BM25 -> ColBERT -> RRF -> candidate-select stage never leaves
-HBM (SURVEY.md section 2 #11).
+descending (ties by ascending doc id). The reference does this in a Python
+dict on the host; here it is a **corpus-size-independent sort/merge over
+the ~Ka+Kb candidate ids** (same technique as the sort-based BM25 top-k,
+ops/bm25.py): sort the concatenated ids, segment-sum the rank weights over
+equal-id runs, top-k over the merged segments. Cost is O((Ka+Kb) log) per
+query regardless of corpus size — no dense (B, N) vector is ever built, so
+fusion stays O(1) in N even at 1M+ docs (SURVEY.md section 2 #11).
 """
 
 from __future__ import annotations
@@ -18,44 +21,62 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+_BIG = jnp.iinfo(jnp.int32).max
+
 
 @functools.partial(jax.jit,
                    static_argnames=("n_docs", "k", "rrf_k", "approx_recall"))
 def rrf_from_topk(
     ids_a: jax.Array,      # (B, Ka) int32 doc ids (global id space)
     ids_b: jax.Array,      # (B, Kb) int32
-    n_docs: int = None,    # static total docs
+    n_docs: int = None,    # unused (kept for API compat; fusion is O(1) in N)
     *,
     k: int,                # number of fused candidates to keep
     rrf_k: int = 60,       # reference hard-codes 60 (local_rag_complete.py:964)
-    approx_recall: float = 0.0,  # >0: approx_max_k candidate select over
-                                 # the dense fused vector when k <= n/8
+    approx_recall: float = 0.0,  # unused: the merge domain is tiny (Ka+Kb),
+                                 # exact top-k is already corpus-independent
 ) -> Tuple[jax.Array, jax.Array]:
     """Fuse two ranked id lists -> (fused_scores (B,k), fused_ids (B,k)).
 
     ``ids_*`` rows must be rank-ordered (best first). Entries with id < 0
     are treated as missing (e.g. padding from a short shard) and ignored.
+    When k exceeds the number of distinct fused candidates, the tail is
+    padded with score 0 / id -1.
     """
-    n = int(n_docs)
+    del n_docs, approx_recall
     b, ka = ids_a.shape
     kb = ids_b.shape[1]
+    kt = ka + kb
 
-    def fuse_one(ia: jax.Array, ib: jax.Array) -> jax.Array:
-        dense = jnp.zeros((n + 1,), jnp.float32)  # slot n = dump for missing
-        wa = 1.0 / (rrf_k + 1.0 + jnp.arange(ka, dtype=jnp.float32))
-        wb = 1.0 / (rrf_k + 1.0 + jnp.arange(kb, dtype=jnp.float32))
-        sa = jnp.where(ia >= 0, ia, n)
-        sb = jnp.where(ib >= 0, ib, n)
-        dense = dense.at[sa].add(jnp.where(ia >= 0, wa, 0.0))
-        dense = dense.at[sb].add(jnp.where(ib >= 0, wb, 0.0))
-        return dense[:n]
+    wa = 1.0 / (rrf_k + 1.0 + jnp.arange(ka, dtype=jnp.float32))
+    wb = 1.0 / (rrf_k + 1.0 + jnp.arange(kb, dtype=jnp.float32))
 
-    from .prefilter import approx_or_exact_topk
+    def fuse_one(ia: jax.Array, ib: jax.Array):
+        ids = jnp.concatenate([ia, ib])                       # (Kt,)
+        w = jnp.concatenate([jnp.where(ia >= 0, wa, 0.0),
+                             jnp.where(ib >= 0, wb, 0.0)])
+        sid = jnp.where(ids >= 0, ids, _BIG)                  # missing last
+        order = jnp.argsort(sid)
+        s_ids = sid[order]
+        s_w = w[order]
+        # contiguous equal-id runs -> segments; sum each run's weights
+        start = jnp.concatenate(
+            [jnp.ones((1,), bool), s_ids[1:] != s_ids[:-1]])
+        seg = jnp.cumsum(start) - 1                           # (Kt,)
+        sums = jax.ops.segment_sum(s_w, seg, num_segments=kt)  # (Kt,)
+        uids = jax.ops.segment_max(jnp.where(start, s_ids, -1), seg,
+                                   num_segments=kt)
+        return sums, uids
 
-    dense = jax.vmap(fuse_one)(ids_a, ids_b)       # (B, n)
-    scores, ids = approx_or_exact_topk(dense, k, approx_recall)
-    # docs with zero fused score were in neither list — mark id -1
+    sums, uids = jax.vmap(fuse_one)(ids_a, ids_b)             # (B, Kt) each
+    kk = min(k, kt)
+    scores, pos = jax.lax.top_k(sums, kk)
+    ids = jnp.take_along_axis(uids, pos, axis=1)
+    # zero fused score = empty/missing segment — mark id -1
     ids = jnp.where(scores > 0.0, ids, -1)
+    if kk < k:
+        scores = jnp.pad(scores, ((0, 0), (0, k - kk)))
+        ids = jnp.pad(ids, ((0, 0), (0, k - kk)), constant_values=-1)
     return scores, ids.astype(jnp.int32)
 
 

@@ -58,10 +58,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64)]
         lib.hrag_stem.restype = ctypes.POINTER(ctypes.c_char)
         lib.hrag_stem.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                  ctypes.c_int32,
                                   ctypes.POINTER(ctypes.c_int64)]
         lib.hrag_free.argtypes = [ctypes.POINTER(ctypes.c_char)]
         lib.hrag_abi_version.restype = ctypes.c_int32
-        if lib.hrag_abi_version() != 1:
+        if lib.hrag_abi_version() != 2:
             raise RuntimeError("native ABI mismatch")
         _lib = lib
         return _lib
@@ -70,12 +71,17 @@ def get_lib() -> Optional[ctypes.CDLL]:
         return None
 
 
-def tokenize_corpus_native(corpus: List[str], stem: bool = True
+_STEM_ALGOS = {"snowball": 1, "porter": 2}
+
+
+def tokenize_corpus_native(corpus: List[str], stem: bool = True,
+                           stemmer: str = "snowball"
                            ) -> Optional[List[List[str]]]:
     """Batch tokenize+stem via the native library; None if unavailable."""
     lib = get_lib()
     if lib is None:
         return None
+    algo = _STEM_ALGOS[stemmer] if stem else 0
     # \x1e is the document separator in the C ABI; sanitize it out of the
     # texts (PDF-extracted text can contain control bytes) so the returned
     # doc count always matches len(corpus). The Python tokenizer treats
@@ -84,7 +90,7 @@ def tokenize_corpus_native(corpus: List[str], stem: bool = True
     joined = "\x1e".join(t.replace("\x1e", " ") for t in corpus).encode(
         "utf-8", errors="replace")
     out_len = ctypes.c_int64()
-    buf = lib.hrag_tokenize_corpus(joined, len(joined), 1 if stem else 0,
+    buf = lib.hrag_tokenize_corpus(joined, len(joined), algo,
                                    ctypes.byref(out_len))
     try:
         raw = ctypes.string_at(buf, out_len.value).decode("utf-8",
@@ -95,13 +101,14 @@ def tokenize_corpus_native(corpus: List[str], stem: bool = True
     return [d.split(" ") if d else [] for d in docs]
 
 
-def stem_native(word: str) -> Optional[str]:
+def stem_native(word: str, stemmer: str = "snowball") -> Optional[str]:
     lib = get_lib()
     if lib is None:
         return None
     w = word.encode("utf-8", errors="replace")
     out_len = ctypes.c_int64()
-    buf = lib.hrag_stem(w, len(w), ctypes.byref(out_len))
+    buf = lib.hrag_stem(w, len(w), _STEM_ALGOS[stemmer],
+                        ctypes.byref(out_len))
     try:
         return ctypes.string_at(buf, out_len.value).decode("utf-8")
     finally:

