@@ -33,7 +33,10 @@ class MeshConfig:
     axis_names: Tuple[str, str] = ("data", "model")
 
     # Numerics for the dense index + scoring kernels.
-    index_dtype: str = "int8"          # "int8" | "bfloat16" | "float32"
+    # "int8": per-token-row scales (default). "int8-doc": per-document
+    # scales — ~2x faster exact scan, slightly coarser quantization
+    # (ops/maxsim.py). Also "bfloat16" | "float32".
+    index_dtype: str = "int8"
     compute_dtype: str = "bfloat16"    # kernel accumulate is always fp32
     # Padding buckets for document token counts (static XLA shapes).
     doc_token_buckets: Tuple[int, ...] = (64, 128, 256)

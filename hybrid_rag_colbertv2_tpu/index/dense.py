@@ -28,9 +28,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.maxsim import maxsim_scores, maxsim_scores_exact, maxsim_scores_int8
+from ..ops.maxsim import (maxsim_scores, maxsim_scores_exact,
+                          maxsim_scores_int8, maxsim_scores_int8_doc)
 from ..ops.prefilter import maxsim_topk_pruned, pooled_doc_embeddings
-from ..ops.quant import quantize_int8_rows
+from ..ops.quant import quantize_int8_docs, quantize_int8_rows
 
 
 def _round_up(x: int, m: int) -> int:
@@ -59,6 +60,12 @@ class DenseTokenIndex:
     # search's prefilter vectors (ops/prefilter.py). ~L x smaller than the
     # token index; always built, costs N*D*2 bytes.
     pooled: Optional[jax.Array] = None
+    # (N_pad,) f32 when dtype="int8-doc": ONE scale per document (coarser
+    # quantization, but the exact scan runs ~2x faster because dequant and
+    # masking vanish from the kernel's per-sims-element work — see
+    # ops/maxsim.py::maxsim_scores_int8_doc). Padded token rows duplicate
+    # the doc's first row in this layout (NOT zeros).
+    doc_scales: Optional[jax.Array] = None
 
     # ------------------------------------------------------------------
     @classmethod
@@ -86,14 +93,19 @@ class DenseTokenIndex:
         if n_pad > n:
             token_embs = jnp.pad(token_embs, ((0, n_pad - n), (0, 0), (0, 0)))
             lengths = jnp.pad(lengths, (0, n_pad - n))
-        flat = token_embs.reshape(n_pad * doc_len, d)
 
-        scales = None
+        scales = doc_scales = None
         if dtype == "int8":
-            flat, scales = quantize_int8_rows(flat)
+            flat, scales = quantize_int8_rows(
+                token_embs.reshape(n_pad * doc_len, d))
+        elif dtype == "int8-doc":
+            flat, doc_scales = quantize_int8_docs(token_embs, lengths)
         else:
-            flat = flat.astype(jnp.dtype(dtype))
-        pooled = pooled_doc_embeddings(flat, scales, lengths, doc_len=doc_len)
+            flat = token_embs.reshape(n_pad * doc_len, d).astype(
+                jnp.dtype(dtype))
+        pooled = pooled_doc_embeddings(flat, scales, lengths,
+                                       doc_len=doc_len,
+                                       doc_scales=doc_scales)
         return cls(
             emb_flat=flat,
             doc_lengths=lengths,
@@ -102,12 +114,23 @@ class DenseTokenIndex:
             dim=d,
             scales=scales,
             pooled=pooled,
+            doc_scales=doc_scales,
         )
 
     # ------------------------------------------------------------------
     @property
     def is_int8(self) -> bool:
         return self.scales is not None
+
+    @property
+    def quant(self) -> str:
+        """Index numeric layout: "int8" (per-token-row scales), "int8-doc"
+        (per-document scales, fast exact scan), or the float dtype name."""
+        if self.scales is not None:
+            return "int8"
+        if self.doc_scales is not None:
+            return "int8-doc"
+        return str(self.emb_flat.dtype)
 
     @property
     def n_pad(self) -> int:
@@ -118,6 +141,8 @@ class DenseTokenIndex:
         total += self.doc_lengths.size * 4
         if self.scales is not None:
             total += self.scales.size * 4
+        if self.doc_scales is not None:
+            total += self.doc_scales.size * 4
         if self.pooled is not None:
             total += self.pooled.size * self.pooled.dtype.itemsize
         return total
@@ -130,9 +155,8 @@ class DenseTokenIndex:
         SAME doc_len/dtype layout and concatenated after row ``n_docs``;
         existing embeddings are reused untouched. Global ids stay corpus
         row order: old docs keep their ids, new docs follow."""
-        dtype = "int8" if self.is_int8 else str(self.emb_flat.dtype)
         new = DenseTokenIndex.build(
-            token_embs, lengths, doc_len=self.doc_len, dtype=dtype,
+            token_embs, lengths, doc_len=self.doc_len, dtype=self.quant,
             docs_pad_multiple=docs_pad_multiple)
         n1, n2 = self.n_docs, new.n_docs
         ld = self.doc_len
@@ -144,17 +168,21 @@ class DenseTokenIndex:
         pad = n_pad - (n1 + n2)
         flat = jnp.pad(flat, ((0, pad * ld), (0, 0)))
         lens = jnp.pad(lens, (0, pad))
-        scales = None
-        if self.is_int8:
+        scales = doc_scales = None
+        if self.scales is not None:
             scales = jnp.pad(jnp.concatenate(
                 [self.scales[: n1 * ld], new.scales[: n2 * ld]]),
                 (0, pad * ld))
+        if self.doc_scales is not None:
+            doc_scales = jnp.pad(jnp.concatenate(
+                [self.doc_scales[:n1], new.doc_scales[:n2]]), (0, pad))
         pooled = jnp.pad(jnp.concatenate(
             [self.ensure_pooled()[:n1], new.pooled[:n2]]),
             ((0, pad), (0, 0)))
         return DenseTokenIndex(
             emb_flat=flat, doc_lengths=lens, n_docs=n1 + n2,
-            doc_len=ld, dim=self.dim, scales=scales, pooled=pooled)
+            doc_len=ld, dim=self.dim, scales=scales, pooled=pooled,
+            doc_scales=doc_scales)
 
     def ensure_pooled(self) -> jax.Array:
         """Compute (and cache) the prefilter vectors if absent (e.g. an
@@ -162,7 +190,7 @@ class DenseTokenIndex:
         if self.pooled is None:
             self.pooled = pooled_doc_embeddings(
                 self.emb_flat, self.scales, self.doc_lengths,
-                doc_len=self.doc_len)
+                doc_len=self.doc_len, doc_scales=self.doc_scales)
         return self.pooled
 
     # ------------------------------------------------------------------
@@ -178,7 +206,8 @@ class DenseTokenIndex:
         if prefilter > 0:
             return maxsim_topk_pruned(
                 queries, self.emb_flat, self.scales, self.doc_lengths,
-                self.ensure_pooled(), doc_len=self.doc_len,
+                self.ensure_pooled(), doc_scales=self.doc_scales,
+                doc_len=self.doc_len,
                 n_docs=self.n_docs, n_candidates=prefilter, k=k,
                 approx_recall=approx_recall)
         s = self.search_scores(queries)
@@ -188,7 +217,12 @@ class DenseTokenIndex:
     # ------------------------------------------------------------------
     def search_scores(self, queries: jax.Array) -> jax.Array:
         """(B, Lq, D) query token embeddings -> (B, n_docs) MaxSim scores."""
-        if self.is_int8:
+        if self.doc_scales is not None:
+            s = maxsim_scores_int8_doc(
+                queries, self.emb_flat, self.doc_scales,
+                self.doc_lengths, doc_len=self.doc_len,
+            )
+        elif self.is_int8:
             s = maxsim_scores_int8(
                 queries, self.emb_flat, self.scales,
                 self.doc_lengths, doc_len=self.doc_len,
@@ -212,6 +246,9 @@ class DenseTokenIndex:
         if self.is_int8:
             sc = self.scales.reshape(self.n_pad, self.doc_len)[safe]
             gathered = gathered * sc[..., None]
+        elif self.doc_scales is not None:
+            # duplicated padding rows are masked by `lens` downstream
+            gathered = gathered * self.doc_scales[safe][..., None, None]
         lens = jnp.where(ids >= 0, self.doc_lengths[safe], 0)
         return gathered, lens
 
@@ -235,6 +272,8 @@ class DenseTokenIndex:
         }
         if self.scales is not None:
             arrs["scales"] = np.asarray(self.scales)
+        if self.doc_scales is not None:
+            arrs["doc_scales"] = np.asarray(self.doc_scales)
         if self.pooled is not None:
             # npz has no bf16; persist prefilter vectors as fp16
             arrs["pooled"] = np.asarray(self.pooled).astype(np.float16)
@@ -243,7 +282,7 @@ class DenseTokenIndex:
             "n_docs": self.n_docs,
             "doc_len": self.doc_len,
             "dim": self.dim,
-            "dtype": str(self.emb_flat.dtype),
+            "dtype": self.quant,
         }
         (path / "meta.json").write_text(json.dumps(meta))
 
@@ -254,6 +293,8 @@ class DenseTokenIndex:
         meta = json.loads((path / "meta.json").read_text())
         emb = jnp.asarray(arrs["emb_flat"])
         scales = jnp.asarray(arrs["scales"]) if "scales" in arrs else None
+        doc_scales = (jnp.asarray(arrs["doc_scales"])
+                      if "doc_scales" in arrs else None)
         pooled = (jnp.asarray(arrs["pooled"]).astype(jnp.bfloat16)
                   if "pooled" in arrs else None)
         return cls(
@@ -264,4 +305,5 @@ class DenseTokenIndex:
             dim=meta["dim"],
             scales=scales,
             pooled=pooled,
+            doc_scales=doc_scales,
         )

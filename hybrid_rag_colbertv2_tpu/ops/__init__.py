@@ -2,6 +2,7 @@ from .maxsim import (  # noqa: F401
     maxsim_scores_exact,
     maxsim_scores,
     maxsim_scores_int8,
+    maxsim_scores_int8_doc,
 )
 from .fusion import reciprocal_rank_fusion, rrf_from_topk  # noqa: F401
 from .bm25 import bm25_scores_device, bm25_topk_device  # noqa: F401

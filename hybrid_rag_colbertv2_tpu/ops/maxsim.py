@@ -21,16 +21,20 @@ tile — ideal for the MXU — followed by a per-doc max/sum reduction.
 
 Performance envelope (measured, v5e, 100k docs x 128 tokens int8, batch 8):
 the bare (12.8M, 128) x (128, 256) matmul runs at ~5 ms (170 TFLOPS; the
-int8xint8->int32 MXU path at 4 ms), while this fused kernel measures
-~21 ms — the gap is the VPU post-processing of the 3.3-GIGA-element sims
-matrix (per-row dequant scale-mul + padding bias + max over L), which
-per-token-row scales force to touch every sims element. Tile size does not
-move it (64/128/256 docs/tile identical). Getting closer to the matmul
-floor requires per-DOCUMENT quantization scales (max then commutes with
-the scale, removing the big multiply and enabling the int8 MXU path) at
-the cost of an index-format change and coarser quantization — a deliberate
-non-goal while the pruned search (ops/prefilter.py) is the production
-path; this scan is the exact fallback.
+int8xint8->int32 MXU path at 4 ms), while the per-token-row-scale kernel
+measures ~21 ms — the gap is the VPU post-processing of the
+3.3-GIGA-element sims matrix (per-row dequant scale-mul + padding bias +
+max over L), which per-token-row scales force to touch every sims element.
+Tile size does not move it (64/128/256 docs/tile identical).
+
+``maxsim_scores_int8_doc`` closes that gap with per-DOCUMENT scales
+(index dtype "int8-doc", ops/quant.py::quantize_int8_docs): the max
+commutes with a positive per-doc scale, so dequantization moves to the
+(docs, B*Lq) maxima, and padded token rows are stored as duplicates of the
+doc's first row so no -inf bias pass is needed — the only remaining
+per-sims-element work is the max reduction itself. Trade-off: coarser
+quantization (per-doc absmax). The per-token-row kernel stays the default;
+"int8-doc" is the opt-in fast exact scan.
 
 Masking convention (shared with ``maxsim_scores_exact`` so numerics tests
 compare like for like):
@@ -237,6 +241,105 @@ def _maxsim_int8_kernel(q_ref, emb_ref, scale_ref, sel_ref, out_ref, *,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
+
+
+def _maxsim_int8_doc_kernel(q_ref, emb_ref, dscale_ref, sel_ref, out_ref, *,
+                            docs_per_tile, doc_len):
+    """Per-document-scale int8 variant: NO per-element dequant or bias.
+
+    Relies on the "int8-doc" storage contract (ops/quant.py): padded token
+    rows duplicate the doc's first row (max unaffected), zero-length docs
+    are all-zero with scale 0 (score exactly 0; they live beyond n_docs and
+    are sliced off by the caller).
+
+    dscale_ref: (docs_per_tile, 1) f32 per-document scale.
+    """
+    emb = emb_ref[:].astype(jnp.bfloat16)
+    sims = jax.lax.dot_general(
+        emb,
+        q_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                 # (rows, B*Lq)
+    blq = sims.shape[-1]
+    sims3 = sims.reshape(docs_per_tile, doc_len, blq)
+    per_q = jnp.max(sims3, axis=1)                    # (docs_per_tile, B*Lq)
+    per_q = per_q * dscale_ref[:]                     # dequant AFTER the max
+    out_ref[:, :] = jax.lax.dot_general(
+        per_q, sel_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("doc_len", "docs_per_tile", "interpret"),
+)
+def maxsim_scores_int8_doc(
+    queries: jax.Array,       # (B, Lq, D) bf16/f32
+    emb_flat: jax.Array,      # (N * L, D) int8, "int8-doc" layout
+    doc_scales: jax.Array,    # (N,) float32 per-document dequant scale
+    doc_lengths: jax.Array,   # (N,) int32 (layout contract only; unused)
+    *,
+    doc_len: int,
+    docs_per_tile: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:               # (B, N) float32
+    del doc_lengths  # masking is baked into the index layout (dup rows)
+    if interpret is None:
+        interpret = _default_interpret()
+    b, lq, d = queries.shape
+    n = doc_scales.shape[0]
+    t = docs_per_tile or _pick_docs_per_tile(doc_len, b * lq)
+    if n % t != 0:
+        n_pad = t - n % t
+        emb_flat = jnp.pad(emb_flat, ((0, n_pad * doc_len), (0, 0)))
+        doc_scales = jnp.pad(doc_scales, (0, n_pad))
+        n_full = n + n_pad
+    else:
+        n_full = n
+    num_tiles = n_full // t
+    rows = t * doc_len
+    q_flat = queries.reshape(b * lq, d).astype(jnp.bfloat16)
+    sel = jnp.kron(jnp.eye(b, dtype=jnp.float32),
+                   jnp.ones((lq, 1), jnp.float32))      # (B*Lq, B)
+
+    out = pl.pallas_call(
+        functools.partial(_maxsim_int8_doc_kernel, docs_per_tile=t,
+                          doc_len=doc_len),
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((b * lq, d), lambda ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, d), lambda ti: (ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, 1), lambda ti: (ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b * lq, b), lambda ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((t, b), lambda ti: (ti, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_full, b), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(100 * 1024 * 1024),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n_full * doc_len * d * lq,
+            bytes_accessed=emb_flat.size + doc_scales.size * 4
+            + b * lq * d * 2 + b * n_full * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        q_flat,
+        emb_flat,
+        doc_scales.reshape(n_full, 1),
+        sel,
+    )
+    return out.T[:, :n]
 
 
 @functools.partial(

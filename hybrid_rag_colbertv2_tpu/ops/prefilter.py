@@ -45,13 +45,17 @@ def pooled_doc_embeddings(
     doc_lengths: jax.Array,          # (N_pad,) int32
     *,
     doc_len: int,
+    doc_scales: Optional[jax.Array] = None,  # (N_pad,) f32 for "int8-doc"
 ) -> jax.Array:                      # (N_pad, D) bf16, L2-normalized
     """Per-document L2-normalized mean token embedding (the proxy vectors).
 
-    Padded token rows are stored as zeros (index/dense.py zeroes them before
-    quantization), so a plain sum over the token axis is a sum over valid
-    tokens. Blocked with ``lax.map`` so a 1M-doc int8 index never
-    materializes in fp32 (build-time only; the result is ~N*D*2 bytes).
+    For float/"int8" layouts padded token rows are stored as zeros
+    (index/dense.py zeroes them before quantization), so a plain sum over
+    the token axis is a sum over valid tokens. The "int8-doc" layout
+    duplicates the doc's first row into padding instead, so that path masks
+    by ``doc_lengths`` explicitly. Blocked with ``lax.map`` so a 1M-doc
+    int8 index never materializes in fp32 (build-time only; the result is
+    ~N*D*2 bytes).
     """
     n_pad = doc_lengths.shape[0]
     d = emb_flat.shape[-1]
@@ -60,7 +64,20 @@ def pooled_doc_embeddings(
     block = math.gcd(n_pad, 128)
     n_blocks = n_pad // block
     embs = emb_flat.reshape(n_blocks, block, doc_len, d)
-    if scales is not None:
+    if doc_scales is not None:
+        dsc = doc_scales.reshape(n_blocks, block)
+        lens = doc_lengths.reshape(n_blocks, block)
+        tok = jnp.arange(doc_len, dtype=jnp.int32)
+
+        def fd(c):
+            e, s, ln = c
+            valid = (tok[None, :] < ln[:, None]).astype(jnp.float32)
+            summed = jnp.sum(e.astype(jnp.float32) * valid[..., None],
+                             axis=1)
+            return summed * s[:, None]
+
+        summed = jax.lax.map(fd, (embs, dsc, lens))
+    elif scales is not None:
         scs = scales.reshape(n_blocks, block, doc_len)
 
         def f(c):
@@ -101,6 +118,7 @@ def maxsim_topk_pruned(
     scales: Optional[jax.Array],     # (N_pad * L,) f32 when int8
     doc_lengths: jax.Array,          # (N_pad,) int32
     pooled: jax.Array,               # (N_pad, D) from pooled_doc_embeddings
+    doc_scales: Optional[jax.Array] = None,  # (N_pad,) f32 for "int8-doc"
     *,
     doc_len: int,
     n_docs: int,
@@ -145,6 +163,10 @@ def maxsim_topk_pruned(
             docs = embs3[ib].astype(jnp.float32)             # (cb, L, D)
             if scs2 is not None:
                 docs = docs * scs2[ib][..., None]
+            elif doc_scales is not None:
+                # "int8-doc": duplicated padding rows are masked by the
+                # lengths inside maxsim_scores_exact
+                docs = docs * doc_scales[ib][:, None, None]
             return maxsim_scores_exact(q[None], docs, doc_lengths[ib])[0]
         return jax.lax.map(score_block, ids.reshape(c // cb, cb)).reshape(c)
 

@@ -53,9 +53,12 @@ def shard_dense_index(dense: DenseTokenIndex, mesh: Mesh,
     lengths = jax.device_put(dense.doc_lengths, vec_sharding)
     scales = (jax.device_put(dense.scales, vec_sharding)
               if dense.scales is not None else None)
+    doc_scales = (jax.device_put(dense.doc_scales, vec_sharding)
+                  if dense.doc_scales is not None else None)
     pooled = (jax.device_put(dense.pooled, row_sharding)
               if dense.pooled is not None else None)
     return DenseTokenIndex(
         emb_flat=emb, doc_lengths=lengths, n_docs=dense.n_docs,
         doc_len=dense.doc_len, dim=dense.dim, scales=scales, pooled=pooled,
+        doc_scales=doc_scales,
     )

@@ -32,7 +32,8 @@ from ..index.dense import DenseTokenIndex
 from ..index.lexical import LexicalIndex
 from ..ops.bm25 import bm25_topk_device
 from ..ops.fusion import rrf_from_topk
-from ..ops.maxsim import maxsim_scores, maxsim_scores_exact, maxsim_scores_int8
+from ..ops.maxsim import (maxsim_scores, maxsim_scores_exact,
+                          maxsim_scores_int8, maxsim_scores_int8_doc)
 from ..ops.prefilter import approx_or_exact_topk, maxsim_topk_pruned
 from ..utils.logging import StageTimer, get_logger
 
@@ -48,6 +49,7 @@ def make_sharded_cascade(
     doc_len: int,
     max_postings: int,
     is_int8: bool,
+    has_doc_scales: bool = False,   # "int8-doc" layout (per-doc scales)
     k_each: int = 100,
     k_fuse: int = 50,
     k_final: int = 10,
@@ -77,22 +79,28 @@ def make_sharded_cascade(
         interpret = jax.default_backend() != "tpu"
 
     def body(q_emb, q_terms, indptr, post_docs, post_weights,
-             emb_flat_local, scales_local, doc_lengths_local, pooled_local):
+             emb_flat_local, scales_local, doc_lengths_local, pooled_local,
+             doc_scales_local):
         shard = jax.lax.axis_index(axis)
         offset = (shard * n_local).astype(jnp.int32)
+        dsc = doc_scales_local if has_doc_scales else None
 
         # --- stage 2 (sharded): local dense top-k -------------------------
         if prefilter > 0:
             lv, li = maxsim_topk_pruned(
                 q_emb, emb_flat_local,
                 scales_local if is_int8 else None,
-                doc_lengths_local, pooled_local,
+                doc_lengths_local, pooled_local, doc_scales=dsc,
                 doc_len=doc_len, n_docs=n_local,
                 n_candidates=prefilter, k=ke, approx_recall=approx_recall)
             gi = jnp.where(li >= 0, li + offset, -1).astype(jnp.int32)
             lv = jnp.where(li >= 0, lv, NEG_INF)
         else:
-            if is_int8:
+            if has_doc_scales:
+                ms_local = maxsim_scores_int8_doc(
+                    q_emb, emb_flat_local, doc_scales_local,
+                    doc_lengths_local, doc_len=doc_len, interpret=interpret)
+            elif is_int8:
                 ms_local = maxsim_scores_int8(
                     q_emb, emb_flat_local, scales_local, doc_lengths_local,
                     doc_len=doc_len, interpret=interpret)
@@ -134,6 +142,8 @@ def make_sharded_cascade(
             if is_int8:
                 sc = scales_local.reshape(n_local, doc_len)[cand]
                 docs = docs * sc[..., None]
+            elif has_doc_scales:
+                docs = docs * doc_scales_local[cand][..., None, None]
             lens = jnp.where(own, doc_lengths_local[cand], 0)
             s = maxsim_scores_exact(q[None], docs, lens)[0]
             return jnp.where(own, s, 0.0)
@@ -156,7 +166,8 @@ def make_sharded_cascade(
                   P(axis, None),
                   rep if not is_int8 else P(axis),
                   P(axis),
-                  P(axis, None)),
+                  P(axis, None),
+                  P(axis) if has_doc_scales else rep),
         out_specs=(rep, rep),
         check_vma=False,
     )
@@ -195,6 +206,7 @@ class ShardedRetriever:
             doc_len=dense.doc_len,
             max_postings=lexical.max_postings,
             is_int8=dense.is_int8,
+            has_doc_scales=dense.doc_scales is not None,
             k_each=min(config.bm25_top_k, dense.n_docs),
             k_fuse=min(config.fusion_candidates, dense.n_docs),
             k_final=min(config.final_top_k, config.fusion_candidates,
@@ -232,9 +244,13 @@ class ShardedRetriever:
                 else:  # placeholder; unused by the cascade
                     pooled = jnp.zeros((self.dense.n_pad, self.dense.dim),
                                        jnp.bfloat16)
+            doc_scales = self.dense.doc_scales
+            if doc_scales is None:
+                doc_scales = jnp.zeros((0,), jnp.float32)
             ids, scores = self._fn(
                 q_emb, q_terms, *self._lex_dev,
-                self.dense.emb_flat, scales, self.dense.doc_lengths, pooled)
+                self.dense.emb_flat, scales, self.dense.doc_lengths, pooled,
+                doc_scales)
             ids = np.asarray(ids)
             scores = np.asarray(scores)
         k = top_k_final or self.config.final_top_k

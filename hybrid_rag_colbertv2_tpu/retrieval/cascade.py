@@ -37,7 +37,8 @@ from ..index.lexical import LexicalIndex
 from ..index.manager import IndexManager
 from ..ops.bm25 import bm25_scores_device, bm25_topk_device
 from ..ops.fusion import rrf_from_topk
-from ..ops.maxsim import maxsim_scores, maxsim_scores_exact, maxsim_scores_int8
+from ..ops.maxsim import (maxsim_scores, maxsim_scores_exact,
+                          maxsim_scores_int8, maxsim_scores_int8_doc)
 from ..ops.prefilter import approx_or_exact_topk, maxsim_topk_pruned
 from ..utils.logging import StageTimer, get_logger
 
@@ -61,6 +62,7 @@ def hybrid_cascade(
     scales: Optional[jax.Array],
     doc_lengths: jax.Array,    # (N_pad,)
     pooled: Optional[jax.Array] = None,  # (N_pad, D) — required if prefilter
+    doc_scales: Optional[jax.Array] = None,  # (N_pad,) for "int8-doc"
     *,
     n_docs: int,
     max_postings: int,
@@ -83,10 +85,13 @@ def hybrid_cascade(
     if prefilter > 0:
         ms_vals, ms_ids = maxsim_topk_pruned(
             q_emb, emb_flat, scales if is_int8 else None, doc_lengths,
-            pooled, doc_len=doc_len, n_docs=n_docs,
+            pooled, doc_scales=doc_scales, doc_len=doc_len, n_docs=n_docs,
             n_candidates=prefilter, k=ke, approx_recall=approx_recall)
     else:
-        if is_int8:
+        if doc_scales is not None:
+            ms = maxsim_scores_int8_doc(q_emb, emb_flat, doc_scales,
+                                        doc_lengths, doc_len=doc_len)
+        elif is_int8:
             ms = maxsim_scores_int8(q_emb, emb_flat, scales, doc_lengths,
                                     doc_len=doc_len)
         else:
@@ -116,6 +121,8 @@ def hybrid_cascade(
         if is_int8:
             sc = scales.reshape(n_pad, doc_len)[cand]
             docs = docs * sc[..., None]
+        elif doc_scales is not None:
+            docs = docs * doc_scales[cand][..., None, None]
         lens = jnp.where(live, doc_lengths[cand], 0)
         return maxsim_scores_exact(q[None], docs, lens)[0]
 
@@ -221,6 +228,7 @@ class HybridRetriever:
                 self._lex_dev["post_weights"],
                 dense.emb_flat, dense.scales, dense.doc_lengths,
                 dense.ensure_pooled() if prefilter > 0 else None,
+                dense.doc_scales,
                 prefilter=prefilter,
                 n_docs=dense.n_docs,
                 max_postings=lex.max_postings,

@@ -34,8 +34,86 @@ from hybrid_rag_colbertv2_tpu.utils.timing import (  # noqa: E402
 )
 
 
+def probe_flagship(args) -> int:
+    """Instantiate the full jina-colbert-v2 geometry (24L/1024H, 560M
+    params — the encoder the reference loads, local_rag_complete.py:718-724)
+    with random weights and measure query-encode latency, corpus-encode
+    throughput, and HBM footprint on the current backend."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hybrid_rag_colbertv2_tpu.models.colbert import (
+        ColBERTConfig, ColBERTModel)
+
+    backend = jax.default_backend()
+    cfg = ColBERTConfig.jina_colbert_v2(dtype=jnp.dtype(args.encoder_dtype))
+    model = ColBERTModel(cfg)
+    log(f"flagship: {cfg.num_layers}L H={cfg.hidden_size} vocab="
+        f"{cfg.vocab_size} act-dtype={args.encoder_dtype} backend={backend}")
+
+    t0 = time.perf_counter()
+    init = jax.jit(lambda r: model.init(
+        r, jnp.zeros((1, 8), jnp.int32), jnp.ones((1, 8), jnp.int32)
+    )["params"])
+    params = init(jax.random.PRNGKey(0))
+    leaves = jax.tree_util.tree_leaves(params)
+    jax.block_until_ready(leaves[0])
+    n_params = sum(x.size for x in leaves)
+    param_bytes = sum(x.size * x.dtype.itemsize for x in leaves)
+    log(f"init: {time.perf_counter() - t0:.1f}s  params={n_params / 1e6:.0f}M"
+        f" ({param_bytes / 2**30:.2f} GiB)")
+
+    apply = jax.jit(lambda p, ids, mask: model.apply(
+        {"params": p}, ids, mask))
+    rng = np.random.default_rng(0)
+
+    def mem_mb():
+        try:
+            st = jax.local_devices()[0].memory_stats()
+            return round(st.get("bytes_in_use", 0) / 2**20)
+        except Exception:
+            return None
+
+    # query path: (batch, 32) with all-live masks (ColBERT augmentation)
+    qids = jnp.asarray(rng.integers(
+        4, cfg.vocab_size, size=(args.batch, cfg.query_max_tokens)),
+        jnp.int32)
+    qmask = jnp.ones_like(qids)
+    p50, p90 = _timeit(lambda: apply(params, qids, qmask), args.iters)
+    print(json.dumps({
+        "stage": "flagship_encode_query", "p50_ms": round(p50, 2),
+        "p90_ms": round(p90, 2), "batch": args.batch,
+        "params_m": round(n_params / 1e6), "dtype": args.encoder_dtype,
+        "backend": backend, "hbm_mb": mem_mb()}), flush=True)
+
+    # doc path: (doc_batch, doc_len); throughput = docs/s
+    dlen = args.doc_len if args.doc_len != 128 else cfg.doc_max_tokens
+    dbatch = args.flagship_doc_batch
+    dids = jnp.asarray(rng.integers(4, cfg.vocab_size, size=(dbatch, dlen)),
+                       jnp.int32)
+    dmask = jnp.ones_like(dids)
+    p50, p90 = _timeit(lambda: apply(params, dids, dmask),
+                       max(2, args.iters // 4))
+    toks = dbatch * dlen
+    flops = 2.0 * n_params * toks  # dense-matmul estimate (excl. attention)
+    print(json.dumps({
+        "stage": "flagship_encode_docs", "p50_ms": round(p50, 2),
+        "p90_ms": round(p90, 2), "doc_batch": dbatch, "doc_len": dlen,
+        "docs_per_sec": round(dbatch / (p50 / 1e3), 1),
+        "tokens_per_sec": round(toks / (p50 / 1e3)),
+        "approx_tflops": round(flops / (p50 / 1e3) / 1e12, 1),
+        "dtype": args.encoder_dtype, "backend": backend,
+        "hbm_mb": mem_mb()}), flush=True)
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--flagship", action="store_true",
+                    help="measure the full 560M jina-colbert-v2 geometry "
+                         "(random weights) instead of the cascade probe")
+    ap.add_argument("--flagship-doc-batch", type=int, default=32)
     ap.add_argument("--n-docs", type=int, default=None)
     ap.add_argument("--doc-len", type=int, default=128)
     ap.add_argument("--dim", type=int, default=128)
@@ -56,6 +134,9 @@ def main(argv=None) -> int:
                          "batch to DIR (utils/profiling.py)")
     args = ap.parse_args(argv)
 
+    if args.flagship:
+        return probe_flagship(args)
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -72,7 +153,8 @@ def main(argv=None) -> int:
         ColBERTConfig, ColBERTEncoder)
     from hybrid_rag_colbertv2_tpu.models.tokenizer import ColBERTTokenizer
     from hybrid_rag_colbertv2_tpu.ops.bm25 import bm25_scores_device
-    from hybrid_rag_colbertv2_tpu.ops.maxsim import maxsim_scores_int8
+    from hybrid_rag_colbertv2_tpu.ops.maxsim import (
+        maxsim_scores_int8, maxsim_scores_int8_doc)
     from hybrid_rag_colbertv2_tpu.ops.prefilter import (
         maxsim_topk_pruned, pooled_doc_embeddings)
     from hybrid_rag_colbertv2_tpu.retrieval.cascade import hybrid_cascade
@@ -165,6 +247,13 @@ def main(argv=None) -> int:
         emit("dense_scan_brute_int8", *_timeit(
             lambda: maxsim_scores_int8(
                 q_emb, q8, scales, lens_dev, doc_len=doc_len),
+            args.iters))
+        # per-document-scale layout ("int8-doc"): same embedding bytes,
+        # (N,) scales; dup-row contract doesn't change kernel cost
+        dscales = jnp.max(scales.reshape(n_pad, doc_len), axis=1)
+        emit("dense_scan_brute_int8doc", *_timeit(
+            lambda: maxsim_scores_int8_doc(
+                q_emb, q8, dscales, lens_dev, doc_len=doc_len),
             args.iters))
     emit(f"dense_pruned_C{args.prefilter}", *_timeit(
         lambda: maxsim_topk_pruned(

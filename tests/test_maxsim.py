@@ -10,8 +10,12 @@ from hybrid_rag_colbertv2_tpu.ops.maxsim import (
     maxsim_scores,
     maxsim_scores_exact,
     maxsim_scores_int8,
+    maxsim_scores_int8_doc,
 )
-from hybrid_rag_colbertv2_tpu.ops.quant import quantize_int8_rows
+from hybrid_rag_colbertv2_tpu.ops.quant import (
+    quantize_int8_docs,
+    quantize_int8_rows,
+)
 
 
 def _make_case(rng, n=40, l=64, d=128, b=2, lq=32):
@@ -79,6 +83,51 @@ def test_pallas_int8_close_and_rank_preserving(rng):
     top_ref = set(np.argsort(-np.asarray(ref)[0])[:10].tolist())
     top_got = set(np.argsort(-np.asarray(got)[0])[:10].tolist())
     assert len(top_ref & top_got) >= 9
+
+
+def test_pallas_int8_doc_matches_dequantized_oracle(rng):
+    """VERDICT r1 #9: per-document-scale layout. The kernel (duplicated
+    padding rows, no mask bias, dequant after the max) must match the
+    exact oracle run on the dequantized values EXACTLY (same arithmetic,
+    different order only)."""
+    q, docs, lengths = _make_case(rng, n=64, l=64)
+    n, l, d = docs.shape
+    qv, dscales = quantize_int8_docs(docs, lengths)
+    got = maxsim_scores_int8_doc(q, qv, dscales, lengths, doc_len=l)
+
+    # oracle: dequantize per doc, mask duplicated rows via lengths
+    deq = (np.asarray(qv).reshape(n, l, d).astype(np.float32)
+           * np.asarray(dscales)[:, None, None])
+    ref = maxsim_scores_exact(q, jnp.asarray(deq), lengths)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+    # and close to the fp32 truth (coarser than per-row int8, still ~1%)
+    truth = maxsim_scores_exact(q, docs, lengths)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(truth),
+                               rtol=0.08, atol=0.08)
+    top_ref = set(np.argsort(-np.asarray(truth)[0])[:10].tolist())
+    top_got = set(np.argsort(-np.asarray(got)[0])[:10].tolist())
+    assert len(top_ref & top_got) >= 9
+
+
+def test_int8_doc_duplicated_rows_never_change_max(rng):
+    """A doc whose true max sits on its LAST valid token must score the
+    same as one padded with duplicates of token 0 (the layout trick)."""
+    q, docs, lengths = _make_case(rng, n=8, l=16)
+    lengths = jnp.full_like(lengths, 5)   # short docs, lots of padding
+    tok = np.arange(16)
+    docs = docs * (tok[None, :, None] < 5)
+    qv, dscales = quantize_int8_docs(docs, lengths)
+    qv3 = np.asarray(qv).reshape(8, 16, -1)
+    # layout contract: rows >= length are copies of row 0
+    np.testing.assert_array_equal(qv3[:, 5:, :],
+                                  np.broadcast_to(qv3[:, 0:1, :],
+                                                  qv3[:, 5:, :].shape))
+    got = maxsim_scores_int8_doc(q, qv, dscales, lengths, doc_len=16)
+    deq = qv3.astype(np.float32) * np.asarray(dscales)[:, None, None]
+    ref = maxsim_scores_exact(q, jnp.asarray(deq), lengths)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
 
 
 def test_zero_length_docs_never_score(rng):
