@@ -196,19 +196,29 @@ class RAGApplication:
     def _bind_retriever(self, use_mesh: Optional[bool] = None) -> None:
         """Stand up retriever + chatbot over the CURRENT self.indexes
         (no disk reload)."""
+        from ..index.bucketed import BucketedDenseIndex as _BDI
         from ..index.dense import DenseTokenIndex as _DTI
 
         n_dev = len(jax.devices())
         if use_mesh is None:
-            use_mesh = n_dev > 1 and isinstance(self.indexes.dense, _DTI)
+            use_mesh = n_dev > 1
         if use_mesh and n_dev > 1:
-            from ..parallel.mesh import make_mesh, shard_dense_index
-            from ..parallel.sharded import ShardedRetriever
+            from ..parallel.mesh import (make_mesh, shard_bucketed_index,
+                                         shard_dense_index)
+            from ..parallel.sharded import (ShardedBucketedRetriever,
+                                            ShardedRetriever)
             mesh = make_mesh(self.config.mesh)
-            dense = shard_dense_index(self.indexes.dense, mesh)
-            sharded = ShardedRetriever(
-                self.config, mesh, self.indexes.lexical, dense,
-                self.encoder, chunk_store=self.store)
+            if isinstance(self.indexes.dense, _BDI):
+                bucketed = shard_bucketed_index(self.indexes.dense, mesh)
+                sharded = ShardedBucketedRetriever(
+                    self.config, mesh, self.indexes.lexical, bucketed,
+                    self.encoder, chunk_store=self.store)
+            else:
+                assert isinstance(self.indexes.dense, _DTI)
+                dense = shard_dense_index(self.indexes.dense, mesh)
+                sharded = ShardedRetriever(
+                    self.config, mesh, self.indexes.lexical, dense,
+                    self.encoder, chunk_store=self.store)
             self.retriever = _ShardedAdapter(sharded, self.store,
                                              self.config)
             log.info("Sharded retriever over %s mesh", dict(mesh.shape))

@@ -32,7 +32,10 @@ from .dense import DenseTokenIndex
 @dataclass
 class BucketedDenseIndex:
     buckets: List[DenseTokenIndex]      # one per length bucket (ascending L)
-    global_ids: List[jax.Array]         # per bucket: (n_b,) int32 corpus ids
+    # per bucket: (n_pad_b,) int32 corpus ids, -1 in padding rows — padded
+    # to the sub-index's doc capacity so the doc axis shards evenly
+    # (parallel/mesh.py::shard_bucketed_index)
+    global_ids: List[jax.Array]
     bucket_of: jax.Array                # (N,) int32 bucket index per doc
     row_of: jax.Array                   # (N,) int32 row within its bucket
     n_docs: int
@@ -73,7 +76,9 @@ class BucketedDenseIndex:
             bucket_of[rows] = len(buckets)
             row_of[rows] = np.arange(rows.size, dtype=np.int32)
             buckets.append(sub)
-            gids.append(jnp.asarray(rows.astype(np.int32)))
+            gid = np.full((sub.n_pad,), -1, np.int32)
+            gid[: rows.size] = rows.astype(np.int32)
+            gids.append(jnp.asarray(gid))
             kept.append(size)
         return cls(
             buckets=buckets,
@@ -103,7 +108,7 @@ class BucketedDenseIndex:
         out = jnp.full((b, self.n_docs), -1e30, jnp.float32)
         for sub, gid in zip(self.buckets, self.global_ids):
             s = sub.search_scores(queries)          # (B, n_b)
-            out = out.at[:, gid].set(s)
+            out = out.at[:, gid[: sub.n_docs]].set(s)
         return out
 
     # ------------------------------------------------------------------
@@ -151,6 +156,9 @@ class BucketedDenseIndex:
             if sub.is_int8:
                 sc = sub.scales.reshape(sub.n_pad, sub.doc_len)[rows]
                 g = g * sc[..., None]
+            elif sub.doc_scales is not None:
+                # "int8-doc": duplicated padding rows are masked by lens
+                g = g * sub.doc_scales[rows][:, None, None]
             if sub.doc_len < l_max:
                 g = jnp.pad(g, ((0, 0), (0, l_max - sub.doc_len), (0, 0)))
             sel = (my_bucket == bi) & (ids >= 0)
@@ -183,9 +191,13 @@ class BucketedDenseIndex:
         arrs = np.load(path / "mapping.npz")
         buckets, gids = [], []
         for i in range(meta["n_buckets"]):
-            buckets.append(DenseTokenIndex.load(path / f"bucket_{i}"))
-            gids.append(jnp.asarray(
-                np.load(path / f"bucket_{i}" / "global_ids.npy")))
+            sub = DenseTokenIndex.load(path / f"bucket_{i}")
+            buckets.append(sub)
+            gid = np.load(path / f"bucket_{i}" / "global_ids.npy")
+            if gid.size < sub.n_pad:   # pre-padding-era saves
+                gid = np.pad(gid, (0, sub.n_pad - gid.size),
+                             constant_values=-1)
+            gids.append(jnp.asarray(gid))
         return cls(buckets=buckets, global_ids=gids,
                    bucket_of=jnp.asarray(arrs["bucket_of"]),
                    row_of=jnp.asarray(arrs["row_of"]),

@@ -18,6 +18,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import MeshConfig
+from ..index.bucketed import BucketedDenseIndex
 from ..index.dense import DenseTokenIndex
 
 
@@ -61,4 +62,23 @@ def shard_dense_index(dense: DenseTokenIndex, mesh: Mesh,
         emb_flat=emb, doc_lengths=lengths, n_docs=dense.n_docs,
         doc_len=dense.doc_len, dim=dense.dim, scales=scales, pooled=pooled,
         doc_scales=doc_scales,
+    )
+
+
+def shard_bucketed_index(bidx: BucketedDenseIndex, mesh: Mesh,
+                         axis: str = "data") -> BucketedDenseIndex:
+    """Shard every bucket's doc axis over ``axis``; the per-bucket
+    ``global_ids`` (padded to each sub-index's capacity, -1 in padding)
+    shard identically so each shard maps its local rows to global corpus
+    ids without communication. bucket_of/row_of stay replicated (they are
+    (N,) int32 — tiny)."""
+    vec_sharding = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    subs = [shard_dense_index(b, mesh, axis) for b in bidx.buckets]
+    gids = [jax.device_put(g, vec_sharding) for g in bidx.global_ids]
+    return BucketedDenseIndex(
+        buckets=subs, global_ids=gids,
+        bucket_of=jax.device_put(bidx.bucket_of, rep),
+        row_of=jax.device_put(bidx.row_of, rep),
+        n_docs=bidx.n_docs,
     )

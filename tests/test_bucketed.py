@@ -91,6 +91,54 @@ def test_single_bucket_degenerates(data):
                                rtol=3e-3, atol=3e-3)
 
 
+@pytest.mark.parametrize("dtype", ["int8", "int8-doc"])
+@pytest.mark.parametrize("prefilter", [0, 16])
+def test_bucketed_sharded_equals_single_device(dtype, prefilter):
+    """VERDICT r1 next #8: bucketed x sharded composition. The one-jit
+    sharded bucketed cascade on the 8-device mesh must return the same
+    results as the single-device bucketed cascade."""
+    import jax
+    from hybrid_rag_colbertv2_tpu.config import MeshConfig, RAGConfig
+    from hybrid_rag_colbertv2_tpu.index.lexical import LexicalIndex
+    from hybrid_rag_colbertv2_tpu.index.manager import IndexManager
+    from hybrid_rag_colbertv2_tpu.models.colbert import (
+        ColBERTConfig, ColBERTEncoder)
+    from hybrid_rag_colbertv2_tpu.models.tokenizer import ColBERTTokenizer
+    from hybrid_rag_colbertv2_tpu.parallel.mesh import (
+        make_mesh, shard_bucketed_index)
+    from hybrid_rag_colbertv2_tpu.parallel.sharded import (
+        ShardedBucketedRetriever)
+    from hybrid_rag_colbertv2_tpu.retrieval.cascade import HybridRetriever
+
+    corpus = ([f"short doc {i} topic {i % 7}" for i in range(80)]
+              + [f"long document {i} about topic {i % 7} "
+                 + " ".join(f"w{j}" for j in range(40)) for i in range(48)])
+    tok = ColBERTTokenizer.train_bpe(corpus, vocab_size=512)
+    enc = ColBERTEncoder(
+        ColBERTConfig.tiny(vocab_size=tok.vocab_size, colbert_dim=128),
+        tok, seed=0)
+    cfg = RAGConfig(final_top_k=5, fusion_candidates=16,
+                    dense_prefilter=prefilter)
+    lex = LexicalIndex.build(corpus)
+    embs, lengths = enc.encode_docs(corpus, doc_len=64)
+    bidx = BucketedDenseIndex.build(embs, lengths, bucket_sizes=(16, 64),
+                                    dtype=dtype, docs_pad_multiple=16)
+    assert len(bidx.buckets) == 2
+
+    mgr = IndexManager.__new__(IndexManager)
+    mgr.lexical, mgr.dense, mgr.corpus = lex, bidx, corpus
+    single = HybridRetriever(cfg, mgr, enc)
+    queries = ["topic 3 w12", "short doc 41"]
+    ids1, sc1 = single.retrieve_batch(queries)
+
+    mesh = make_mesh(MeshConfig(mesh_shape=(8, 1)))
+    sharded = ShardedBucketedRetriever(
+        cfg, mesh, lex, shard_bucketed_index(bidx, mesh), enc)
+    ids2, sc2 = sharded.retrieve_batch(queries)
+    np.testing.assert_array_equal(ids1, ids2)
+    np.testing.assert_allclose(sc1, sc2, rtol=1e-4, atol=1e-4)
+
+
 def test_dense_append_matches_full_build():
     """Incremental append must give the same index as building from the
     full corpus (same layout, same quantization — row-wise, so per-doc
