@@ -250,6 +250,52 @@ def main():
         log(f"recall measurement skipped: {type(e).__name__}: {e}")
     signal.alarm(0)
 
+    # --- REAL-DATA quality pass (VERDICT r1 #5): a deterministic natural-
+    # English markdown corpus through the FULL app pipeline (chunker ->
+    # SQLite store -> ICT-trained encoder -> dual device index), then
+    # hit@10 / agreement@10 from tools/eval_recall.evaluate — retrieval
+    # quality on real text, not synthetic embeddings. Watchdogged; the
+    # headline JSON is already on stdout.
+    signal.alarm(560)
+    try:
+        if os.environ.get("HRAG_BENCH_REALDATA", "1") == "0":
+            raise RuntimeError("disabled via HRAG_BENCH_REALDATA=0")
+        # release the big synthetic index before the app allocates
+        del q8, scales, dense, pooled
+
+        import tempfile
+
+        from hybrid_rag_colbertv2_tpu.app.application import RAGApplication
+        from hybrid_rag_colbertv2_tpu.config import RAGConfig
+        from hybrid_rag_colbertv2_tpu.tools.eval_recall import evaluate
+        from hybrid_rag_colbertv2_tpu.tools.sample_corpus import write_corpus
+
+        t0 = time.perf_counter()
+        with tempfile.TemporaryDirectory() as td:
+            paths = write_corpus(f"{td}/docs", n_docs=20, seed=0)
+            cfg2 = RAGConfig(
+                db_path=f"{td}/rag.db",
+                bm25_index_path=f"{td}/idx/bm25",
+                colbert_index_path=f"{td}/idx/colbert",
+                tokenizer_path=f"{td}/idx/tok.json",
+                images_dir=f"{td}/img",
+                min_chunk_size=48, max_chunk_size=96,
+                doc_max_tokens=128,
+                encoder_train_steps=128 if on_tpu else 8,
+                dense_prefilter=prefilter,
+                bm25_postings_cap=postings_cap,
+            )
+            app = RAGApplication(cfg2, use_ollama=False)
+            app.index_documents([str(p) for p in paths])
+            res = evaluate(app, n_queries=32, k=10, batch=8,
+                           measure_latency=False)
+            log(f"REAL-DATA eval ({len(paths)} markdown docs, ICT-trained "
+                f"encoder, production knobs, "
+                f"{time.perf_counter() - t0:.0f}s): {json.dumps(res)}")
+    except Exception as e:
+        log(f"real-data eval skipped: {type(e).__name__}: {e}")
+    signal.alarm(0)
+
 
 if __name__ == "__main__":
     main()

@@ -160,6 +160,14 @@ class RAGApplication:
         # batch must not exceed the number of distinct docs — in-batch
         # negatives with duplicated positives make the labels ambiguous
         bs = max(2, min(16, len(corpus)))
+        # cap effective epochs: a fresh encoder already ranks by exact
+        # token overlap (shared tokens share embeddings); moderate
+        # contrastive training adds semantics, but overtraining tiny
+        # corpora collapses the representation into per-batch clusters and
+        # destroys that lexical prior (measured: a 3-doc corpus ranks 3/3
+        # at ~6 epochs, 0-1/3 at 30+ epochs)
+        max_epochs = 6
+        steps = min(steps, max(1, -(-max_epochs * len(pairs) // bs)))
         trainer = ColBERTTrainer(
             self.encoder,
             TrainConfig(steps=steps, batch_size=bs,

@@ -63,6 +63,11 @@ class RAGConfig:
     min_chunk_size: int = 256
     max_chunk_size: int = 1024
     chunk_overlap: int = 128
+    # Level-1 headings always become standalone chunks — the documented
+    # behavior of the reference's standalone chunker variant
+    # (markdown_chunking_strategy.py:142); exposed here so the app-level
+    # pipeline applies it by default instead of silently dropping it.
+    chunk_level1_standalone: bool = True
 
     # Retrieval (local_rag_complete.py:68-70; candidate depth of 50 is
     # hard-coded at local_rag_complete.py:916 — here it's a config field)
@@ -75,13 +80,19 @@ class RAGConfig:
     # prefilter to this many candidates, exact MaxSim only on those.
     # 0 = brute-force full MaxSim scan (exact). Rule of thumb: 8-16x the
     # dense top-k (colbert_top_k) keeps recall ~1.0 while cutting the dense
-    # stage's HBM traffic by ~doc_len.
-    dense_prefilter: int = 0
+    # stage's HBM traffic by ~doc_len. DEFAULT IS THE PRODUCTION CASCADE
+    # (the benched path): at corpora <= this value the prefilter covers
+    # every document, so the search degenerates to the exact scan — small
+    # corpora lose nothing, large ones get the fast path out of the box.
+    # Measured quality-neutral on real text: agreement@10 = 1.0 vs the
+    # exact cascade (bench.py real-data eval).
+    dense_prefilter: int = 1024
     # >0: truncate each term's postings to its N highest-weight entries at
     # build time (idf from true df). The device BM25 scan is
     # O(B*Q*max_postings); common low-idf terms otherwise dominate it at
-    # large corpus scale. 0 = exact.
-    bm25_postings_cap: int = 0
+    # large corpus scale. 0 = exact. Exact whenever every term's document
+    # frequency <= the cap (always true for small corpora).
+    bm25_postings_cap: int = 512
     # Per-element recall target for candidate top-k selection
     # (jax.lax.approx_max_k — 30x faster than full top_k at (8, 1M) on
     # TPU). Applies only when k <= n/8; exact fp32 rerank always follows,

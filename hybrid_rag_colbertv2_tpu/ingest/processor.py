@@ -51,6 +51,8 @@ class DocumentProcessor:
                 min_tokens=config.min_chunk_size,
                 max_tokens=config.max_chunk_size,
                 overlap_tokens=config.chunk_overlap,
+                level1_standalone=getattr(
+                    config, "chunk_level1_standalone", True),
             ),
             count_tokens=count_tokens,
         )

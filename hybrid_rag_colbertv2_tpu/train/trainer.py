@@ -36,7 +36,12 @@ class TrainConfig:
     weight_decay: float = 0.01
     batch_size: int = 16          # global batch (must divide by mesh 'data')
     doc_len: int = 64
-    temperature: float = 0.05
+    # softmax temperature over the (B, B) MaxSim score matrix. MaxSim sums
+    # over ~32 query tokens, so raw scores already span tens of units —
+    # sharpening further (e.g. 0.05) turns the softmax into a hard argmax
+    # whose gradients carry no ranking signal (measured: acc stuck at
+    # chance after 120 steps at 0.05; 0.76 and climbing at 1.0).
+    temperature: float = 1.0
     steps: int = 100
     warmup_steps: int = 10
     seed: int = 0
