@@ -70,33 +70,81 @@ class RAGApplication:
         return base / "encoder_params.npz", base / "encoder_config.json"
 
     def _make_encoder(self, corpus: Sequence[str]) -> ColBERTEncoder:
-        """Build (or load) tokenizer + encoder, persisted with the index."""
-        cfg = self.config
-        tok_path = Path(cfg.tokenizer_path)
-        if tok_path.exists():
-            tokenizer = ColBERTTokenizer.load(tok_path)
-        else:
-            tokenizer = ColBERTTokenizer.train_bpe(
-                corpus or ["placeholder corpus"],
-                vocab_size=cfg.tokenizer_vocab_size)
-            tokenizer.save(tok_path)
+        """Build (or load) tokenizer + encoder, persisted with the index.
 
+        With ``encoder_checkpoint`` pointing at a local HF checkpoint dir
+        (e.g. a downloaded jinaai/jina-colbert-v2), everything comes from
+        the checkpoint: the tokenizer (its tokenizer.json — vocab ids MUST
+        match the embedding table), the geometry/rotary settings (its
+        config.json via models/convert.colbert_config_from_hf), and the
+        weights (convert_hf_dir, both vanilla and rotary-flash namings).
+        Otherwise: self-contained mode — corpus-trained BPE + preset
+        geometry + random init (optionally ICT-trained)."""
+        cfg = self.config
         import jax.numpy as jnp
 
-        enc_cfg = _PRESETS[cfg.encoder_preset](
-            vocab_size=max(tokenizer.vocab_size, 8),
-            query_max_tokens=cfg.query_max_tokens,
-            doc_max_tokens=cfg.doc_max_tokens,
-            # activations dtype; params stay fp32. bf16 roughly doubles
-            # MXU throughput for corpus encoding (the indexing hot loop)
-            dtype=jnp.dtype(getattr(cfg, "encoder_dtype", "float32")),
-        )
+        ckpt = Path(cfg.encoder_checkpoint) if cfg.encoder_checkpoint \
+            else None
+        tokenizer = None
+        if ckpt is not None and (ckpt / "tokenizer.json").exists():
+            tokenizer = ColBERTTokenizer.load(ckpt / "tokenizer.json")
+            log.info("Tokenizer loaded from checkpoint %s (vocab %d)",
+                     ckpt, tokenizer.vocab_size)
+        if tokenizer is None:
+            tok_path = Path(cfg.tokenizer_path)
+            if tok_path.exists():
+                tokenizer = ColBERTTokenizer.load(tok_path)
+            else:
+                tokenizer = ColBERTTokenizer.train_bpe(
+                    corpus or ["placeholder corpus"],
+                    vocab_size=cfg.tokenizer_vocab_size)
+                tokenizer.save(tok_path)
+
+        enc_dtype = jnp.dtype(getattr(cfg, "encoder_dtype", "float32"))
+        enc_cfg = None
+        if ckpt is not None and (ckpt / "config.json").exists():
+            from ..models.convert import colbert_config_from_hf
+            enc_cfg = colbert_config_from_hf(
+                str(ckpt),
+                query_max_tokens=cfg.query_max_tokens,
+                doc_max_tokens=cfg.doc_max_tokens,
+                dtype=enc_dtype,
+            )
+            log.info("Encoder geometry from checkpoint config.json: "
+                     "%dL H=%d %s", enc_cfg.num_layers, enc_cfg.hidden_size,
+                     enc_cfg.position_embedding)
+        if enc_cfg is None:
+            enc_cfg = _PRESETS[cfg.encoder_preset](
+                vocab_size=max(tokenizer.vocab_size, 8),
+                query_max_tokens=cfg.query_max_tokens,
+                doc_max_tokens=cfg.doc_max_tokens,
+                # activations dtype; params stay fp32. bf16 roughly doubles
+                # MXU throughput for corpus encoding (the indexing hot loop)
+                dtype=enc_dtype,
+            )
         params = None
-        if cfg.encoder_checkpoint:
+        if ckpt is not None:
+            import dataclasses as _dc
+
             from ..models.convert import convert_hf_dir
-            params = convert_hf_dir(cfg.encoder_checkpoint, enc_cfg)
-            log.info("Encoder weights converted from %s",
-                     cfg.encoder_checkpoint)
+            params = convert_hf_dir(str(ckpt), enc_cfg)
+            if "colbert_linear" in params:
+                # the projection head's true output dim wins over the
+                # config default (config.json describes the backbone only)
+                dim = int(params["colbert_linear"]["kernel"].shape[1])
+                if dim != enc_cfg.colbert_dim:
+                    enc_cfg = _dc.replace(enc_cfg, colbert_dim=dim)
+            if "colbert_linear" not in params:
+                # backbone-only checkpoint: random projection head (the
+                # backbone still carries the semantics; the head is a
+                # random rotation of it)
+                import jax
+                rng = jax.random.PRNGKey(cfg.encoder_seed)
+                params["colbert_linear"] = {"kernel": 0.02 * jax.random.normal(
+                    rng, (enc_cfg.hidden_size, enc_cfg.colbert_dim))}
+                log.warning("checkpoint has no projection head — "
+                            "random-initialized colbert_linear")
+            log.info("Encoder weights converted from %s", ckpt)
         params_path, cfg_path = self._encoder_paths()
         if params is None and params_path.exists():
             params = ColBERTEncoder.load_params(str(params_path))

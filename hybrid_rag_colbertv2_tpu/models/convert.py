@@ -229,6 +229,8 @@ def colbert_config_from_hf(model_dir: str, **overrides) -> ColBERTConfig:
         position_embedding="rope" if rotary else "learned",
         rope_base=float(hf.get("rotary_emb_base", 10000.0)),
         rope_interleaved=bool(hf.get("rotary_emb_interleaved", False)),
+        # ColBERT wrapper configs sometimes carry the projection dim
+        colbert_dim=int(hf.get("dim", 128)),
     )
     kw.update(overrides)
     return ColBERTConfig(**kw)

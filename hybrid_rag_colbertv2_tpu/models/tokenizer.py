@@ -54,8 +54,22 @@ class ColBERTTokenizer:
                               ("</s>", self.eos), ("<mask>", self.mask)]:
                 if tid is None:
                     raise ValueError(f"tokenizer missing special token {name}")
-            # pretrained checkpoints may lack [Q]/[D]; fall back to unused
-            # ids at the end of the vocab (official ColBERT uses [unused0/1])
+            # pretrained checkpoints name their markers differently: try
+            # the known conventions before falling back to <mask> (official
+            # BERT ColBERT uses [unused0/1]; some XLM-R ColBERTs add
+            # explicit marker tokens)
+            if self.qmark is None:
+                for name in ("[QueryMarker]", "[unused0]", "[Q] "):
+                    tid = tok.token_to_id(name)
+                    if tid is not None:
+                        self.qmark = tid
+                        break
+            if self.dmark is None:
+                for name in ("[DocumentMarker]", "[unused1]", "[D] "):
+                    tid = tok.token_to_id(name)
+                    if tid is not None:
+                        self.dmark = tid
+                        break
             if self.qmark is None:
                 self.qmark = self.mask
             if self.dmark is None:

@@ -77,6 +77,34 @@ def _t_pallas_int8() -> str:
     return f"int8 MaxSim kernel max|err|={err:.2e}"
 
 
+def _t_pallas_int8_doc() -> str:
+    """Compiled "int8-doc" kernel (per-document scales, duplicated padding
+    rows, dequant after the max) vs exact fp32 on dequantized values."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hybrid_rag_colbertv2_tpu.index.dense import DenseTokenIndex
+    from hybrid_rag_colbertv2_tpu.ops.maxsim import (
+        maxsim_scores_exact, maxsim_scores_int8_doc)
+
+    rng = np.random.default_rng(2)
+    toks = rng.standard_normal((16, 32, 128)).astype(np.float32)
+    toks /= np.linalg.norm(toks, axis=-1, keepdims=True)
+    lengths = rng.integers(16, 33, 16).astype(np.int32)
+    idx = DenseTokenIndex.build(jnp.asarray(toks), jnp.asarray(lengths),
+                                doc_len=32, dtype="int8-doc")
+    q = rng.standard_normal((2, 32, 128)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    deq = (idx.emb_flat.reshape(idx.n_pad, 32, 128).astype(jnp.float32)
+           * idx.doc_scales[:, None, None])
+    ref = maxsim_scores_exact(jnp.asarray(q), deq, idx.doc_lengths)
+    got = maxsim_scores_int8_doc(jnp.asarray(q), idx.emb_flat,
+                                 idx.doc_scales, idx.doc_lengths, doc_len=32)
+    err = float(jnp.max(jnp.abs(got[:, :16] - ref[:, :16])))
+    assert err < 0.2, err
+    return f"int8-doc MaxSim kernel max|err|={err:.2e}"
+
+
 def _t_bm25() -> str:
     # behavioral parity with the reference's Test 1
     # (model_downloader_simplified.py:118-127): 2-doc index + query
@@ -131,6 +159,7 @@ TESTS: List[Tuple[str, Callable[[], str]]] = [
     ("jax backend", _t_jax),
     ("pallas maxsim", _t_pallas),
     ("pallas maxsim int8", _t_pallas_int8),
+    ("pallas maxsim int8-doc", _t_pallas_int8_doc),
     ("bm25 end-to-end", _t_bm25),
     ("tokenizer", _t_tokenizer),
     ("encoder", _t_encoder),
@@ -146,9 +175,14 @@ def main(argv=None) -> int:
             return 2
         from hybrid_rag_colbertv2_tpu.models.colbert import (
             ColBERTConfig, ColBERTEncoder)
-        from hybrid_rag_colbertv2_tpu.models.convert import convert_hf_dir
+        from hybrid_rag_colbertv2_tpu.models.convert import (
+            colbert_config_from_hf, convert_hf_dir)
 
-        cfg = ColBERTConfig.jina_colbert_v2()
+        try:
+            # geometry + rotary settings from the checkpoint's config.json
+            cfg = colbert_config_from_hf(argv[1])
+        except FileNotFoundError:
+            cfg = ColBERTConfig.jina_colbert_v2()
         params = convert_hf_dir(argv[1], cfg)
         import numpy as np
 
