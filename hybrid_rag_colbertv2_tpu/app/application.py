@@ -198,13 +198,21 @@ class RAGApplication:
         """Self-contained semantic adaptation: contrastive training on ICT
         pseudo-queries from the corpus (new capability vs the reference,
         whose quality is fixed by the downloaded checkpoint)."""
-        from ..train.data import pseudo_query_pairs
+        from ..train.data import mine_hard_negatives, pseudo_query_pairs
         from ..train.trainer import ColBERTTrainer, TrainConfig
 
         steps = self.config.encoder_train_steps
         pairs_idx = pseudo_query_pairs(corpus, n_pairs_per_doc=4,
                                        seed=self.config.encoder_seed)
-        pairs = [(q, corpus[i]) for q, i in pairs_idx]
+        n_neg = self.config.encoder_hard_negatives
+        if n_neg > 0 and len(corpus) > n_neg + 1:
+            mined = mine_hard_negatives(corpus, pairs_idx,
+                                        n_negatives=n_neg,
+                                        seed=self.config.encoder_seed)
+            pairs = [(q, corpus[i], [corpus[j] for j in negs])
+                     for q, i, negs in mined]
+        else:
+            pairs = [(q, corpus[i]) for q, i in pairs_idx]
         # batch must not exceed the number of distinct docs — in-batch
         # negatives with duplicated positives make the labels ambiguous
         bs = max(2, min(16, len(corpus)))

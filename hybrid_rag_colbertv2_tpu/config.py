@@ -140,6 +140,12 @@ class RAGConfig:
     # pseudo-queries from the corpus at index time (train/). Ignored when a
     # checkpoint is provided.
     encoder_train_steps: int = 0
+    # BM25-mined hard negatives per training pair (train/data.py::
+    # mine_hard_negatives). The cascade's final top-k is a dense rerank
+    # over BM25-surfaced candidates, so the encoder must out-rank exactly
+    # the chunks BM25 confuses with the source; in-batch-only negatives
+    # (0) never show it those.
+    encoder_hard_negatives: int = 4
 
     # TPU mesh / numerics.
     mesh: MeshConfig = field(default_factory=MeshConfig)

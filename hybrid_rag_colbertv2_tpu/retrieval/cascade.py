@@ -171,6 +171,51 @@ class HybridRetriever:
             post_docs=jnp.asarray(lex.post_docs),
             post_weights=jnp.asarray(lex.post_weights),
         )
+        self._fused = None   # built lazily: encoder+cascade in ONE dispatch
+
+    # ------------------------------------------------------------------
+    def _build_fused(self, k_final: int):
+        """ONE jitted function: query encoder forward + full cascade.
+
+        retrieve_batch previously cost two device dispatches and two
+        host->device transfers per call (encode_queries, then the cascade
+        with q_terms). Each dispatch/transfer has a fixed several-ms cost
+        on tunneled devices and ~0.1 ms on local hardware (CLAUDE.md
+        timing rules); fusing them means one dispatch and one PACKED int32
+        transfer — query token ids and BM25 term ids ride in a single
+        (B, Lq+Q) array split inside the jit."""
+        cfg = self.config
+        dense = self.indexes.dense
+        lex = self.indexes.lexical
+        model = self.encoder.model
+        lq = self.encoder.cfg.query_max_tokens
+        prefilter = getattr(cfg, "dense_prefilter", 0)
+        statics = dict(
+            prefilter=prefilter,
+            n_docs=dense.n_docs,
+            max_postings=lex.max_postings,
+            doc_len=dense.doc_len,
+            is_int8=dense.is_int8,
+            k_each=min(cfg.bm25_top_k, dense.n_docs),
+            k_fuse=min(cfg.fusion_candidates, dense.n_docs),
+            k_final=min(k_final, cfg.fusion_candidates, dense.n_docs),
+            rrf_k=cfg.rrf_k,
+            approx_recall=getattr(cfg, "approx_topk_recall", 0.95),
+        )
+
+        @jax.jit
+        def fused(params, packed, indptr, post_docs, post_weights,
+                  emb_flat, scales, doc_lengths, pooled, doc_scales):
+            q_ids = packed[:, :lq]
+            q_emb = model.apply({"params": params}, q_ids,
+                                jnp.ones_like(q_ids))
+            ids, scores, _ = hybrid_cascade(
+                q_emb, packed[:, lq:], indptr, post_docs, post_weights,
+                emb_flat, scales, doc_lengths, pooled, doc_scales,
+                **statics)
+            return ids, scores
+
+        return fused
 
     # ------------------------------------------------------------------
     def _cascade_bucketed(self, q_emb, q_terms, k_final: int):
@@ -207,39 +252,42 @@ class HybridRetriever:
         k = top_k_final or cfg.final_top_k
         lex = self.indexes.lexical
         dense = self.indexes.dense
-        with self.timer.stage("encode_query"):
-            q_emb = self.encoder.encode_queries(list(queries))
-        with self.timer.stage("tokenize_bm25"):
-            q_terms = jnp.asarray(
-                np.stack([lex.encode_query(
-                    q, getattr(cfg, "query_max_terms", None))
-                    for q in queries])
-            )
         if not isinstance(dense, DenseTokenIndex):
+            with self.timer.stage("encode_query"):
+                q_emb = self.encoder.encode_queries(list(queries))
+            with self.timer.stage("tokenize_bm25"):
+                q_terms = jnp.asarray(
+                    np.stack([lex.encode_query(
+                        q, getattr(cfg, "query_max_terms", None))
+                        for q in queries])
+                )
             with self.timer.stage("cascade"):
                 return self._cascade_bucketed(
                     q_emb, q_terms,
                     min(k, cfg.fusion_candidates, dense.n_docs))
+        # flat index: encoder + cascade fused into one dispatch, query
+        # token ids + BM25 term ids packed into ONE transfer
+        with self.timer.stage("tokenize"):
+            lq = self.encoder.cfg.query_max_tokens
+            q_ids = np.stack([
+                self.encoder.tokenizer.encode_query(q, lq) for q in queries])
+            q_terms = np.stack([
+                lex.encode_query(q, getattr(cfg, "query_max_terms", None))
+                for q in queries])
+            packed = jnp.asarray(np.concatenate(
+                [q_ids.astype(np.int32), q_terms.astype(np.int32)], axis=1))
         prefilter = getattr(cfg, "dense_prefilter", 0)
-        with self.timer.stage("cascade"):
-            ids, scores, _ = hybrid_cascade(
-                q_emb, q_terms,
+        kf = min(k, cfg.fusion_candidates, dense.n_docs)
+        if self._fused is None or self._fused[0] != kf:
+            self._fused = (kf, self._build_fused(kf))
+        with self.timer.stage("encode+cascade"):
+            ids, scores = self._fused[1](
+                self.encoder.params, packed,
                 self._lex_dev["indptr"], self._lex_dev["post_docs"],
                 self._lex_dev["post_weights"],
                 dense.emb_flat, dense.scales, dense.doc_lengths,
                 dense.ensure_pooled() if prefilter > 0 else None,
-                dense.doc_scales,
-                prefilter=prefilter,
-                n_docs=dense.n_docs,
-                max_postings=lex.max_postings,
-                doc_len=dense.doc_len,
-                is_int8=dense.is_int8,
-                k_each=min(cfg.bm25_top_k, dense.n_docs),
-                k_fuse=min(cfg.fusion_candidates, dense.n_docs),
-                k_final=min(k, cfg.fusion_candidates, dense.n_docs),
-                rrf_k=cfg.rrf_k,
-                approx_recall=getattr(cfg, "approx_topk_recall", 0.95),
-            )
+                dense.doc_scales)
             ids = np.asarray(ids)
             scores = np.asarray(scores)
         return ids, scores

@@ -40,9 +40,15 @@ def log(msg):
 
 
 def evaluate(app, n_queries: int = 32, k: int = 10, batch: int = 8,
-             measure_latency: bool = True, seed: int = 0) -> Dict:
+             measure_latency: bool = True, seed: int = 101) -> Dict:
     """Measure hit@k / agreement@k (+ optional latency) on the app's
-    indexed corpus. Returns the result dict (see module docstring)."""
+    indexed corpus. Returns the result dict (see module docstring).
+
+    The default seed (101) is deliberately distinct from the training-pair
+    seed (config.encoder_seed, default 0): with ``encoder_train_steps`` the
+    app trains the encoder on ICT pairs from the SAME corpus, and an eval
+    drawn with the training seed would partially measure training-pair
+    recall instead of generalization."""
     import numpy as np
 
     from hybrid_rag_colbertv2_tpu.retrieval.cascade import HybridRetriever
@@ -85,6 +91,22 @@ def evaluate(app, n_queries: int = 32, k: int = 10, batch: int = 8,
         len(set(a.tolist()) & set(b.tolist())) / max(1, (b >= 0).sum())
         for a, b in zip(ids_cfg, ids_exact)]))
 
+    # per-leg diagnostics: where do cascade misses come from? bm25-only
+    # uses the host CSR scorer (exact, index/lexical.py:161); dense-only
+    # uses the dense index's own top-k with the configured knobs.
+    lex = app.indexes.lexical
+    bm_ids = np.stack([
+        np.argsort(-lex.score_host(q))[:k] for q in queries])
+    d_ids_list = []
+    for i in range(0, len(queries), batch):
+        qb = queries[i:i + batch]
+        qe = app.encoder.encode_queries(qb)
+        _, di = app.indexes.dense.search_topk(
+            qe, k, getattr(cfg, "dense_prefilter", 0),
+            getattr(cfg, "approx_topk_recall", 0.95))
+        d_ids_list.append(np.asarray(di)[: len(qb)])
+    dn_ids = np.concatenate(d_ids_list, axis=0)
+
     out = {
         "chunks": len(corpus),
         "queries": len(pairs),
@@ -92,6 +114,8 @@ def evaluate(app, n_queries: int = 32, k: int = 10, batch: int = 8,
         f"hit@{k}_configured": round(hit_at_k(ids_cfg), 3),
         f"hit@{k}_exact": round(hit_at_k(ids_exact), 3),
         f"agreement@{k}": round(agree, 3),
+        f"hit@{k}_bm25_only": round(hit_at_k(bm_ids), 3),
+        f"hit@{k}_dense_only": round(hit_at_k(dn_ids), 3),
     }
     if measure_latency:
         from hybrid_rag_colbertv2_tpu.utils.timing import queued_timeit

@@ -35,3 +35,50 @@ def pseudo_query_pairs(
             pairs.append((" ".join(words[start : start + n]), idx))
     rng.shuffle(pairs)
     return pairs
+
+
+def mine_hard_negatives(
+    corpus: Sequence[str],
+    pairs: Sequence[Tuple[str, int]],
+    *,
+    n_negatives: int = 4,
+    seed: int = 0,
+    lexical=None,
+) -> List[Tuple[str, int, List[int]]]:
+    """Attach BM25-mined hard negatives to (query, positive_idx) pairs.
+
+    For each pseudo-query, the negatives are the top-BM25-scoring chunks
+    that are NOT the positive — exactly the documents the retrieval cascade
+    will confuse with the source at query time (the final top-k is chosen
+    by the dense rerank over BM25-surfaced candidates, retrieval/cascade.py
+    stage 3), so these are the discriminations the encoder must learn.
+    In-batch-only negatives are mostly random chunks and teach topic
+    separation but not within-topic ranking.
+
+    ``lexical``: an existing index/lexical.LexicalIndex to reuse; when
+    None one is built over ``corpus`` (uncapped postings — mining wants
+    exact scores). Scoring runs on host (LexicalIndex.score_host): mining
+    is a one-time build-phase cost, not a serving-path op.
+
+    -> list of (query, positive_idx, [negative_idx, ...]); fewer than
+    ``n_negatives`` entries only when the corpus is too small, padded by
+    sampling random non-positive chunks.
+    """
+    from ..index.lexical import LexicalIndex
+
+    if lexical is None:
+        lexical = LexicalIndex.build(list(corpus))
+    rng = np.random.default_rng(seed)
+    n = len(corpus)
+    out: List[Tuple[str, int, List[int]]] = []
+    for q, pos in pairs:
+        scores = lexical.score_host(q)
+        order = np.argsort(-scores)
+        negs = [int(i) for i in order[: n_negatives + 1]
+                if int(i) != pos and scores[i] > 0.0][:n_negatives]
+        while len(negs) < n_negatives and n > 1:
+            cand = int(rng.integers(0, n))
+            if cand != pos and cand not in negs:
+                negs.append(cand)
+        out.append((q, pos, negs))
+    return out

@@ -4,7 +4,10 @@ New capability vs the reference (which only downloads a fixed checkpoint):
 in-batch-negative contrastive training of the encoder. The loss is the
 standard ColBERT objective: for a batch of (query, positive-doc) pairs,
 score every query against every doc in the batch with true MaxSim and apply
-softmax cross-entropy against the diagonal.
+softmax cross-entropy against the diagonal. Optional BM25-mined hard
+negatives (train/data.py::mine_hard_negatives) extend the candidate set to
+positives + negatives, teaching within-topic ranking rather than just
+topic separation.
 
 Parallelism: the batch axis is sharded over the mesh's ``data`` axis via
 input shardings; parameters are replicated; XLA inserts the gradient
@@ -112,15 +115,34 @@ class ColBERTTrainer:
             self._batch_sharding = NamedSharding(mesh, P(data_axis, None))
 
     # ------------------------------------------------------------------
-    def _make_batch(self, pairs: Sequence[Tuple[str, str]]) -> Dict:
-        """pairs: (query_text, positive_doc_text)."""
+    def _make_batch(self, pairs: Sequence[Sequence[str]]) -> Dict:
+        """pairs: (query_text, positive_doc_text) or
+        (query_text, positive_doc_text, [hard_negative_texts...]).
+
+        Doc rows are laid out positives-first — rows 0..B-1 are the
+        positives so the (B, C) score matrix's diagonal is the label —
+        followed by every pair's hard negatives (train/data.py
+        ``mine_hard_negatives``). The loss needs no change: softmax CE
+        over C = B*(1+H) candidates per query. All rows in one batch must
+        carry the same negative count (static shapes)."""
         cfg = self.encoder.cfg
         q_ids = np.stack([
-            self.encoder.tokenizer.encode_query(q, cfg.query_max_tokens)
-            for q, _ in pairs])
+            self.encoder.tokenizer.encode_query(p[0], cfg.query_max_tokens)
+            for p in pairs])
         q_mask = np.ones_like(q_ids)
+        doc_texts = [p[1] for p in pairs]
+        n_neg = len(pairs[0][2]) if len(pairs[0]) > 2 else 0
+        for p in pairs:
+            got = len(p[2]) if len(p) > 2 else 0
+            if got != n_neg:
+                raise ValueError(
+                    f"inconsistent hard-negative counts in batch: "
+                    f"{got} != {n_neg}")
+        if n_neg:
+            for p in pairs:
+                doc_texts.extend(p[2])
         d_enc = [self.encoder.tokenizer.encode_doc(d, self.cfg.doc_len)
-                 for _, d in pairs]
+                 for d in doc_texts]
         d_ids = np.stack([e[0] for e in d_enc])
         d_mask = np.stack([
             (np.arange(self.cfg.doc_len) < e[1]).astype(np.int32)
@@ -161,9 +183,12 @@ class ColBERTTrainer:
         return int(restored["step"])
 
     # ------------------------------------------------------------------
-    def train(self, pairs: List[Tuple[str, str]],
+    def train(self, pairs: List[Sequence[str]],
               steps: Optional[int] = None) -> List[Dict]:
-        """Cycle through (query, doc-text) pairs; returns per-step metrics."""
+        """Cycle through (query, doc-text[, neg-texts]) tuples; returns
+        per-step metrics. With 3-tuples each batch scores queries against
+        positives + every pair's BM25-mined hard negatives (see
+        ``_make_batch``)."""
         steps = steps or self.cfg.steps
         bs = self.cfg.batch_size
         if len(pairs) < bs:
