@@ -222,7 +222,7 @@ class RAGApplication:
         # corpora collapses the representation into per-batch clusters and
         # destroys that lexical prior (measured: a 3-doc corpus ranks 3/3
         # at ~6 epochs, 0-1/3 at 30+ epochs)
-        max_epochs = 6
+        max_epochs = self.config.encoder_max_epochs
         steps = min(steps, max(1, -(-max_epochs * len(pairs) // bs)))
         trainer = ColBERTTrainer(
             self.encoder,

@@ -76,6 +76,13 @@ class RAGConfig:
     fusion_candidates: int = 50
     final_top_k: int = 10
     rrf_k: int = 60  # reference hard-codes k=60 (local_rag_complete.py:964)
+    # Final top-k ordering: "rerank" = exact MaxSim alone (reference
+    # parity, local_rag_complete.py:928); "rrf" = fuse the rerank ranking
+    # with the candidate-RRF ranking — keeps lexical evidence in the final
+    # cut, hedging dense-rerank misses (measured on the 90-chunk real-text
+    # corpus: hit@10 0.906 -> see docs/performance.md). Reported scores
+    # stay exact-MaxSim either way.
+    final_fusion: str = "rerank"
     # >0: two-stage pruned dense search (ops/prefilter.py) — pooled-cosine
     # prefilter to this many candidates, exact MaxSim only on those.
     # 0 = brute-force full MaxSim scan (exact). Rule of thumb: 8-16x the
@@ -146,6 +153,11 @@ class RAGConfig:
     # the chunks BM25 confuses with the source; in-batch-only negatives
     # (0) never show it those.
     encoder_hard_negatives: int = 4
+    # Epoch ceiling on encoder_train_steps: overtraining tiny corpora
+    # collapses the representation into per-batch clusters and destroys
+    # the fresh encoder's lexical prior (measured in app/application.py
+    # _train_encoder; 6 is the safe point for in-batch-only training).
+    encoder_max_epochs: int = 6
 
     # TPU mesh / numerics.
     mesh: MeshConfig = field(default_factory=MeshConfig)
@@ -183,6 +195,8 @@ class RAGConfig:
             raise ValueError("final_top_k must be <= fusion_candidates")
         if self.query_max_tokens % 32 != 0:
             raise ValueError("query_max_tokens must be a multiple of 32 (TPU lanes)")
+        if self.final_fusion not in ("rerank", "rrf"):
+            raise ValueError("final_fusion must be 'rerank' or 'rrf'")
         for b in self.mesh.doc_token_buckets:
             if b % 32 != 0:
                 raise ValueError("doc token buckets must be multiples of 32")

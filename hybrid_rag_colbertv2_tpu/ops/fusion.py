@@ -102,6 +102,44 @@ def reciprocal_rank_fusion(
                          n, k=min(k_out, n), rrf_k=rrf_k)
 
 
+def final_topk_select(
+    rerank: jax.Array,     # (B, C) exact MaxSim rerank scores
+    fused_ids: jax.Array,  # (B, C) candidate ids in RRF order, -1 missing
+    k_final: int,
+    *,
+    rrf_k: int = 60,
+    final_fusion: str = "rerank",
+) -> Tuple[jax.Array, jax.Array]:
+    """Final top-k over the fused candidates -> (ids (B,k), scores (B,k)).
+
+    ``final_fusion="rerank"``: order purely by the exact MaxSim rerank —
+    reference parity (local_rag_complete.py:928). ``"rrf"``: order by
+    RRF(rerank ranking, candidate-RRF ranking) — the candidate list's own
+    order already encodes BM25+dense evidence, so fusing it back in hedges
+    dense-rerank misses (opt-in via RAGConfig.final_fusion). Reported
+    scores are ALWAYS the exact MaxSim values; only the ORDER changes.
+    Missing candidates (id < 0) never surface; short candidate lists pad
+    with id -1.
+    """
+    live = fused_ids >= 0
+    rerank = jnp.where(live, rerank, -jnp.inf)
+    if final_fusion == "rrf":
+        kc = rerank.shape[1]
+        rr_rank = jnp.argsort(jnp.argsort(-rerank, axis=1), axis=1)
+        sel = (1.0 / (rrf_k + 1.0 + rr_rank)
+               + 1.0 / (rrf_k + 1.0 + jnp.arange(kc, dtype=jnp.float32)))
+        sel = jnp.where(live, sel, -jnp.inf)
+    elif final_fusion == "rerank":
+        sel = rerank
+    else:
+        raise ValueError(f"unknown final_fusion: {final_fusion!r}")
+    sel_vals, top_pos = jax.lax.top_k(sel, min(k_final, sel.shape[1]))
+    final_ids = jnp.take_along_axis(fused_ids, top_pos, axis=1)
+    final_ids = jnp.where(jnp.isfinite(sel_vals), final_ids, -1)
+    top_vals = jnp.take_along_axis(rerank, top_pos, axis=1)
+    return final_ids.astype(jnp.int32), top_vals
+
+
 def rrf_reference_py(ranked_a, ranked_b, rrf_k: int = 60):
     """Pure-Python RRF oracle mirroring local_rag_complete.py:960-978
     (dict accumulate, sort by fused score desc). For tests only."""

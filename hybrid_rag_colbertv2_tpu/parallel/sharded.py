@@ -31,7 +31,7 @@ from ..config import RAGConfig
 from ..index.dense import DenseTokenIndex
 from ..index.lexical import LexicalIndex
 from ..ops.bm25 import bm25_topk_device
-from ..ops.fusion import rrf_from_topk
+from ..ops.fusion import final_topk_select, rrf_from_topk
 from ..ops.maxsim import (maxsim_scores, maxsim_scores_exact,
                           maxsim_scores_int8, maxsim_scores_int8_doc)
 from ..ops.prefilter import approx_or_exact_topk, maxsim_topk_pruned
@@ -56,14 +56,23 @@ def make_sharded_cascade(
     rrf_k: int = 60,
     prefilter: int = 0,
     approx_recall: float = 0.95,
+    final_fusion: str = "rerank",
     axis: str = "data",
     interpret: Optional[bool] = None,
+    encoder_model=None,
+    query_len: Optional[int] = None,
 ):
     """Build the jitted sharded cascade fn for a fixed index geometry.
 
     Returns fn(q_emb, q_terms, indptr, post_docs, post_weights,
                emb_flat, scales, doc_lengths, pooled)
             -> (final_ids, final_scores).
+
+    With ``encoder_model`` (+ ``query_len``) the query encoder forward is
+    fused INTO the same jit — signature becomes fn(params, packed, ...)
+    where ``packed`` is (B, query_len + Q) int32 (query token ids ‖ BM25
+    term ids): one device dispatch and one host->device transfer per
+    batch, mirroring retrieval/cascade.HybridRetriever's fused path.
 
     ``prefilter`` > 0 runs the pruned two-stage dense search *per shard*
     (each shard prefilters its own docs to ``prefilter`` candidates before
@@ -151,12 +160,8 @@ def make_sharded_cascade(
         partial_rr = jax.vmap(rerank_one)(
             q_emb.astype(jnp.float32), safe, owned)        # (B, kf)
         rerank = jax.lax.psum(partial_rr, axis)
-        rerank = jnp.where(fused_ids >= 0, rerank, NEG_INF)
-
-        tv, tp = jax.lax.top_k(rerank, kfin)
-        final_ids = jnp.take_along_axis(fused_ids, tp, axis=1)
-        final_ids = jnp.where(tv > NEG_INF / 2, final_ids, -1)
-        return final_ids.astype(jnp.int32), tv
+        return final_topk_select(rerank, fused_ids, kfin, rrf_k=rrf_k,
+                                 final_fusion=final_fusion)
 
     rep = P()
     sharded = shard_map(
@@ -171,7 +176,16 @@ def make_sharded_cascade(
         out_specs=(rep, rep),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    if encoder_model is None:
+        return jax.jit(sharded)
+
+    def full(params, packed, *rest):
+        q_ids = packed[:, :query_len]
+        q_emb = encoder_model.apply({"params": params}, q_ids,
+                                    jnp.ones_like(q_ids))
+        return sharded(q_emb, packed[:, query_len:], *rest)
+
+    return jax.jit(full)
 
 
 def make_sharded_bucketed_cascade(
@@ -186,8 +200,11 @@ def make_sharded_bucketed_cascade(
     rrf_k: int = 60,
     prefilter: int = 0,
     approx_recall: float = 0.95,
+    final_fusion: str = "rerank",
     axis: str = "data",
     interpret: Optional[bool] = None,
+    encoder_model=None,
+    query_len: Optional[int] = None,
 ):
     """Bucketed x sharded: ONE jitted shard_map over every bucket's doc-axis
     shard (VERDICT r1 weak #6 / next #8 — the ragged layout and the mesh
@@ -308,12 +325,8 @@ def make_sharded_bucketed_cascade(
             q_emb.astype(jnp.float32), fused_ids, cand_bucket, cand_row,
             fused_ids >= 0)
         rerank = jax.lax.psum(partial_rr, axis)
-        rerank = jnp.where(fused_ids >= 0, rerank, NEG_INF)
-
-        tv, tp = jax.lax.top_k(rerank, kfin)
-        final_ids = jnp.take_along_axis(fused_ids, tp, axis=1)
-        final_ids = jnp.where(tv > NEG_INF / 2, final_ids, -1)
-        return final_ids.astype(jnp.int32), tv
+        return final_topk_select(rerank, fused_ids, kfin, rrf_k=rrf_k,
+                                 final_fusion=final_fusion)
 
     rep = P()
     per_bucket_specs = []
@@ -333,7 +346,16 @@ def make_sharded_bucketed_cascade(
         out_specs=(rep, rep),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    if encoder_model is None:
+        return jax.jit(sharded)
+
+    def full(params, packed, *rest):
+        q_ids = packed[:, :query_len]
+        q_emb = encoder_model.apply({"params": params}, q_ids,
+                                    jnp.ones_like(q_ids))
+        return sharded(q_emb, packed[:, query_len:], *rest)
+
+    return jax.jit(full)
 
 
 class ShardedBucketedRetriever:
@@ -363,6 +385,9 @@ class ShardedBucketedRetriever:
         geoms = [dict(n_pad=b.n_pad, doc_len=b.doc_len, quant=b.quant)
                  for b in bucketed.buckets]
         n = bucketed.n_docs
+        self._model = getattr(encoder, "model", None)
+        self._lq = (encoder.cfg.query_max_tokens
+                    if self._model is not None else None)
         self._fn = make_sharded_bucketed_cascade(
             mesh,
             n_docs=n,
@@ -374,6 +399,9 @@ class ShardedBucketedRetriever:
             rrf_k=config.rrf_k,
             prefilter=getattr(config, "dense_prefilter", 0),
             approx_recall=getattr(config, "approx_topk_recall", 0.95),
+            final_fusion=getattr(config, "final_fusion", "rerank"),
+            encoder_model=self._model,
+            query_len=self._lq,
         )
         self._flat = []
         for b, gid in zip(bucketed.buckets, bucketed.global_ids):
@@ -390,15 +418,23 @@ class ShardedBucketedRetriever:
 
     def retrieve_batch(self, queries, top_k_final=None
                        ) -> Tuple[np.ndarray, np.ndarray]:
-        with self.timer.stage("encode_query"):
-            q_emb = self.encoder.encode_queries(list(queries))
-        with self.timer.stage("tokenize_bm25"):
-            q_terms = jnp.asarray(
-                np.stack([self.lexical.encode_query(
-                    q, getattr(self.config, "query_max_terms", None))
-                    for q in queries]))
+        with self.timer.stage("tokenize"):
+            q_terms_np = np.stack([self.lexical.encode_query(
+                q, getattr(self.config, "query_max_terms", None))
+                for q in queries])
+            if self._model is not None:
+                q_ids = np.stack([
+                    self.encoder.tokenizer.encode_query(q, self._lq)
+                    for q in queries])
+                packed = jnp.asarray(np.concatenate(
+                    [q_ids.astype(np.int32), q_terms_np.astype(np.int32)],
+                    axis=1))
+                head = (self.encoder.params, packed)
+            else:
+                q_emb = self.encoder.encode_queries(list(queries))
+                head = (q_emb, jnp.asarray(q_terms_np))
         with self.timer.stage("cascade"):
-            ids, scores = self._fn(q_emb, q_terms, *self._lex_dev,
+            ids, scores = self._fn(*head, *self._lex_dev,
                                    *self._maps, *self._flat)
             ids = np.asarray(ids)
             scores = np.asarray(scores)
@@ -431,6 +467,12 @@ class ShardedRetriever:
             jax.device_put(jnp.asarray(lexical.post_docs), rep),
             jax.device_put(jnp.asarray(lexical.post_weights), rep),
         )
+        # encoder forward fused into the same jit when a real encoder is
+        # bound (one dispatch + one packed transfer per batch, mirroring
+        # HybridRetriever); stubs without .model fall back to 2 dispatches
+        self._model = getattr(encoder, "model", None)
+        self._lq = (encoder.cfg.query_max_tokens
+                    if self._model is not None else None)
         self._fn = make_sharded_cascade(
             mesh,
             n_docs=dense.n_docs,
@@ -446,17 +488,28 @@ class ShardedRetriever:
             rrf_k=config.rrf_k,
             prefilter=getattr(config, "dense_prefilter", 0),
             approx_recall=getattr(config, "approx_topk_recall", 0.95),
+            final_fusion=getattr(config, "final_fusion", "rerank"),
+            encoder_model=self._model,
+            query_len=self._lq,
         )
 
     def retrieve_batch(self, queries, top_k_final=None
                        ) -> Tuple[np.ndarray, np.ndarray]:
-        with self.timer.stage("encode_query"):
-            q_emb = self.encoder.encode_queries(list(queries))
-        with self.timer.stage("tokenize_bm25"):
-            q_terms = jnp.asarray(
-                np.stack([self.lexical.encode_query(
-                    q, getattr(self.config, "query_max_terms", None))
-                    for q in queries]))
+        with self.timer.stage("tokenize"):
+            q_terms_np = np.stack([self.lexical.encode_query(
+                q, getattr(self.config, "query_max_terms", None))
+                for q in queries])
+            if self._model is not None:
+                q_ids = np.stack([
+                    self.encoder.tokenizer.encode_query(q, self._lq)
+                    for q in queries])
+                packed = jnp.asarray(np.concatenate(
+                    [q_ids.astype(np.int32), q_terms_np.astype(np.int32)],
+                    axis=1))
+                head = (self.encoder.params, packed)
+            else:
+                q_emb = self.encoder.encode_queries(list(queries))
+                head = (q_emb, jnp.asarray(q_terms_np))
         with self.timer.stage("cascade"):
             scales = self.dense.scales
             if scales is None:
@@ -480,7 +533,7 @@ class ShardedRetriever:
             if doc_scales is None:
                 doc_scales = jnp.zeros((0,), jnp.float32)
             ids, scores = self._fn(
-                q_emb, q_terms, *self._lex_dev,
+                *head, *self._lex_dev,
                 self.dense.emb_flat, scales, self.dense.doc_lengths, pooled,
                 doc_scales)
             ids = np.asarray(ids)

@@ -36,7 +36,7 @@ from ..index.dense import DenseTokenIndex
 from ..index.lexical import LexicalIndex
 from ..index.manager import IndexManager
 from ..ops.bm25 import bm25_scores_device, bm25_topk_device
-from ..ops.fusion import rrf_from_topk
+from ..ops.fusion import final_topk_select, rrf_from_topk
 from ..ops.maxsim import (maxsim_scores, maxsim_scores_exact,
                           maxsim_scores_int8, maxsim_scores_int8_doc)
 from ..ops.prefilter import approx_or_exact_topk, maxsim_topk_pruned
@@ -50,6 +50,7 @@ log = get_logger(__name__)
     static_argnames=(
         "n_docs", "max_postings", "doc_len", "is_int8",
         "k_each", "k_fuse", "k_final", "rrf_k", "prefilter", "approx_recall",
+        "final_fusion",
     ),
 )
 def hybrid_cascade(
@@ -75,6 +76,12 @@ def hybrid_cascade(
     prefilter: int = 0,        # >0: pruned dense stage (ops/prefilter.py)
     approx_recall: float = 0.95,  # candidate top-k via approx_max_k when
                                   # k <= n/8 (exact rerank still follows)
+    final_fusion: str = "rerank",  # "rerank" = reference parity (final
+                                   # top-k by exact MaxSim alone,
+                                   # local_rag_complete.py:928); "rrf" =
+                                   # RRF(rerank rank, candidate-RRF rank)
+                                   # — hedges dense misses with lexical
+                                   # evidence (opt-in, beyond parity)
 ) -> Tuple[jax.Array, jax.Array, Dict[str, jax.Array]]:
     """-> (final_ids (B, k_final), final_scores, debug dict)."""
     b = q_emb.shape[0]
@@ -130,9 +137,8 @@ def hybrid_cascade(
                                   fused_ids >= 0)       # (B, k_fuse)
 
     kf = min(k_final, k_fuse, fused_ids.shape[1])
-    top_vals, top_pos = jax.lax.top_k(rerank, kf)
-    final_ids = jnp.take_along_axis(fused_ids, top_pos, axis=1)
-    final_ids = jnp.where(top_vals > -1e29, final_ids, -1)
+    final_ids, top_vals = final_topk_select(
+        rerank, fused_ids, kf, rrf_k=rrf_k, final_fusion=final_fusion)
     debug = {
         "bm25_ids": bm25_ids, "bm25_vals": bm25_vals,
         "ms_ids": ms_ids, "ms_vals": ms_vals,
@@ -201,6 +207,7 @@ class HybridRetriever:
             k_final=min(k_final, cfg.fusion_candidates, dense.n_docs),
             rrf_k=cfg.rrf_k,
             approx_recall=getattr(cfg, "approx_topk_recall", 0.95),
+            final_fusion=getattr(cfg, "final_fusion", "rerank"),
         )
 
         @jax.jit
@@ -238,11 +245,11 @@ class HybridRetriever:
             bi, mi, n, k=min(cfg.fusion_candidates, n), rrf_k=cfg.rrf_k,
             approx_recall=getattr(cfg, "approx_topk_recall", 0.95))
         rerank = dense.rerank_scores(q_emb, fused_ids)
-        rerank = jnp.where(fused_ids >= 0, rerank, -1e30)
-        tv, tp = jax.lax.top_k(rerank, min(k_final, rerank.shape[1]))
-        final_ids = jnp.take_along_axis(fused_ids, tp, axis=1)
-        final_ids = jnp.where(tv > -1e29, final_ids, -1)
-        return np.asarray(final_ids.astype(jnp.int32)), np.asarray(tv)
+        final_ids, tv = final_topk_select(
+            rerank, fused_ids, min(k_final, rerank.shape[1]),
+            rrf_k=cfg.rrf_k,
+            final_fusion=getattr(cfg, "final_fusion", "rerank"))
+        return np.asarray(final_ids), np.asarray(tv)
 
     def retrieve_batch(
         self, queries: Sequence[str], top_k_final: Optional[int] = None

@@ -40,7 +40,8 @@ def log(msg):
 
 
 def evaluate(app, n_queries: int = 32, k: int = 10, batch: int = 8,
-             measure_latency: bool = True, seed: int = 101) -> Dict:
+             measure_latency: bool = True, seed: int = 101,
+             config_overrides: Dict = None) -> Dict:
     """Measure hit@k / agreement@k (+ optional latency) on the app's
     indexed corpus. Returns the result dict (see module docstring).
 
@@ -58,6 +59,12 @@ def evaluate(app, n_queries: int = 32, k: int = 10, batch: int = 8,
     if len(corpus) < 2:
         raise RuntimeError("index at least 2 chunks first (--upload)")
     cfg = app.config
+    if config_overrides:
+        cfg = copy.deepcopy(cfg)
+        for key, val in config_overrides.items():
+            if not hasattr(cfg, key):
+                raise AttributeError(f"unknown config field: {key}")
+            setattr(cfg, key, val)
 
     pairs = pseudo_query_pairs(corpus, n_pairs_per_doc=2, seed=seed)
     rng = np.random.default_rng(seed)

@@ -3,6 +3,7 @@ dict-based RRF (local_rag_complete.py:960-978)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hybrid_rag_colbertv2_tpu.ops.fusion import (
     reciprocal_rank_fusion,
@@ -116,3 +117,45 @@ def test_queued_timeit_sane_on_cpu():
     x = jnp.ones((64, 64))
     p50, worst = queued_timeit(lambda: x @ x, iters=3, reps=2)
     assert 0.0 <= p50 <= worst < 10_000.0
+
+
+def test_final_topk_select_rerank_mode():
+    from hybrid_rag_colbertv2_tpu.ops.fusion import final_topk_select
+
+    rerank = jnp.asarray([[1.0, 5.0, 3.0, 2.0]])
+    fused_ids = jnp.asarray([[10, 20, 30, -1]], dtype=jnp.int32)
+    ids, vals = final_topk_select(rerank, fused_ids, 3)
+    assert ids[0].tolist() == [20, 30, 10]       # pure rerank order
+    np.testing.assert_allclose(np.asarray(vals[0]), [5.0, 3.0, 1.0])
+    # missing candidate (id -1) never surfaces even when k covers it
+    ids4, _ = final_topk_select(rerank, fused_ids, 4)
+    assert ids4[0].tolist()[-1] == -1
+
+
+def test_final_topk_select_rrf_mode_hedges_rerank_miss():
+    from hybrid_rag_colbertv2_tpu.ops.fusion import final_topk_select
+
+    # candidate 0 (RRF rank 0 = strongest combined BM25+dense evidence)
+    # got a POOR rerank score; pure rerank would drop it to last, the
+    # rrf mode keeps it in the final cut
+    rerank = jnp.asarray([[0.1, 9.0, 8.0, 7.0]])
+    fused_ids = jnp.asarray([[10, 20, 30, 40]], dtype=jnp.int32)
+    ids_rr, vals_rr = final_topk_select(rerank, fused_ids, 2,
+                                        final_fusion="rrf")
+    # id 10: ranks (rerank=3, rrf=0) -> 1/64 + 1/61; id 20: (0, 1) ->
+    # 1/61 + 1/62 (best); id 30: (1, 2) -> 1/62+1/63; 10 vs 30: 10 wins
+    assert ids_rr[0].tolist() == [20, 10]
+    # reported scores stay exact-MaxSim values, only order changes
+    np.testing.assert_allclose(np.asarray(vals_rr[0]), [9.0, 0.1])
+    # parity mode unchanged
+    ids_p, _ = final_topk_select(rerank, fused_ids, 2)
+    assert ids_p[0].tolist() == [20, 30]
+
+
+def test_final_topk_select_rejects_unknown_mode():
+    from hybrid_rag_colbertv2_tpu.ops.fusion import final_topk_select
+
+    with pytest.raises(ValueError, match="final_fusion"):
+        final_topk_select(jnp.ones((1, 2)),
+                          jnp.zeros((1, 2), jnp.int32), 1,
+                          final_fusion="blend")
