@@ -163,13 +163,11 @@ def main():
             k_each=100, k_fuse=50, k_final=10)
         return scores
 
+    from hybrid_rag_colbertv2_tpu.retrieval.cascade import pack_query_batch
+
     def run_once():
         # host tokenization (BPE + BM25 terms) is part of the serving path
-        q_ids = np.stack([encoder.tokenizer.encode_query(q, lq)
-                          for q in queries])
-        q_terms = np.stack([lex.encode_query(q, 32) for q in queries])
-        packed = jnp.asarray(np.concatenate(
-            [q_ids.astype(np.int32), q_terms.astype(np.int32)], axis=1))
+        packed = pack_query_batch(encoder, lex, queries, 32)
         return fused_retrieve(
             encoder.params, packed, *lex_dev,
             dense.emb_flat, dense.scales, dense.doc_lengths, dense.pooled)

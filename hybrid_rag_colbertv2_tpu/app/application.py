@@ -272,6 +272,20 @@ class RAGApplication:
             from ..parallel.sharded import (ShardedBucketedRetriever,
                                             ShardedRetriever)
             mesh = make_mesh(self.config.mesh)
+            n_shards = mesh.shape[self.config.mesh.axis_names[0]]
+            subs = (self.indexes.dense.buckets
+                    if isinstance(self.indexes.dense, _BDI)
+                    else [self.indexes.dense])
+            if any(b.n_pad % n_shards for b in subs):
+                # index builders pad docs to multiples of 128, which
+                # divides any power-of-two shard count <= 128 — but a
+                # non-power-of-two mesh (e.g. 6 devices) would crash the
+                # sharders; serve single-device instead of failing
+                log.warning(
+                    "index padding not divisible by %d shards; "
+                    "falling back to single-device retrieval", n_shards)
+                use_mesh = False
+        if use_mesh and n_dev > 1:
             if isinstance(self.indexes.dense, _BDI):
                 bucketed = shard_bucketed_index(self.indexes.dense, mesh)
                 sharded = ShardedBucketedRetriever(

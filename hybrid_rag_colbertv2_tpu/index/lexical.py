@@ -198,6 +198,11 @@ class LexicalIndex:
         path = Path(path)
         arrs = np.load(path / "postings.npz")
         meta = json.loads((path / "meta.json").read_text())
+        # indexes persisted before the stemmer was recorded were built
+        # with the Porter-1980 stemmer — defaulting the missing key to
+        # the current "snowball" would stem queries differently from the
+        # stored postings and silently drop matching terms
+        meta.setdefault("stemmer", "porter")
         vocab = json.loads((path / "vocab.json").read_text())
         return cls(
             vocab=vocab,

@@ -68,13 +68,20 @@ class MarkdownChunker:
         self._raw_count = count_tokens or _default_counter
         self._cache: Dict[str, int] = {}
 
+    # the cache keeps every counted string alive (sections, split/merge
+    # candidates), so an app-lifetime chunker would grow with cumulative
+    # corpus size — bound it; within one document re-counts dominate, so
+    # a flush between documents costs almost nothing
+    _CACHE_MAX = 65536
+
     # ------------------------------------------------------------------
     def _count(self, text: str) -> int:
         # keyed on the string itself (not hash(text)): a hash collision
-        # would silently return a wrong token count; the key is a shared
-        # reference so memory cost is one pointer per entry
+        # would silently return a wrong token count
         n = self._cache.get(text)
         if n is None:
+            if len(self._cache) >= self._CACHE_MAX:
+                self._cache.clear()
             n = self._raw_count(text)
             self._cache[text] = n
         return n

@@ -35,6 +35,7 @@ from ..ops.fusion import final_topk_select, rrf_from_topk
 from ..ops.maxsim import (maxsim_scores, maxsim_scores_exact,
                           maxsim_scores_int8, maxsim_scores_int8_doc)
 from ..ops.prefilter import approx_or_exact_topk, maxsim_topk_pruned
+from ..retrieval.cascade import pack_query_batch
 from ..utils.logging import StageTimer, get_logger
 
 log = get_logger(__name__)
@@ -419,20 +420,17 @@ class ShardedBucketedRetriever:
     def retrieve_batch(self, queries, top_k_final=None
                        ) -> Tuple[np.ndarray, np.ndarray]:
         with self.timer.stage("tokenize"):
-            q_terms_np = np.stack([self.lexical.encode_query(
-                q, getattr(self.config, "query_max_terms", None))
-                for q in queries])
             if self._model is not None:
-                q_ids = np.stack([
-                    self.encoder.tokenizer.encode_query(q, self._lq)
-                    for q in queries])
-                packed = jnp.asarray(np.concatenate(
-                    [q_ids.astype(np.int32), q_terms_np.astype(np.int32)],
-                    axis=1))
+                packed = pack_query_batch(
+                    self.encoder, self.lexical, queries,
+                    getattr(self.config, "query_max_terms", None))
                 head = (self.encoder.params, packed)
             else:
                 q_emb = self.encoder.encode_queries(list(queries))
-                head = (q_emb, jnp.asarray(q_terms_np))
+                head = (q_emb, jnp.asarray(np.stack([
+                    self.lexical.encode_query(
+                        q, getattr(self.config, "query_max_terms", None))
+                    for q in queries])))
         with self.timer.stage("cascade"):
             ids, scores = self._fn(*head, *self._lex_dev,
                                    *self._maps, *self._flat)
@@ -496,20 +494,17 @@ class ShardedRetriever:
     def retrieve_batch(self, queries, top_k_final=None
                        ) -> Tuple[np.ndarray, np.ndarray]:
         with self.timer.stage("tokenize"):
-            q_terms_np = np.stack([self.lexical.encode_query(
-                q, getattr(self.config, "query_max_terms", None))
-                for q in queries])
             if self._model is not None:
-                q_ids = np.stack([
-                    self.encoder.tokenizer.encode_query(q, self._lq)
-                    for q in queries])
-                packed = jnp.asarray(np.concatenate(
-                    [q_ids.astype(np.int32), q_terms_np.astype(np.int32)],
-                    axis=1))
+                packed = pack_query_batch(
+                    self.encoder, self.lexical, queries,
+                    getattr(self.config, "query_max_terms", None))
                 head = (self.encoder.params, packed)
             else:
                 q_emb = self.encoder.encode_queries(list(queries))
-                head = (q_emb, jnp.asarray(q_terms_np))
+                head = (q_emb, jnp.asarray(np.stack([
+                    self.lexical.encode_query(
+                        q, getattr(self.config, "query_max_terms", None))
+                    for q in queries])))
         with self.timer.stage("cascade"):
             scales = self.dense.scales
             if scales is None:

@@ -45,6 +45,22 @@ from ..utils.logging import StageTimer, get_logger
 log = get_logger(__name__)
 
 
+def pack_query_batch(encoder, lexical, queries: Sequence[str],
+                     query_max_terms: Optional[int] = None) -> jax.Array:
+    """Host tokenization for the fused single-dispatch retrieve: query
+    token ids (B, Lq) ‖ BM25 term ids (B, Q) concatenated into ONE int32
+    array — one host->device transfer per batch. The jit side splits at
+    ``encoder.cfg.query_max_tokens``; every fused wrapper (flat, sharded,
+    bucketed×sharded, bench.py) MUST use this layout."""
+    lq = encoder.cfg.query_max_tokens
+    q_ids = np.stack([encoder.tokenizer.encode_query(q, lq)
+                      for q in queries])
+    q_terms = np.stack([lexical.encode_query(q, query_max_terms)
+                        for q in queries])
+    return jnp.asarray(np.concatenate(
+        [q_ids.astype(np.int32), q_terms.astype(np.int32)], axis=1))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -275,14 +291,9 @@ class HybridRetriever:
         # flat index: encoder + cascade fused into one dispatch, query
         # token ids + BM25 term ids packed into ONE transfer
         with self.timer.stage("tokenize"):
-            lq = self.encoder.cfg.query_max_tokens
-            q_ids = np.stack([
-                self.encoder.tokenizer.encode_query(q, lq) for q in queries])
-            q_terms = np.stack([
-                lex.encode_query(q, getattr(cfg, "query_max_terms", None))
-                for q in queries])
-            packed = jnp.asarray(np.concatenate(
-                [q_ids.astype(np.int32), q_terms.astype(np.int32)], axis=1))
+            packed = pack_query_batch(
+                self.encoder, lex, queries,
+                getattr(cfg, "query_max_terms", None))
         prefilter = getattr(cfg, "dense_prefilter", 0)
         kf = min(k, cfg.fusion_candidates, dense.n_docs)
         if self._fused is None or self._fused[0] != kf:

@@ -73,9 +73,9 @@ def evaluate(app, n_queries: int = 32, k: int = 10, batch: int = 8,
     queries = [q for q, _ in pairs]
     sources = np.array([i for _, i in pairs])
 
-    def run_all(cfg_used):
+    def run_all(cfg_used, indexes):
         # fresh retriever per config — knobs are baked at construction
-        r = HybridRetriever(cfg_used, app.indexes, app.encoder,
+        r = HybridRetriever(cfg_used, indexes, app.encoder,
                             chunk_store=app.store)
         ids = []
         for i in range(0, len(queries), batch):
@@ -83,12 +83,24 @@ def evaluate(app, n_queries: int = 32, k: int = 10, batch: int = 8,
             ids.append(got[: len(queries[i:i + batch])])
         return np.concatenate(ids, axis=0), r
 
-    ids_cfg, retr = run_all(cfg)
+    ids_cfg, retr = run_all(cfg, app.indexes)
     exact_cfg = copy.deepcopy(cfg)
     exact_cfg.dense_prefilter = 0
     exact_cfg.approx_topk_recall = 1.0
     exact_cfg.bm25_postings_cap = 0
-    ids_exact, _ = run_all(exact_cfg)
+    exact_indexes = app.indexes
+    if getattr(cfg, "bm25_postings_cap", 0):
+        # the postings cap is a BUILD-time truncation baked into the
+        # persisted CSR — zeroing the config knob alone would leave the
+        # "exact" leg scoring the same capped postings. Rebuild the
+        # lexical index uncapped (host-side, eval-only cost) so
+        # agreement@k really is configured-vs-exact.
+        from hybrid_rag_colbertv2_tpu.index.lexical import LexicalIndex
+
+        exact_indexes = copy.copy(app.indexes)
+        exact_indexes.lexical = LexicalIndex.build(
+            list(corpus), stemmer=app.indexes.lexical.stemmer)
+    ids_exact, _ = run_all(exact_cfg, exact_indexes)
 
     def hit_at_k(ids):
         return float(np.mean([

@@ -88,7 +88,7 @@ def probe_flagship(args) -> int:
         "backend": backend, "hbm_mb": mem_mb()}), flush=True)
 
     # doc path: (doc_batch, doc_len); throughput = docs/s
-    dlen = args.doc_len if args.doc_len != 128 else cfg.doc_max_tokens
+    dlen = args.doc_len if args.doc_len is not None else cfg.doc_max_tokens
     dbatch = args.flagship_doc_batch
     dids = jnp.asarray(rng.integers(4, cfg.vocab_size, size=(dbatch, dlen)),
                        jnp.int32)
@@ -115,7 +115,8 @@ def main(argv=None) -> int:
                          "(random weights) instead of the cascade probe")
     ap.add_argument("--flagship-doc-batch", type=int, default=32)
     ap.add_argument("--n-docs", type=int, default=None)
-    ap.add_argument("--doc-len", type=int, default=128)
+    ap.add_argument("--doc-len", type=int, default=None,
+                    help="tokens per doc (default: 128 for the cascade probe,\n                    the preset's doc_max_tokens for --flagship)")
     ap.add_argument("--dim", type=int, default=128)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--prefilter", type=int, default=1024)
@@ -144,7 +145,8 @@ def main(argv=None) -> int:
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
     n_docs = args.n_docs or (100_000 if on_tpu else 2_000)
-    doc_len, dim, batch = args.doc_len, args.dim, args.batch
+    doc_len = args.doc_len if args.doc_len is not None else 128
+    dim, batch = args.dim, args.batch
     log(f"backend={backend} n_docs={n_docs} doc_len={doc_len} batch={batch}")
 
     from hybrid_rag_colbertv2_tpu.index.dense import DenseTokenIndex

@@ -60,9 +60,10 @@ def mine_hard_negatives(
     exact scores). Scoring runs on host (LexicalIndex.score_host): mining
     is a one-time build-phase cost, not a serving-path op.
 
-    -> list of (query, positive_idx, [negative_idx, ...]); fewer than
-    ``n_negatives`` entries only when the corpus is too small, padded by
-    sampling random non-positive chunks.
+    -> list of (query, positive_idx, [negative_idx, ...]); every entry
+    carries min(n_negatives, len(corpus) - 1) negatives — BM25-mined
+    first, padded with random non-positive chunks when the query matches
+    too few documents.
     """
     from ..index.lexical import LexicalIndex
 
@@ -70,15 +71,21 @@ def mine_hard_negatives(
         lexical = LexicalIndex.build(list(corpus))
     rng = np.random.default_rng(seed)
     n = len(corpus)
+    # a corpus of n chunks has only n-1 possible negatives per pair
+    target = min(n_negatives, max(n - 1, 0))
     out: List[Tuple[str, int, List[int]]] = []
     for q, pos in pairs:
         scores = lexical.score_host(q)
         order = np.argsort(-scores)
-        negs = [int(i) for i in order[: n_negatives + 1]
-                if int(i) != pos and scores[i] > 0.0][:n_negatives]
-        while len(negs) < n_negatives and n > 1:
-            cand = int(rng.integers(0, n))
-            if cand != pos and cand not in negs:
-                negs.append(cand)
+        negs = [int(i) for i in order[: target + 1]
+                if int(i) != pos and scores[i] > 0.0][:target]
+        if len(negs) < target:
+            # pad from a permutation — bounded, unlike rejection sampling
+            for cand in rng.permutation(n):
+                if len(negs) >= target:
+                    break
+                cand = int(cand)
+                if cand != pos and cand not in negs:
+                    negs.append(cand)
         out.append((q, pos, negs))
     return out

@@ -302,3 +302,21 @@ def test_eval_recall_tool(tmp_path, capsys):
     # BM25 alone nails unique-vocabulary pseudo-queries
     assert out["hit@3_exact"] >= 0.5
     assert 0.0 <= out["agreement@3"] <= 1.0
+
+
+def test_nondivisible_mesh_falls_back_to_single_device(app):
+    """A mesh whose data axis does not divide the index padding (e.g. 6
+    devices vs n_pad=128) must serve single-device with a warning, not
+    crash in the sharders (code-review r2 finding)."""
+    import dataclasses
+
+    from hybrid_rag_colbertv2_tpu.retrieval.cascade import HybridRetriever
+
+    a, cfg, root = app
+    cfg6 = dataclasses.replace(
+        cfg, mesh=dataclasses.replace(cfg.mesh, mesh_shape=(6, 1)))
+    a2 = RAGApplication(cfg6, use_ollama=False)
+    a2.initialize_chatbot(use_mesh=True)
+    assert isinstance(a2.retriever, HybridRetriever)   # fell back
+    res = a2.query("systolic array matrix multiplication", top_k=3)
+    assert res and any("MXU" in r["text"] for r in res)

@@ -205,3 +205,24 @@ def test_topk_matches_dense_scorer():
             assert pos_d == pos_t, b
     # OOV row fully empty
     assert (ti[2] == -1).all() and (tv[2] <= 0).all()
+
+
+def test_lexical_load_legacy_meta_defaults_to_porter(tmp_path):
+    """Indexes persisted before the stemmer was recorded were built with
+    Porter-1980; loading them as 'snowball' would stem queries differently
+    from the stored postings and silently drop matching terms."""
+    import json
+
+    from hybrid_rag_colbertv2_tpu.index.lexical import LexicalIndex
+
+    lex = LexicalIndex.build(["the dying embers", "national parks"],
+                             stemmer="porter")
+    lex.save(tmp_path / "idx")
+    meta_path = tmp_path / "idx" / "meta.json"
+    meta = json.loads(meta_path.read_text())
+    del meta["stemmer"]                            # simulate legacy index
+    meta_path.write_text(json.dumps(meta))
+    loaded = LexicalIndex.load(tmp_path / "idx")
+    assert loaded.stemmer == "porter"
+    # the legacy index still matches its own corpus's stemming
+    assert (loaded.encode_query("dying") >= 0).sum() == 1

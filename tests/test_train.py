@@ -79,10 +79,6 @@ def test_mine_hard_negatives_excludes_positive():
         assert len(negs) == 3
         assert pos not in negs
         assert len(set(negs)) == 3
-    # the pseudo-query's own chunk is the top BM25 hit (it contains the
-    # span verbatim), so mined negatives must be the NEXT best — for this
-    # corpus the repeated-topic-words structure makes same-topic... all
-    # docs are distinct topics; just check ids are in range
     assert all(0 <= j < len(CORPUS) for _, _, negs in mined for j in negs)
 
 
@@ -155,3 +151,16 @@ def test_checkpoint_resume(tmp_path):
     # resumed training continues without error
     m = t2.train(pairs, steps=1)
     assert np.isfinite(m[0]["loss"])
+
+
+def test_mine_hard_negatives_tiny_corpus_terminates():
+    """n_negatives > available negatives must clamp, not loop forever
+    (the public helper has no corpus-size guard of its own)."""
+    from hybrid_rag_colbertv2_tpu.train.data import mine_hard_negatives
+
+    tiny = CORPUS[:3]
+    pairs_idx = pseudo_query_pairs(tiny, n_pairs_per_doc=1, seed=0)
+    mined = mine_hard_negatives(tiny, pairs_idx, n_negatives=4, seed=0)
+    for q, pos, negs in mined:
+        assert len(negs) == 2                      # min(4, 3 - 1)
+        assert pos not in negs and len(set(negs)) == 2
