@@ -289,10 +289,14 @@ class ColBERTEncoder:
         bs = self.doc_batch_size
         for i in range(0, len(texts), bs):
             batch = texts[i : i + bs]
-            enc = [self._tokenize_doc(t, l) for t in batch]
-            ids = np.stack([e[0] for e in enc])
-            mask = np.stack([e[1] for e in enc])
-            lengths.extend(e[2] for e in enc)
+            # batch tokenization (tokenizer.encode_docs): parallelizes
+            # across host cores where available — tokenization is the
+            # indexing bottleneck on natural text, and jax dispatch is
+            # async so host tokenize of batch i+1 overlaps device encode
+            # of batch i
+            ids, ns = self.tokenizer.encode_docs(batch, l)
+            mask = (np.arange(l)[None, :] < ns[:, None]).astype(np.int32)
+            lengths.extend(int(n) for n in ns)
             # pad the last batch to the full batch size to avoid a recompile
             if len(batch) < bs:
                 pad = bs - len(batch)

@@ -141,12 +141,10 @@ class ColBERTTrainer:
         if n_neg:
             for p in pairs:
                 doc_texts.extend(p[2])
-        d_enc = [self.encoder.tokenizer.encode_doc(d, self.cfg.doc_len)
-                 for d in doc_texts]
-        d_ids = np.stack([e[0] for e in d_enc])
-        d_mask = np.stack([
-            (np.arange(self.cfg.doc_len) < e[1]).astype(np.int32)
-            for e in d_enc])
+        d_ids, d_ns = self.encoder.tokenizer.encode_docs(
+            doc_texts, self.cfg.doc_len)
+        d_mask = (np.arange(self.cfg.doc_len)[None, :]
+                  < d_ns[:, None]).astype(np.int32)
         batch = {"q_ids": q_ids, "q_mask": q_mask,
                  "d_ids": d_ids, "d_mask": d_mask}
         out = {k: jnp.asarray(v) for k, v in batch.items()}

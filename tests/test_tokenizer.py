@@ -81,3 +81,18 @@ def test_hash_fallback_protocol():
     # deterministic
     np.testing.assert_array_equal(ids, ht.encode_query("anything at all", 16))
     assert ht.count_tokens("a b c") > 0
+
+
+def test_encode_docs_matches_per_text_encode_doc():
+    """The batch path (used by the indexing hot loop) must produce ids and
+    lengths identical to per-text encode_doc, on both the trained-BPE and
+    hash-fallback tokenizers, regardless of the core-count heuristic."""
+    texts = list(CORPUS) + ["", "one", "x " * 500]   # incl. empty + overflow
+    for tok in (ColBERTTokenizer.train_bpe(CORPUS, vocab_size=512),
+                HashTokenizer(vocab_size=128)):
+        ids_b, lens_b = tok.encode_docs(texts, 32)
+        assert ids_b.shape == (len(texts), 32)
+        for i, t in enumerate(texts):
+            ids_1, n_1 = tok.encode_doc(t, 32)
+            np.testing.assert_array_equal(ids_b[i], ids_1)
+            assert lens_b[i] == n_1
