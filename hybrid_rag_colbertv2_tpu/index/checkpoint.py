@@ -36,6 +36,8 @@ def save_sharded(dense: DenseTokenIndex, path) -> None:
         tree["scales"] = dense.scales
     if dense.pooled is not None:
         tree["pooled"] = dense.pooled
+    if dense.doc_scales is not None:          # "int8-doc" layout
+        tree["doc_scales"] = dense.doc_scales
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(d / "arrays", tree, force=True)
     meta = {
@@ -46,6 +48,7 @@ def save_sharded(dense: DenseTokenIndex, path) -> None:
         "n_pad": dense.n_pad,
         "has_scales": dense.scales is not None,
         "has_pooled": dense.pooled is not None,
+        "has_doc_scales": dense.doc_scales is not None,
     }
     # orbax coordinates the array writes across processes; the metadata
     # file is ours — only one process may write it on shared storage
@@ -83,6 +86,9 @@ def load_sharded(path, mesh=None, axis: str = "data") -> DenseTokenIndex:
         target["scales"] = abs_arr((n_pad * doc_len,), "float32", vec_s)
     if meta["has_pooled"]:
         target["pooled"] = abs_arr((n_pad, dim), "bfloat16", row_s)
+    # checkpoints predating the int8-doc layout have no has_doc_scales key
+    if meta.get("has_doc_scales"):
+        target["doc_scales"] = abs_arr((n_pad,), "float32", vec_s)
     with ocp.StandardCheckpointer() as ckptr:
         tree = ckptr.restore(d / "arrays", target)
     return DenseTokenIndex(
@@ -93,4 +99,65 @@ def load_sharded(path, mesh=None, axis: str = "data") -> DenseTokenIndex:
         dim=dim,
         scales=tree.get("scales"),
         pooled=tree.get("pooled"),
+        doc_scales=tree.get("doc_scales"),
     )
+
+
+def save_sharded_bucketed(bidx, path) -> None:
+    """Sharded checkpoint of a length-bucketed index: one orbax sub-
+    checkpoint per bucket (each bucket is itself a doc-axis-sharded
+    DenseTokenIndex) + the replicated routing arrays. At pod scale each
+    process writes only the bucket shards it owns, like save_sharded."""
+    import orbax.checkpoint as ocp
+
+    root = Path(path).absolute()
+    for bi, b in enumerate(bidx.buckets):
+        save_sharded(b, root / f"bucket{bi}")
+    routing = {
+        "bucket_of": bidx.bucket_of,
+        "row_of": bidx.row_of,
+        "global_ids": {str(i): g for i, g in enumerate(bidx.global_ids)},
+    }
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(root / "routing", routing, force=True)
+    if jax.process_index() == 0:
+        (root / "meta.json").write_text(json.dumps(
+            {"n_docs": bidx.n_docs, "n_buckets": len(bidx.buckets)}))
+
+
+def load_sharded_bucketed(path, mesh=None, axis: str = "data"):
+    """Restore a bucketed index with every bucket's doc axis placed over
+    ``mesh``'s ``axis`` (routing arrays replicated)."""
+    import orbax.checkpoint as ocp
+    from jax.sharding import (NamedSharding, PartitionSpec as P,
+                              SingleDeviceSharding)
+
+    from .bucketed import BucketedDenseIndex
+
+    root = Path(path).absolute()
+    meta = json.loads((root / "meta.json").read_text())
+    buckets = [load_sharded(root / f"bucket{bi}", mesh=mesh, axis=axis)
+               for bi in range(meta["n_buckets"])]
+    if mesh is not None:
+        rep = NamedSharding(mesh, P())
+        vec_s = NamedSharding(mesh, P(axis))
+    else:
+        rep = vec_s = SingleDeviceSharding(jax.devices()[0])
+    n = meta["n_docs"]
+
+    def abs_arr(shape, sharding):
+        return jax.ShapeDtypeStruct(shape, jnp.dtype("int32"),
+                                    sharding=sharding)
+
+    target = {
+        "bucket_of": abs_arr((n,), rep),
+        "row_of": abs_arr((n,), rep),
+        "global_ids": {str(i): abs_arr((b.n_pad,), vec_s)
+                       for i, b in enumerate(buckets)},
+    }
+    with ocp.StandardCheckpointer() as ckptr:
+        tree = ckptr.restore(root / "routing", target)
+    gids = [tree["global_ids"][str(i)] for i in range(len(buckets))]
+    return BucketedDenseIndex(
+        buckets=buckets, global_ids=gids,
+        bucket_of=tree["bucket_of"], row_of=tree["row_of"], n_docs=n)
