@@ -145,6 +145,53 @@ def _t_encoder() -> str:
     return f"encoder forward OK {tuple(q.shape)}"
 
 
+def _t_fused_cascade() -> str:
+    """The production serving path: encoder forward + full hybrid cascade
+    in ONE jitted dispatch with ONE packed transfer (retrieval/cascade.py
+    HybridRetriever), including the final_fusion selector."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hybrid_rag_colbertv2_tpu.index.dense import DenseTokenIndex
+    from hybrid_rag_colbertv2_tpu.index.lexical import LexicalIndex
+    from hybrid_rag_colbertv2_tpu.models.colbert import (
+        ColBERTConfig, ColBERTEncoder)
+    from hybrid_rag_colbertv2_tpu.models.tokenizer import ColBERTTokenizer
+    from hybrid_rag_colbertv2_tpu.retrieval.cascade import (
+        hybrid_cascade, pack_query_batch)
+
+    corpus = [f"doc {i} about topic{i % 7} and topic{(i + 3) % 7}"
+              for i in range(40)]
+    lex = LexicalIndex.build(corpus)
+    tok = ColBERTTokenizer.train_bpe(corpus, vocab_size=300)
+    enc = ColBERTEncoder(ColBERTConfig.tiny(vocab_size=tok.vocab_size), tok)
+    embs, lens = enc.encode_docs(corpus, doc_len=16)
+    dense = DenseTokenIndex.build(embs, lens, doc_len=16, dtype="int8")
+    lq = enc.cfg.query_max_tokens
+    model = enc.model
+
+    @jax.jit
+    def fused(params, packed, ip, pd, pw, emb, sc, lens_d):
+        q_ids = packed[:, :lq]
+        q_emb = model.apply({"params": params}, q_ids, jnp.ones_like(q_ids))
+        ids, scores, _ = hybrid_cascade(
+            q_emb, packed[:, lq:], ip, pd, pw, emb, sc, lens_d, None, None,
+            prefilter=0, n_docs=dense.n_docs,
+            max_postings=lex.max_postings, doc_len=16, is_int8=True,
+            k_each=20, k_fuse=10, k_final=5, final_fusion="rrf")
+        return ids, scores
+
+    packed = pack_query_batch(enc, lex, ["topic3 doc"], None)
+    ids, scores = fused(enc.params, packed, jnp.asarray(lex.indptr),
+                        jnp.asarray(lex.post_docs),
+                        jnp.asarray(lex.post_weights),
+                        dense.emb_flat, dense.scales, dense.doc_lengths)
+    ids = np.asarray(ids)
+    assert ids.shape == (1, 5) and (ids[0] >= 0).all()
+    return f"one-dispatch retrieve OK (top ids {ids[0][:3].tolist()})"
+
+
 def _t_native() -> str:
     from hybrid_rag_colbertv2_tpu.utils.native import get_lib, stem_native
 
@@ -163,6 +210,7 @@ TESTS: List[Tuple[str, Callable[[], str]]] = [
     ("bm25 end-to-end", _t_bm25),
     ("tokenizer", _t_tokenizer),
     ("encoder", _t_encoder),
+    ("fused one-dispatch cascade", _t_fused_cascade),
     ("native textproc", _t_native),
 ]
 
