@@ -45,7 +45,12 @@ const std::unordered_set<std::string>& stopwords() {
           "when's", "where", "where's", "which", "while", "who", "who's",
           "whom", "why", "why's", "with", "won't", "would", "wouldn't",
           "you", "you'd", "you'll", "you're", "you've", "your", "yours",
-          "yourself", "yourselves"};
+          "yourself", "yourselves",
+          // apostrophe-stripped contraction fragments the tokenizer
+          // actually produces ("don't" -> "don") — mirrors textproc.py
+          "ain", "aren", "couldn", "didn", "doesn", "don", "hadn", "hasn",
+          "haven", "isn", "ll", "ma", "mightn", "mustn", "needn", "re",
+          "shan", "shouldn", "ve", "wasn", "weren", "won", "wouldn"};
   return *s;
 }
 
@@ -446,7 +451,7 @@ std::string stem_word(const std::string& w, int32_t algo) {
   return algo == 2 ? porter_stem(w) : snowball_stem(w);
 }
 
-// ---- tokenizer: [a-z0-9]+ over lowercased text --------------------------
+// ---- tokenizer: [a-z0-9]{2,} over lowercased text ------------------------
 
 void tokenize_doc(const char* begin, const char* end, int32_t stem_algo,
                   std::unordered_map<std::string, std::string>* memo,
@@ -456,7 +461,8 @@ void tokenize_doc(const char* begin, const char* end, int32_t stem_algo,
   const auto& stops = stopwords();
   auto flush = [&]() {
     if (tok.empty()) return;
-    if (!stops.count(tok)) {
+    // >= 2 chars (bm25s \b\w\w+\b parity; mirrors textproc.py _WORD_RE)
+    if (tok.size() >= 2 && !stops.count(tok)) {
       if (!first) out->push_back(' ');
       first = false;
       if (stem_algo != 0) {

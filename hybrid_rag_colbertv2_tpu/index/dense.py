@@ -266,8 +266,14 @@ class DenseTokenIndex:
     def save(self, path: str | Path) -> None:
         path = Path(path)
         path.mkdir(parents=True, exist_ok=True)
+        emb_np = np.asarray(self.emb_flat)
+        if emb_np.dtype == jnp.bfloat16:
+            # npz cannot represent ml_dtypes bfloat16 (it round-trips as
+            # raw void and load raises) — persist the raw bits as uint16
+            # and re-view on load via meta["emb_dtype"]
+            emb_np = emb_np.view(np.uint16)
         arrs = {
-            "emb_flat": np.asarray(self.emb_flat),
+            "emb_flat": emb_np,
             "doc_lengths": np.asarray(self.doc_lengths),
         }
         if self.scales is not None:
@@ -283,6 +289,7 @@ class DenseTokenIndex:
             "doc_len": self.doc_len,
             "dim": self.dim,
             "dtype": self.quant,
+            "emb_dtype": str(np.asarray(self.emb_flat).dtype),
         }
         (path / "meta.json").write_text(json.dumps(meta))
 
@@ -291,7 +298,12 @@ class DenseTokenIndex:
         path = Path(path)
         arrs = np.load(path / "dense.npz")
         meta = json.loads((path / "meta.json").read_text())
-        emb = jnp.asarray(arrs["emb_flat"])
+        emb_np = arrs["emb_flat"]
+        if meta.get("emb_dtype") == "bfloat16":
+            import ml_dtypes
+
+            emb_np = emb_np.view(ml_dtypes.bfloat16)
+        emb = jnp.asarray(emb_np)
         scales = jnp.asarray(arrs["scales"]) if "scales" in arrs else None
         doc_scales = (jnp.asarray(arrs["doc_scales"])
                       if "doc_scales" in arrs else None)

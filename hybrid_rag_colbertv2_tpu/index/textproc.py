@@ -19,7 +19,11 @@ from __future__ import annotations
 import re
 from typing import List
 
-_WORD_RE = re.compile(r"[a-z0-9]+")
+# >= 2 chars, matching the reference's bm25s tokenizer (\b\w\w+\b):
+# apostrophes split words, and the 1-char fragments ("t" from "don't",
+# "s" from "it's") are dropped by the length requirement instead of
+# leaking into the vocabulary as scoring terms.
+_WORD_RE = re.compile(r"[a-z0-9]{2,}")
 
 # Standard English stopword list (the usual ~170-word set used by most IR
 # toolkits; matches the *behavior* of the reference's stopwords="en").
@@ -37,8 +41,14 @@ ENGLISH_STOPWORDS = frozenset(
     through to too under until up very was wasn't we we'd we'll we're we've
     were weren't what what's when when's where where's which while who who's
     whom why why's with won't would wouldn't you you'd you'll you're you've
-    your yours yourself yourselves""".split()
+    your yours yourself yourselves
+    ain aren couldn didn doesn don hadn hasn haven isn ll ma mightn mustn
+    needn re shan shouldn ve wasn weren won wouldn""".split()
 )
+# The last line holds the apostrophe-stripped contraction fragments the
+# tokenizer actually produces ("don't" -> "don"), mirroring nltk/bm25s's
+# English list which carries both forms; without them the apostrophe
+# entries above are unreachable dead data.
 
 _VOWELS = set("aeiou")
 

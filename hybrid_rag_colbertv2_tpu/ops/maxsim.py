@@ -105,6 +105,18 @@ def _pick_docs_per_tile(doc_len: int, blq: int = 256,
     return p
 
 
+def _fit_tile(t: int, n: int) -> int:
+    """Shrink a power-of-two tile until it divides n. Without this, a
+    tile that doesn't divide n_pad falls back to jnp.pad of the ENTIRE
+    (N*L, D) index inside the jit — a full-index copy (2x transient HBM)
+    on every call at index scale. The index builders pad doc counts to
+    multiples of 128, so shrinking reaches a divisor at >=128 for any
+    built index; odd hand-built doc counts still use the pad path."""
+    while t > 1 and n % t != 0:
+        t //= 2
+    return max(t, 1)
+
+
 def _maxsim_kernel(q_ref, emb_ref, sel_ref, out_ref, *,
                    docs_per_tile, doc_len):
     """One doc-tile grid cell, ALL queries at once.
@@ -168,7 +180,8 @@ def maxsim_scores(
     b, lq, d = queries.shape
     n = doc_lengths.shape[0]
     assert emb_flat.shape[0] == n * doc_len, (emb_flat.shape, n, doc_len)
-    t = docs_per_tile or _pick_docs_per_tile(doc_len, b * lq)
+    t = docs_per_tile or _fit_tile(
+        _pick_docs_per_tile(doc_len, b * lq), n)
     if n % t != 0:
         # pad docs (zero embeddings, zero lengths -> never retrieved)
         n_pad = (t - n % t) * 1
@@ -292,7 +305,8 @@ def maxsim_scores_int8_doc(
         interpret = _default_interpret()
     b, lq, d = queries.shape
     n = doc_scales.shape[0]
-    t = docs_per_tile or _pick_docs_per_tile(doc_len, b * lq)
+    t = docs_per_tile or _fit_tile(
+        _pick_docs_per_tile(doc_len, b * lq), n)
     if n % t != 0:
         n_pad = t - n % t
         emb_flat = jnp.pad(emb_flat, ((0, n_pad * doc_len), (0, 0)))
@@ -360,7 +374,8 @@ def maxsim_scores_int8(
         interpret = _default_interpret()
     b, lq, d = queries.shape
     n = doc_lengths.shape[0]
-    t = docs_per_tile or _pick_docs_per_tile(doc_len, b * lq)
+    t = docs_per_tile or _fit_tile(
+        _pick_docs_per_tile(doc_len, b * lq), n)
     if n % t != 0:
         n_pad = t - n % t
         emb_flat = jnp.pad(emb_flat, ((0, n_pad * doc_len), (0, 0)))

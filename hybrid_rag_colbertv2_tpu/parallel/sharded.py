@@ -52,6 +52,7 @@ def make_sharded_cascade(
     is_int8: bool,
     has_doc_scales: bool = False,   # "int8-doc" layout (per-doc scales)
     k_each: int = 100,
+    k_dense: Optional[int] = None,
     k_fuse: int = 50,
     k_final: int = 10,
     rrf_k: int = 60,
@@ -82,7 +83,8 @@ def make_sharded_cascade(
     n_shards = mesh.shape[axis]
     assert n_pad % n_shards == 0
     n_local = n_pad // n_shards
-    ke = min(k_each, n_local)  # full k per shard (exactness), capped by shard
+    kd = k_dense if k_dense is not None else k_each
+    ke = min(kd, n_local)  # full DENSE k per shard (exactness), capped by shard
     kf = min(k_fuse, n_docs)
     kfin = min(k_final, kf)
     if interpret is None:
@@ -125,7 +127,7 @@ def make_sharded_cascade(
         # --- allgather candidates, replicated global top-k ---------------
         av = jax.lax.all_gather(lv, axis, axis=1, tiled=True)  # (B, S*ke)
         ai = jax.lax.all_gather(gi, axis, axis=1, tiled=True)
-        keg = min(k_each, n_docs, av.shape[1])
+        keg = min(kd, n_docs, av.shape[1])
         ms_vals, pos = jax.lax.top_k(av, keg)
         ms_ids = jnp.take_along_axis(ai, pos, axis=1)
         ms_ids = jnp.where(ms_vals > NEG_INF / 2, ms_ids, -1)
@@ -196,6 +198,7 @@ def make_sharded_bucketed_cascade(
     bucket_geoms,            # list of dicts: n_pad, doc_len, quant per bucket
     max_postings: int,
     k_each: int = 100,
+    k_dense: Optional[int] = None,
     k_fuse: int = 50,
     k_final: int = 10,
     rrf_k: int = 60,
@@ -218,6 +221,7 @@ def make_sharded_bucketed_cascade(
     candidate rerank (now routed per bucket via bucket_of/row_of) -> psum.
     """
     n_shards = mesh.shape[axis]
+    kd = k_dense if k_dense is not None else k_each
     l_max = max(g["doc_len"] for g in bucket_geoms)
     for g in bucket_geoms:
         assert g["n_pad"] % n_shards == 0, (g, n_shards)
@@ -238,7 +242,7 @@ def make_sharded_bucketed_cascade(
             n_local = geom["n_pad"] // n_shards
             dl = geom["doc_len"]
             quant = geom["quant"]
-            keb = min(k_each, n_local)
+            keb = min(kd, n_local)
             if prefilter > 0:
                 lv, li = maxsim_topk_pruned(
                     q_emb, emb,
@@ -268,13 +272,13 @@ def make_sharded_bucketed_cascade(
 
         lv = jnp.concatenate(lv_all, axis=1)
         gi = jnp.concatenate(gi_all, axis=1)
-        kel = min(k_each, lv.shape[1])
+        kel = min(kd, lv.shape[1])
         lv, pos = jax.lax.top_k(lv, kel)            # local merged top-k
         gi = jnp.take_along_axis(gi, pos, axis=1)
 
         av = jax.lax.all_gather(lv, axis, axis=1, tiled=True)
         ai = jax.lax.all_gather(gi, axis, axis=1, tiled=True)
-        keg = min(k_each, n_docs, av.shape[1])
+        keg = min(kd, n_docs, av.shape[1])
         ms_vals, pos = jax.lax.top_k(av, keg)
         ms_ids = jnp.take_along_axis(ai, pos, axis=1)
         ms_ids = jnp.where(ms_vals > NEG_INF / 2, ms_ids, -1)
@@ -389,21 +393,12 @@ class ShardedBucketedRetriever:
         self._model = getattr(encoder, "model", None)
         self._lq = (encoder.cfg.query_max_tokens
                     if self._model is not None else None)
-        self._fn = make_sharded_bucketed_cascade(
-            mesh,
-            n_docs=n,
-            bucket_geoms=geoms,
-            max_postings=lexical.max_postings,
-            k_each=min(config.bm25_top_k, n),
-            k_fuse=min(config.fusion_candidates, n),
-            k_final=min(config.final_top_k, config.fusion_candidates, n),
-            rrf_k=config.rrf_k,
-            prefilter=getattr(config, "dense_prefilter", 0),
-            approx_recall=getattr(config, "approx_topk_recall", 0.95),
-            final_fusion=getattr(config, "final_fusion", "rerank"),
-            encoder_model=self._model,
-            query_len=self._lq,
-        )
+        self._n = n
+        self._geoms = geoms
+        self._fns = {}   # k_final -> jitted fn (a caller may ask for more
+        #                  than config.final_top_k; slicing past the jitted
+        #                  width would silently return fewer results)
+        self._fn_for(min(config.final_top_k, config.fusion_candidates, n))
         self._flat = []
         for b, gid in zip(bucketed.buckets, bucketed.global_ids):
             # zero-size replicated placeholders where a layout has no such
@@ -417,8 +412,31 @@ class ShardedBucketedRetriever:
             self._flat.extend([b.emb_flat, scales, b.doc_lengths, pooled,
                                dsc, gid])
 
+    def _fn_for(self, kfin: int):
+        if kfin not in self._fns:
+            cfg = self.config
+            self._fns[kfin] = make_sharded_bucketed_cascade(
+                self.mesh,
+                n_docs=self._n,
+                bucket_geoms=self._geoms,
+                max_postings=self.lexical.max_postings,
+                k_each=min(cfg.bm25_top_k, self._n),
+                k_dense=min(cfg.colbert_top_k, self._n),
+                k_fuse=min(cfg.fusion_candidates, self._n),
+                k_final=kfin,
+                rrf_k=cfg.rrf_k,
+                prefilter=getattr(cfg, "dense_prefilter", 0),
+                approx_recall=getattr(cfg, "approx_topk_recall", 0.95),
+                final_fusion=getattr(cfg, "final_fusion", "rerank"),
+                encoder_model=self._model,
+                query_len=self._lq,
+            )
+        return self._fns[kfin]
+
     def retrieve_batch(self, queries, top_k_final=None
                        ) -> Tuple[np.ndarray, np.ndarray]:
+        k = top_k_final or self.config.final_top_k
+        fn = self._fn_for(min(k, self.config.fusion_candidates, self._n))
         with self.timer.stage("tokenize"):
             if self._model is not None:
                 packed = pack_query_batch(
@@ -432,11 +450,10 @@ class ShardedBucketedRetriever:
                         q, getattr(self.config, "query_max_terms", None))
                     for q in queries])))
         with self.timer.stage("cascade"):
-            ids, scores = self._fn(*head, *self._lex_dev,
-                                   *self._maps, *self._flat)
+            ids, scores = fn(*head, *self._lex_dev,
+                             *self._maps, *self._flat)
             ids = np.asarray(ids)
             scores = np.asarray(scores)
-        k = top_k_final or self.config.final_top_k
         return ids[:, :k], scores[:, :k]
 
 
@@ -471,28 +488,40 @@ class ShardedRetriever:
         self._model = getattr(encoder, "model", None)
         self._lq = (encoder.cfg.query_max_tokens
                     if self._model is not None else None)
-        self._fn = make_sharded_cascade(
-            mesh,
-            n_docs=dense.n_docs,
-            n_pad=dense.n_pad,
-            doc_len=dense.doc_len,
-            max_postings=lexical.max_postings,
-            is_int8=dense.is_int8,
-            has_doc_scales=dense.doc_scales is not None,
-            k_each=min(config.bm25_top_k, dense.n_docs),
-            k_fuse=min(config.fusion_candidates, dense.n_docs),
-            k_final=min(config.final_top_k, config.fusion_candidates,
-                        dense.n_docs),
-            rrf_k=config.rrf_k,
-            prefilter=getattr(config, "dense_prefilter", 0),
-            approx_recall=getattr(config, "approx_topk_recall", 0.95),
-            final_fusion=getattr(config, "final_fusion", "rerank"),
-            encoder_model=self._model,
-            query_len=self._lq,
-        )
+        self._fns = {}   # k_final -> jitted fn (see ShardedBucketedRetriever)
+        self._fn_for(min(config.final_top_k, config.fusion_candidates,
+                         dense.n_docs))
+
+    def _fn_for(self, kfin: int):
+        if kfin not in self._fns:
+            cfg = self.config
+            dense = self.dense
+            self._fns[kfin] = make_sharded_cascade(
+                self.mesh,
+                n_docs=dense.n_docs,
+                n_pad=dense.n_pad,
+                doc_len=dense.doc_len,
+                max_postings=self.lexical.max_postings,
+                is_int8=dense.is_int8,
+                has_doc_scales=dense.doc_scales is not None,
+                k_each=min(cfg.bm25_top_k, dense.n_docs),
+                k_dense=min(cfg.colbert_top_k, dense.n_docs),
+                k_fuse=min(cfg.fusion_candidates, dense.n_docs),
+                k_final=kfin,
+                rrf_k=cfg.rrf_k,
+                prefilter=getattr(cfg, "dense_prefilter", 0),
+                approx_recall=getattr(cfg, "approx_topk_recall", 0.95),
+                final_fusion=getattr(cfg, "final_fusion", "rerank"),
+                encoder_model=self._model,
+                query_len=self._lq,
+            )
+        return self._fns[kfin]
 
     def retrieve_batch(self, queries, top_k_final=None
                        ) -> Tuple[np.ndarray, np.ndarray]:
+        k = top_k_final or self.config.final_top_k
+        fn = self._fn_for(min(k, self.config.fusion_candidates,
+                              self.dense.n_docs))
         with self.timer.stage("tokenize"):
             if self._model is not None:
                 packed = pack_query_batch(
@@ -527,11 +556,10 @@ class ShardedRetriever:
             doc_scales = self.dense.doc_scales
             if doc_scales is None:
                 doc_scales = jnp.zeros((0,), jnp.float32)
-            ids, scores = self._fn(
+            ids, scores = fn(
                 *head, *self._lex_dev,
                 self.dense.emb_flat, scales, self.dense.doc_lengths, pooled,
                 doc_scales)
             ids = np.asarray(ids)
             scores = np.asarray(scores)
-        k = top_k_final or self.config.final_top_k
         return ids[:, :k], scores[:, :k]

@@ -65,7 +65,8 @@ def pack_query_batch(encoder, lexical, queries: Sequence[str],
     jax.jit,
     static_argnames=(
         "n_docs", "max_postings", "doc_len", "is_int8",
-        "k_each", "k_fuse", "k_final", "rrf_k", "prefilter", "approx_recall",
+        "k_each", "k_dense", "k_fuse", "k_final", "rrf_k", "prefilter",
+        "approx_recall",
         "final_fusion",
     ),
 )
@@ -85,7 +86,9 @@ def hybrid_cascade(
     max_postings: int,
     doc_len: int,
     is_int8: bool,
-    k_each: int = 100,
+    k_each: int = 100,        # BM25 candidate depth (bm25_top_k)
+    k_dense: Optional[int] = None,  # dense candidate depth (colbert_top_k);
+                                    # defaults to k_each
     k_fuse: int = 50,
     k_final: int = 10,
     rrf_k: int = 60,
@@ -104,7 +107,7 @@ def hybrid_cascade(
     n_pad = doc_lengths.shape[0]
 
     # Stage 2: dense top-k — pruned two-stage search or full MaxSim scan
-    ke = min(k_each, n_docs)
+    ke = min(k_dense if k_dense is not None else k_each, n_docs)
     if prefilter > 0:
         ms_vals, ms_ids = maxsim_topk_pruned(
             q_emb, emb_flat, scales if is_int8 else None, doc_lengths,
@@ -127,7 +130,7 @@ def hybrid_cascade(
     # (ops/bm25.py::bm25_topk_device); missing slots are id -1
     bm25_vals, bm25_ids = bm25_topk_device(
         q_terms, indptr, post_docs, post_weights,
-        n_docs=n_docs, max_postings=max_postings, k=ke)
+        n_docs=n_docs, max_postings=max_postings, k=min(k_each, n_docs))
 
     # Fusion: RRF -> k_fuse candidates
     fused_scores, fused_ids = rrf_from_topk(
@@ -184,16 +187,36 @@ class HybridRetriever:
         self.encoder = encoder
         self.store = chunk_store
         self.timer = StageTimer()
-        lex = indexes.lexical
-        dense = indexes.dense
-        if lex is None or dense is None:
+        if indexes.lexical is None or indexes.dense is None:
             raise RuntimeError("indexes not built/loaded")
+        self._bind_index()
+
+    def _bind_index(self) -> None:
+        """(Re)capture the current index arrays + invalidate jit caches.
+
+        The lexical CSR transfer and the fused cascade's statics (n_docs,
+        max_postings) are bound per index build; IndexManager's
+        incremental ``add_documents`` replaces the index arrays, and a
+        retriever serving the OLD bindings would silently never return
+        the appended docs. retrieve_batch re-checks per call."""
+        lex = self.indexes.lexical
+        dense = self.indexes.dense
         self._lex_dev = dict(
             indptr=jnp.asarray(lex.indptr),
             post_docs=jnp.asarray(lex.post_docs),
             post_weights=jnp.asarray(lex.post_weights),
         )
         self._fused = None   # built lazily: encoder+cascade in ONE dispatch
+        self._bound_key = (id(lex.indptr), id(lex.post_docs),
+                           id(dense), dense.n_docs)
+
+    def _check_binding(self) -> None:
+        lex = self.indexes.lexical
+        dense = self.indexes.dense
+        key = (id(lex.indptr), id(lex.post_docs), id(dense), dense.n_docs)
+        if key != self._bound_key:
+            log.info("index changed since binding — rebinding retriever")
+            self._bind_index()
 
     # ------------------------------------------------------------------
     def _build_fused(self, k_final: int):
@@ -219,6 +242,7 @@ class HybridRetriever:
             doc_len=dense.doc_len,
             is_int8=dense.is_int8,
             k_each=min(cfg.bm25_top_k, dense.n_docs),
+            k_dense=min(cfg.colbert_top_k, dense.n_docs),
             k_fuse=min(cfg.fusion_candidates, dense.n_docs),
             k_final=min(k_final, cfg.fusion_candidates, dense.n_docs),
             rrf_k=cfg.rrf_k,
@@ -273,6 +297,7 @@ class HybridRetriever:
         """-> (ids (B, k), scores (B, k)) — device path only."""
         cfg = self.config
         k = top_k_final or cfg.final_top_k
+        self._check_binding()
         lex = self.indexes.lexical
         dense = self.indexes.dense
         if not isinstance(dense, DenseTokenIndex):

@@ -226,3 +226,16 @@ def test_lexical_load_legacy_meta_defaults_to_porter(tmp_path):
     assert loaded.stemmer == "porter"
     # the legacy index still matches its own corpus's stemming
     assert (loaded.encode_query("dying") >= 0).sum() == 1
+
+
+def test_contraction_tokenization_matches_reference_behavior():
+    """bm25s tokenizes with \\b\\w\\w+\\b: apostrophes split, 1-char
+    fragments drop, and contraction stems ('don') are stopwords — none of
+    don't/it's/isn't may leak scoring terms (code-review r2)."""
+    from hybrid_rag_colbertv2_tpu.index.textproc import tokenize_lexical
+
+    toks = tokenize_lexical(
+        "it's what we don't know that hurts, isn't it? won't stop!")
+    assert toks == ["know", "hurt", "stop"]
+    # single letters never become terms
+    assert tokenize_lexical("a b c x1 t s") == ["x1"]

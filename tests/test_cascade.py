@@ -158,3 +158,61 @@ def test_cascade_int8_recall(setup):
     a = {int(i) % 12 for i in ids32[0] if i >= 0}   # mod 12: duplicate texts
     b = {int(i) % 12 for i in ids8[0] if i >= 0}
     assert len(a & b) / max(len(a), 1) >= 0.9
+
+
+def test_retriever_rebinds_after_incremental_add(app_like_setup=None):
+    """A live HybridRetriever must serve the post-add_documents index —
+    the lexical CSR transfer and the fused jit's statics were bound at
+    construction and previously went stale (code-review r2)."""
+    from hybrid_rag_colbertv2_tpu.config import RAGConfig
+    from hybrid_rag_colbertv2_tpu.index.manager import IndexManager
+    from hybrid_rag_colbertv2_tpu.models.colbert import (ColBERTConfig,
+                                                         ColBERTEncoder)
+    from hybrid_rag_colbertv2_tpu.models.tokenizer import ColBERTTokenizer
+    from hybrid_rag_colbertv2_tpu.retrieval.cascade import HybridRetriever
+
+    base = [f"document number {i} about topic{i % 5}" for i in range(12)]
+    new_doc = "zyzzyva glossolalia xylophone unique marker text"
+    tok = ColBERTTokenizer.train_bpe(base + [new_doc], vocab_size=512)
+    enc = ColBERTEncoder(ColBERTConfig.tiny(vocab_size=tok.vocab_size), tok)
+    cfg = RAGConfig(doc_max_tokens=32, dense_prefilter=0,
+                    bm25_postings_cap=0)
+    mgr = IndexManager(cfg, enc)
+    mgr.build_all(base)
+    r = HybridRetriever(cfg, mgr, enc)
+    ids0, _ = r.retrieve_batch(["zyzzyva glossolalia"], 5)
+    assert 12 not in ids0[0]
+    mgr.add_documents(base + [new_doc])
+    ids1, _ = r.retrieve_batch(["zyzzyva glossolalia"], 5)
+    assert 12 in ids1[0], ids1
+
+
+def test_k_dense_independent_of_k_each():
+    """colbert_top_k (k_dense) must control the dense candidate depth
+    independently of bm25_top_k (k_each) — previously one k capped both."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hybrid_rag_colbertv2_tpu.index.dense import DenseTokenIndex
+    from hybrid_rag_colbertv2_tpu.index.lexical import LexicalIndex
+    from hybrid_rag_colbertv2_tpu.retrieval.cascade import hybrid_cascade
+
+    rng = np.random.default_rng(0)
+    n, L, D = 32, 8, 32
+    toks = rng.normal(size=(n, L, D)).astype(np.float32)
+    toks /= np.linalg.norm(toks, axis=-1, keepdims=True)
+    dense = DenseTokenIndex.build(
+        jnp.asarray(toks), jnp.asarray(np.full(n, L, np.int32)),
+        doc_len=L, dtype="float32")
+    lex = LexicalIndex.build(["filler text"] * n)
+    q = jnp.asarray(toks[:1, :4])
+    qt = jnp.asarray(np.full((1, 4), -1, np.int32))   # no lexical terms
+    _, _, dbg = hybrid_cascade(
+        q, qt, jnp.asarray(lex.indptr), jnp.asarray(lex.post_docs),
+        jnp.asarray(lex.post_weights), dense.emb_flat, None,
+        dense.doc_lengths, None, None,
+        prefilter=0, n_docs=n, max_postings=lex.max_postings,
+        doc_len=L, is_int8=False,
+        k_each=2, k_dense=16, k_fuse=16, k_final=8, approx_recall=1.0)
+    assert dbg["ms_ids"].shape == (1, 16)       # dense depth = k_dense
+    assert dbg["bm25_ids"].shape == (1, 2)      # bm25 depth = k_each

@@ -108,3 +108,16 @@ def test_bucketed_roundtrip_into_mesh(tmp_path):
     np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
     np.testing.assert_allclose(np.asarray(v0), np.asarray(v1),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_npz_roundtrip_bfloat16(tmp_path):
+    """npz cannot hold ml_dtypes bfloat16 natively — the raw-bits uint16
+    view must round-trip (previously load raised TypeError and a saved
+    bf16 index was unrecoverable, code-review r2)."""
+    dense = _make_index("bfloat16")
+    dense.save(tmp_path / "bf16")
+    back = DenseTokenIndex.load(tmp_path / "bf16")
+    assert back.emb_flat.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(back.emb_flat, dtype=np.float32),
+        np.asarray(dense.emb_flat, dtype=np.float32))

@@ -148,3 +148,19 @@ def test_dp_tp_train_step(setup):
                                               steps=1), mesh=mesh)
     m = trainer.train(pairs, steps=1)
     assert np.isfinite(m[0]["loss"])
+
+
+def test_sharded_top_k_final_larger_than_config(setup):
+    """retrieve_batch(top_k_final > config.final_top_k) must return the
+    requested width — the jitted fn rebuilds per k like HybridRetriever
+    (previously the narrow array was silently sliced as a no-op)."""
+    from hybrid_rag_colbertv2_tpu.parallel.mesh import shard_dense_index
+
+    cfg, encoder, lex, dense = setup
+    mesh = make_mesh(MeshConfig(mesh_shape=(8, 1)))
+    sharded = shard_dense_index(dense, mesh)
+    r = ShardedRetriever(cfg, mesh, lex, sharded, encoder)
+    assert cfg.final_top_k == 10   # the request below must exceed it
+    ids, scores = r.retrieve_batch(["systolic array"], top_k_final=20)
+    assert ids.shape == (1, 20) and scores.shape == (1, 20)
+    assert (ids[0][:5] >= 0).all()
