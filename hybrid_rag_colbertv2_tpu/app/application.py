@@ -86,7 +86,15 @@ class RAGApplication:
         ckpt = Path(cfg.encoder_checkpoint) if cfg.encoder_checkpoint \
             else None
         tokenizer = None
-        if ckpt is not None and (ckpt / "tokenizer.json").exists():
+        if ckpt is not None:
+            if not (ckpt / "tokenizer.json").exists():
+                # pairing a corpus BPE with the checkpoint's embedding
+                # table would index arbitrary rows of a foreign vocab —
+                # silent garbage rankings. Fail loudly instead.
+                raise FileNotFoundError(
+                    f"encoder_checkpoint {ckpt} has no tokenizer.json; "
+                    "checkpoint weights require the checkpoint's own "
+                    "tokenizer (vocab ids must match its embedding table)")
             tokenizer = ColBERTTokenizer.load(ckpt / "tokenizer.json")
             log.info("Tokenizer loaded from checkpoint %s (vocab %d)",
                      ckpt, tokenizer.vocab_size)
@@ -98,7 +106,12 @@ class RAGApplication:
                 tokenizer = ColBERTTokenizer.train_bpe(
                     corpus or ["placeholder corpus"],
                     vocab_size=cfg.tokenizer_vocab_size)
-                tokenizer.save(tok_path)
+                if corpus:
+                    # never persist a placeholder-trained tokenizer: an
+                    # indexes dir seeded by a pre-upload --query/--chat
+                    # would pin byte-level-pieces tokenization for every
+                    # later real upload
+                    tokenizer.save(tok_path)
 
         enc_dtype = jnp.dtype(getattr(cfg, "encoder_dtype", "float32"))
         enc_cfg = None
@@ -150,8 +163,9 @@ class RAGApplication:
             params = ColBERTEncoder.load_params(str(params_path))
         encoder = ColBERTEncoder(enc_cfg, tokenizer, params=params,
                                  seed=cfg.encoder_seed)
-        params_path.parent.mkdir(parents=True, exist_ok=True)
-        if not params_path.exists():
+        if corpus and not params_path.exists():
+            # persist only alongside a real corpus (see tokenizer note)
+            params_path.parent.mkdir(parents=True, exist_ok=True)
             encoder.save_params(str(params_path))
             cfg_path.write_text(json.dumps(encoder.config_dict()))
         return encoder
@@ -329,6 +343,13 @@ class RAGApplication:
         if self.retriever is None:
             self.initialize_chatbot()
         ids, scores = self.retriever.retrieve_batch(list(queries), top_k)
+        # ONE batched IN-fetch for all results across the whole batch (the
+        # per-id loop re-created the reference's N+1 SELECT pattern on the
+        # serving hot path; ingest/store.py exists to avoid it)
+        all_ids = {int(c) for b in range(ids.shape[0])
+                   for c in ids[b] if c >= 0}
+        meta_by_id = {m["chunk_id"]: m
+                      for m in self.store.get_chunks(all_ids)}
         out: List[List[Dict]] = []
         for b in range(ids.shape[0]):
             rows = []
@@ -337,7 +358,7 @@ class RAGApplication:
                 if cid < 0:
                     continue
                 row = dict(chunk_id=int(cid), score=float(score), rank=rank)
-                meta = self.store.get_chunk(int(cid))
+                meta = meta_by_id.get(int(cid))
                 if meta:
                     row.update(meta)
                 rows.append(row)

@@ -34,12 +34,18 @@ class RAGChatbot:
 
         context = self._build_context(retrieved)
 
-        self.conversation_history.append({"role": "user", "content": query})
+        # generate against history + the new turn, but only COMMIT both
+        # turns after generation succeeds — a raising generate would
+        # otherwise leave an orphan user message in the history, and each
+        # retry would stack another, corrupting every later prompt
         response = ""
         if generate and self.ollama is not None:
             with self.timer.stage("generate"):
                 response = self.ollama.chat(
-                    messages=self.conversation_history, context=context)
+                    messages=self.conversation_history
+                    + [{"role": "user", "content": query}],
+                    context=context)
+        self.conversation_history.append({"role": "user", "content": query})
         self.conversation_history.append(
             {"role": "assistant", "content": response})
 

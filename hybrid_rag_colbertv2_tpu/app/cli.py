@@ -125,11 +125,13 @@ def _main(argv=None) -> int:
         return 0
 
     if args.eval:
-        from ..tools.eval_recall import main as eval_main
-        eval_args = ["--n-queries", str(args.eval)]
-        if args.config:
-            eval_args += ["--config", args.config]
-        return eval_main(eval_args)
+        # evaluate the ALREADY-configured app (a fresh eval_recall.main
+        # would rebuild from defaults and drop --db/--model overrides,
+        # silently evaluating the wrong database)
+        from ..tools.eval_recall import evaluate
+        app.initialize_chatbot(use_mesh=False)
+        print(json.dumps(evaluate(app, n_queries=args.eval)))
+        return 0
 
     if args.bench:
         import subprocess

@@ -39,8 +39,11 @@ class MicroBatcher:
     """
 
     def __init__(self, fn_batch: Callable, max_batch: int = 8,
-                 window_s: float = 0.002, timeout_s: float = 60.0,
+                 window_s: float = 0.002, timeout_s: float = 300.0,
                  default_top_k: int = 10):
+        # timeout_s must exceed the FIRST jit compile of the fused cascade
+        # (30-130 s through a tunneled TPU, CLAUDE.md) or the first
+        # requests spuriously 500; serve() also warms the path up front.
         self._fn = fn_batch
         self.default_top_k = default_top_k  # resolves omitted top_k so one
         #   caller's small explicit top_k can't truncate another's default
@@ -187,6 +190,16 @@ def make_handler(app, batcher: Optional[MicroBatcher] = None):
 def serve(app, host: str = "127.0.0.1", port: int = 8080,
           max_batch: int = 8, batch_window_s: float = 0.002) -> None:
     """Blocking server loop. ``app`` must have initialize_chatbot() done."""
+    # warm the fused cascade BEFORE accepting traffic: the first compile
+    # costs 30-130 s on a tunneled TPU and would otherwise be paid by (and
+    # possibly time out) the first live requests
+    t0 = time.perf_counter()
+    try:
+        app.query_batch(["warmup"] * min(max_batch, 8),
+                        app.config.final_top_k)
+        log.info("cascade warmed in %.1fs", time.perf_counter() - t0)
+    except Exception as e:  # an empty index raises — serve /health anyway
+        log.warning("warmup skipped: %s", e)
     batcher = MicroBatcher(app.query_batch, max_batch=max_batch,
                            window_s=batch_window_s,
                            default_top_k=app.config.final_top_k)

@@ -58,15 +58,21 @@ def _unescape_pdf_string(raw: bytes) -> bytes:
                 out += _ESCAPES[nxt]
                 i += 2
                 continue
-            if nxt.isdigit():  # octal escape \ddd
+            if nxt in b"01234567":  # octal escape \ddd — 8/9 are NOT
+                # octal; isdigit() accepted them and int(_, 8) raised,
+                # aborting the whole upload on a malformed escape
                 j = i + 1
                 oct_digits = b""
-                while j < len(raw) and raw[j : j + 1].isdigit() and len(oct_digits) < 3:
+                while (j < len(raw) and raw[j : j + 1] in b"01234567"
+                       and len(oct_digits) < 3):
                     oct_digits += raw[j : j + 1]
                     j += 1
                 out.append(int(oct_digits, 8) & 0xFF)
                 i = j
                 continue
+            if nxt not in b"\r\n":   # backslash-EOL = line continuation
+                out += nxt   # unknown escape: spec says drop the
+                #              backslash, keep the char ("\8" -> "8")
             i += 2
             continue
         out += c

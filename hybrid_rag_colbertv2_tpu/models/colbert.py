@@ -309,6 +309,14 @@ class ColBERTEncoder:
         if not all_embs:
             d = self.cfg.colbert_dim
             return jnp.zeros((0, l, d)), jnp.zeros((0,), jnp.int32)
+        full = sum(1 for n in lengths if n >= l)
+        if full:
+            log.warning(
+                "%d/%d docs hit the doc token budget (doc_max_tokens=%d) — "
+                "the dense index sees only their prefix (BM25 still scores "
+                "the full text). Raise doc_max_tokens or lower "
+                "max_chunk_size if these are truncated chunks.",
+                full, len(texts), l)
         return (
             jnp.concatenate(all_embs, axis=0),
             jnp.asarray(np.array(lengths, np.int32)),

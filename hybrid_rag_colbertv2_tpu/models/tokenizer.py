@@ -99,6 +99,18 @@ class ColBERTTokenizer:
 
     @classmethod
     def load(cls, path: str | Path) -> "ColBERTTokenizer":
+        # a HashTokenizer session may have persisted its stub here; it
+        # must load back as a HashTokenizer (same ids) in EVERY session —
+        # with or without the tokenizers wheel — or the app built with it
+        # is permanently unusable
+        try:
+            import json as _json
+
+            head = _json.loads(Path(path).read_text())
+            if isinstance(head, dict) and head.get("type") == "hash":
+                return HashTokenizer(head.get("vocab_size", 8192))
+        except Exception:
+            pass
         if not HAVE_TOKENIZERS:
             raise RuntimeError("tokenizers wheel unavailable")
         tok = Tokenizer.from_file(str(path))

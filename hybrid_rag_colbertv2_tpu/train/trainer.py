@@ -216,7 +216,26 @@ class ColBERTTrainer:
                 batches.append(cur)
                 cur, seen = [], set()
         if cur and not batches:
-            batches.append((cur * bs)[:bs])
+            # fewer distinct positives than batch_size: train on the
+            # smaller batch rather than tiling pairs — duplicated
+            # positives make identical-text columns compete as negatives
+            # (loss floors at log(#dups) and gradients push identical
+            # docs apart). Under a mesh the batch axis must divide the
+            # data axis; trim to the largest multiple.
+            if self.mesh is not None:
+                n_data = self.mesh.shape[self.data_axis]
+                keep = (len(cur) // n_data) * n_data
+                if keep == 0:
+                    log.warning(
+                        "only %d distinct training pairs for a %d-way "
+                        "data mesh — skipping training", len(cur), n_data)
+                    cur = []
+                cur = cur[:keep]
+            if cur:
+                batches.append(cur)
+        if not batches:
+            log.warning("no trainable batches — returning without training")
+            return []
         params = self.encoder.params
         metrics: List[Dict] = []
         bpos = 0

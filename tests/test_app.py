@@ -320,3 +320,27 @@ def test_nondivisible_mesh_falls_back_to_single_device(app):
     assert isinstance(a2.retriever, HybridRetriever)   # fell back
     res = a2.query("systolic array matrix multiplication", top_k=3)
     assert res and any("MXU" in r["text"] for r in res)
+
+
+def test_chat_history_not_corrupted_by_generation_failure(app):
+    """A raising generate must not leave orphan user turns in the history
+    (each retry would stack another, corrupting later prompts)."""
+    from hybrid_rag_colbertv2_tpu.app.chatbot import RAGChatbot
+
+    a, cfg, root = app
+    a.initialize_chatbot(use_mesh=False)
+
+    class _Boom:
+        def chat(self, messages, context):
+            raise RuntimeError("model not pulled")
+
+    bot = RAGChatbot(cfg, a.retriever, _Boom())
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        bot.chat("first question", generate=True)
+    assert bot.conversation_history == []
+    # a later successful (generate=False) turn commits both messages
+    out = bot.chat("second question", generate=False)
+    assert [m["role"] for m in bot.conversation_history] == [
+        "user", "assistant"]
+    assert out["retrieved_chunks"] >= 0

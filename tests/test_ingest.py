@@ -172,3 +172,47 @@ def test_vision_failure_degrades_not_blocks(tmp_path, monkeypatch):
     chunks, doc_id, ids = proc.process_document(tmp_path / "x.pdf")
     assert chunks                       # ingestion proceeded
     assert store.get_images(doc_id)[0]["description"] == ""
+
+
+def test_pdf_octal_escape_with_8_and_9():
+    """\\8 and \\9 are not octal escapes — the spec drops the backslash
+    and keeps the char (previously int('8', 8) raised and aborted the
+    whole upload)."""
+    from hybrid_rag_colbertv2_tpu.ingest.pdf import _unescape_pdf_string
+
+    assert _unescape_pdf_string(rb"a\8b") == b"a8b"
+    assert _unescape_pdf_string(rb"a\9b") == b"a9b"
+    assert _unescape_pdf_string(rb"a\101b") == b"aAb"     # real octal
+    assert _unescape_pdf_string(b"a\\\nb") == b"ab"       # line continuation
+
+
+def test_placeholder_artifacts_not_persisted_before_upload(tmp_path):
+    """--query/--chat before any --upload must NOT seed the indexes dir
+    with a placeholder-trained tokenizer/random params (they would pin
+    degenerate tokenization for every later real upload)."""
+    import pytest as _pytest
+
+    from hybrid_rag_colbertv2_tpu.app.application import RAGApplication
+    from hybrid_rag_colbertv2_tpu.config import RAGConfig
+
+    cfg = RAGConfig(
+        db_path=str(tmp_path / "rag.db"),
+        bm25_index_path=str(tmp_path / "idx/bm25"),
+        colbert_index_path=str(tmp_path / "idx/colbert"),
+        tokenizer_path=str(tmp_path / "idx/tokenizer.json"),
+        images_dir=str(tmp_path / "img"),
+        min_chunk_size=16, max_chunk_size=64,
+        encoder_preset="tiny", tokenizer_vocab_size=300,
+    )
+    app = RAGApplication(cfg, use_ollama=False)
+    with _pytest.raises(RuntimeError, match="nothing indexed"):
+        app.initialize_chatbot()
+    assert not (tmp_path / "idx/tokenizer.json").exists()
+    assert not (tmp_path / "idx/colbert/encoder_params.npz").exists()
+    # a real upload afterwards trains the real-corpus tokenizer
+    doc = tmp_path / "d.md"
+    doc.write_text("# Title\n\nreal corpus content with many words here\n")
+    app.index_documents([str(doc)])
+    assert (tmp_path / "idx/tokenizer.json").exists()
+    app.initialize_chatbot(use_mesh=False)
+    assert app.query("real corpus content")

@@ -96,3 +96,16 @@ def test_encode_docs_matches_per_text_encode_doc():
             ids_1, n_1 = tok.encode_doc(t, 32)
             np.testing.assert_array_equal(ids_b[i], ids_1)
             assert lens_b[i] == n_1
+
+
+def test_hash_tokenizer_stub_roundtrip(tmp_path):
+    """A HashTokenizer session persists a JSON stub; load() must return a
+    HashTokenizer with identical ids in every later session (previously it
+    raised, leaving the app permanently unusable without the wheel)."""
+    ht = HashTokenizer(vocab_size=256)
+    ht.save(tmp_path / "tok.json")
+    back = ColBERTTokenizer.load(tmp_path / "tok.json")
+    assert isinstance(back, HashTokenizer)
+    assert back.vocab_size == 256
+    np.testing.assert_array_equal(back.encode_query("hello world", 16),
+                                  ht.encode_query("hello world", 16))
