@@ -297,19 +297,19 @@ def main():
                 images_dir=f"{td}/img",
                 min_chunk_size=48, max_chunk_size=96,
                 doc_max_tokens=128,
-                encoder_train_steps=128 if on_tpu else 8,
+                encoder_train_steps=200 if on_tpu else 8,
                 dense_prefilter=prefilter,
                 bm25_postings_cap=postings_cap,
             )
             app = RAGApplication(cfg2, use_ollama=False)
             app.index_documents([str(p) for p in paths])
-            res = evaluate(app, n_queries=32, k=10, batch=8,
+            res = evaluate(app, n_queries=64, k=10, batch=8,
                            measure_latency=False)
             log(f"REAL-DATA eval ({len(paths)} markdown docs, ICT-trained "
                 f"encoder w/ BM25-mined hard negatives, production knobs, "
                 f"final_fusion=rerank [reference parity], "
                 f"{time.perf_counter() - t0:.0f}s): {json.dumps(res)}")
-            res_rrf = evaluate(app, n_queries=32, k=10, batch=8,
+            res_rrf = evaluate(app, n_queries=64, k=10, batch=8,
                                measure_latency=False,
                                config_overrides={"final_fusion": "rrf"})
             log(f"REAL-DATA eval, final_fusion=rrf (opt-in, keeps lexical "

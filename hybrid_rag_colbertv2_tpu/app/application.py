@@ -216,7 +216,9 @@ class RAGApplication:
         from ..train.trainer import ColBERTTrainer, TrainConfig
 
         steps = self.config.encoder_train_steps
-        pairs_idx = pseudo_query_pairs(corpus, n_pairs_per_doc=4,
+        # 6 pairs/doc measured +1.5pp dense hit@10 over 4 at equal wall
+        # time (docs/performance.md ablation); 8 adds nothing further
+        pairs_idx = pseudo_query_pairs(corpus, n_pairs_per_doc=6,
                                        seed=self.config.encoder_seed)
         n_neg = self.config.encoder_hard_negatives
         if n_neg > 0 and len(corpus) > n_neg + 1:
