@@ -122,9 +122,8 @@ def main():
                     scs.reshape(n_pad_g * doc_len_g))
         return gen
 
-    q8, scales = make_gen(n_pad, doc_len)(
-        jax.random.PRNGKey(0), jnp.asarray(lengths_pad))
-    lens_dev = jnp.asarray(lengths_pad)
+    lens_dev = jnp.asarray(lengths_pad)   # ONE transfer, reused below
+    q8, scales = make_gen(n_pad, doc_len)(jax.random.PRNGKey(0), lens_dev)
     pooled = pooled_doc_embeddings(q8, scales, lens_dev, doc_len=doc_len)
     dense = DenseTokenIndex(
         emb_flat=q8, doc_lengths=lens_dev, n_docs=n_docs,
@@ -143,9 +142,12 @@ def main():
     lex_dev = (jnp.asarray(lex.indptr), jnp.asarray(lex.post_docs),
                jnp.asarray(lex.post_weights))
 
-    # production path (retrieval/cascade.py::HybridRetriever): encoder
-    # forward + full cascade in ONE jitted dispatch, query token ids +
-    # BM25 term ids packed into ONE host->device transfer per batch
+    # production path (retrieval/cascade.py::HybridRetriever._build_fused,
+    # mirrored inline because the honest-timing protocol cannot use
+    # retrieve_batch's per-call device->host fetch): encoder forward +
+    # full cascade in ONE jitted dispatch, query token ids + BM25 term
+    # ids packed into ONE host->device transfer per batch
+    # (pack_query_batch layout contract). Keep in sync with _build_fused.
     lq = enc_cfg.query_max_tokens
     model = encoder.model
 
@@ -185,6 +187,9 @@ def main():
     iters = 16 if on_tpu else 4
     reps = 5 if on_tpu else 2
     p50, worst = queued_timeit(run_once, iters, reps)
+    # queued_timeit clamps reps at 0 when measured total <= RTT; a zero
+    # p50 would crash the division below BEFORE the required stdout line
+    p50 = max(p50, 1e-3)
     p50_per_query = p50 / batch
     qps = batch / (p50 / 1e3)
     log(f"batch={batch} p50={p50:.2f}ms worst={worst:.2f}ms"
@@ -219,13 +224,20 @@ def main():
         nr = 8192 if on_tpu else 1024
         lens_r = np.zeros((nr,), np.int32)
         lens_r[:nr] = rng.integers(doc_len // 2, doc_len + 1, nr)
+        lens_r_dev = jnp.asarray(lens_r)      # ONE transfer, reused
 
-        q8r, scr = make_gen(nr, doc_len)(
-            jax.random.PRNGKey(7), jnp.asarray(lens_r))
-        pooled_r = pooled_doc_embeddings(q8r, scr, jnp.asarray(lens_r),
+        q8r, scr = make_gen(nr, doc_len)(jax.random.PRNGKey(7), lens_r_dev)
+        pooled_r = pooled_doc_embeddings(q8r, scr, lens_r_dev,
                                          doc_len=doc_len)
+        # the sub-cascade scores nr docs, so its BM25 arm needs a lexical
+        # index over the SAME nr-doc sub-corpus — reusing the 100k-doc
+        # index would mask ~92% of BM25 candidates (ids >= nr -> -1) and
+        # the "full pruned cascade" claim would be dense-only
+        lex_r = LexicalIndex.build(corpus[:nr], postings_cap=postings_cap)
+        lex_r_dev = (jnp.asarray(lex_r.indptr), jnp.asarray(lex_r.post_docs),
+                     jnp.asarray(lex_r.post_weights))
         qt_r = jnp.asarray(np.stack([
-            lex.encode_query(" ".join(rng.choice(vocab, size=6)), 32)
+            lex_r.encode_query(" ".join(rng.choice(vocab, size=6)), 32)
             for _ in range(batch)]))
         # topic-aligned queries (what a trained encoder produces)
         kq1, kq2 = jax.random.split(jax.random.PRNGKey(3))
@@ -237,11 +249,13 @@ def main():
         n_chunks_r = nr // chunk
 
         @jax.jit
-        def recall_on_device(q, q_terms_r, emb_flat, scales_r, lens):
+        def recall_on_device(q, q_terms_r, lex_ip, lex_pd, lex_pw,
+                             emb_flat, scales_r, lens, pooled_arg):
             cascade_ids, _, _ = hybrid_cascade(
-                q, q_terms_r, *lex_dev, emb_flat, scales_r, lens, pooled_r,
+                q, q_terms_r, lex_ip, lex_pd, lex_pw,
+                emb_flat, scales_r, lens, pooled_arg,
                 prefilter=prefilter,
-                n_docs=nr, max_postings=lex.max_postings,
+                n_docs=nr, max_postings=lex_r.max_postings,
                 doc_len=doc_len, is_int8=True,
                 k_each=100, k_fuse=50, k_final=10)
             e4 = emb_flat.reshape(n_chunks_r, chunk, doc_len, dim)
@@ -257,8 +271,8 @@ def main():
             hits = hits & (cascade_ids >= 0)
             return jnp.mean(jnp.sum(hits, axis=1) / 10.0)
 
-        r = float(recall_on_device(qe_r, qt_r, q8r, scr,
-                                   jnp.asarray(lens_r)))
+        r = float(recall_on_device(qe_r, qt_r, *lex_r_dev, q8r, scr,
+                                   lens_r_dev, pooled_r))
         log(f"recall@10 vs exact fp32 MaxSim (pruned int8 cascade, {nr} "
             f"docs): {r:.3f}")
         del q8r, scr

@@ -31,7 +31,13 @@ def build(verbose: bool = True) -> bool:
             if verbose:
                 print(r.stdout + r.stderr, file=sys.stderr)
             return False
-        return _LIB_PATH.exists()
+        if _LIB_PATH.exists():
+            # a failed get_lib() before the build latched _load_failed;
+            # clear it so the fresh library actually gets used
+            global _load_failed
+            _load_failed = False
+            return True
+        return False
     except Exception as e:
         if verbose:
             print(f"native build failed: {e}", file=sys.stderr)
@@ -81,13 +87,22 @@ def tokenize_corpus_native(corpus: List[str], stem: bool = True,
     lib = get_lib()
     if lib is None:
         return None
+    if not corpus:
+        # ''.split(chr(30)) on the C side would yield one phantom empty
+        # doc; the contract is len(result) == len(corpus)
+        return []
     algo = _STEM_ALGOS[stemmer] if stem else 0
     # \x1e is the document separator in the C ABI; sanitize it out of the
     # texts (PDF-extracted text can contain control bytes) so the returned
     # doc count always matches len(corpus). The Python tokenizer treats
     # \x1e as a non-word delimiter, so replacing with a space is
     # token-identical to the fallback path.
-    joined = "\x1e".join(t.replace("\x1e", " ") for t in corpus).encode(
+    # lowercase HERE with Python's str.lower() so Unicode chars whose
+    # lowercase is ASCII (e.g. U+212A KELVIN SIGN -> 'k', seen in PDF/OCR
+    # text) tokenize identically to the pure-Python path — the C side
+    # only ASCII-lowers, which would split corpus vs query vocabularies
+    joined = "\x1e".join(
+        t.lower().replace("\x1e", " ") for t in corpus).encode(
         "utf-8", errors="replace")
     out_len = ctypes.c_int64()
     buf = lib.hrag_tokenize_corpus(joined, len(joined), algo,

@@ -114,3 +114,19 @@ def test_lexical_index_same_with_and_without_native(lib, tmp_path,
     np.testing.assert_array_equal(idx_native.post_docs, idx_python.post_docs)
     np.testing.assert_allclose(idx_native.post_weights,
                                idx_python.post_weights)
+
+
+def test_native_unicode_lower_parity_and_empty_corpus():
+    """U+212A KELVIN SIGN lowercases to ASCII 'k' via Python str.lower();
+    the native path must tokenize it identically (corpus goes native,
+    queries go pure-Python — divergence silently breaks BM25 matches).
+    Empty corpus must return [] (not one phantom empty doc)."""
+    from hybrid_rag_colbertv2_tpu.index.textproc import tokenize_lexical
+    from hybrid_rag_colbertv2_tpu.utils.native import (get_lib,
+                                                       tokenize_corpus_native)
+
+    if get_lib() is None:
+        pytest.skip("native lib not built")
+    t = "Kelvin scale measurement"
+    assert tokenize_corpus_native([t]) == [tokenize_lexical(t)]
+    assert tokenize_corpus_native([]) == []
