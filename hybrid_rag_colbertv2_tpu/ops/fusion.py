@@ -24,26 +24,22 @@ import jax.numpy as jnp
 _BIG = jnp.iinfo(jnp.int32).max
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("n_docs", "k", "rrf_k", "approx_recall"))
+@functools.partial(jax.jit, static_argnames=("k", "rrf_k"))
 def rrf_from_topk(
     ids_a: jax.Array,      # (B, Ka) int32 doc ids (global id space)
     ids_b: jax.Array,      # (B, Kb) int32
-    n_docs: int = None,    # unused (kept for API compat; fusion is O(1) in N)
     *,
     k: int,                # number of fused candidates to keep
     rrf_k: int = 60,       # reference hard-codes 60 (local_rag_complete.py:964)
-    approx_recall: float = 0.0,  # unused: the merge domain is tiny (Ka+Kb),
-                                 # exact top-k is already corpus-independent
 ) -> Tuple[jax.Array, jax.Array]:
     """Fuse two ranked id lists -> (fused_scores (B,k), fused_ids (B,k)).
 
     ``ids_*`` rows must be rank-ordered (best first). Entries with id < 0
     are treated as missing (e.g. padding from a short shard) and ignored.
     When k exceeds the number of distinct fused candidates, the tail is
-    padded with score 0 / id -1.
+    padded with score 0 / id -1. Fusion is corpus-size independent — the
+    merge domain is just Ka+Kb candidate ids.
     """
-    del n_docs, approx_recall
     b, ka = ids_a.shape
     kb = ids_b.shape[1]
     kt = ka + kb
@@ -99,7 +95,7 @@ def reciprocal_rank_fusion(
     _, ids_a = jax.lax.top_k(scores_a, ke)
     _, ids_b = jax.lax.top_k(scores_b, ke)
     return rrf_from_topk(ids_a.astype(jnp.int32), ids_b.astype(jnp.int32),
-                         n, k=min(k_out, n), rrf_k=rrf_k)
+                         k=min(k_out, n), rrf_k=rrf_k)
 
 
 def final_topk_select(

@@ -274,7 +274,7 @@ def main(argv=None) -> int:
     ids_b = jax.random.randint(jax.random.PRNGKey(4), (batch, 100), 0,
                                n_docs, jnp.int32)
     emit("rrf_fuse", *_timeit(
-        lambda: rrf_from_topk(ids_a, ids_b, n_docs, k=50)[0], args.iters))
+        lambda: rrf_from_topk(ids_a, ids_b, k=50)[0], args.iters))
 
     # --- end-to-end cascade ------------------------------------------------
     def run_cascade(prefilter):

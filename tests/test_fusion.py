@@ -17,7 +17,7 @@ def test_rrf_matches_python_oracle(rng):
     ids_a = rng.permutation(n)[:20].astype(np.int32)
     ids_b = rng.permutation(n)[:20].astype(np.int32)
     scores, ids = rrf_from_topk(
-        jnp.asarray(ids_a)[None], jnp.asarray(ids_b)[None], n, k=50
+        jnp.asarray(ids_a)[None], jnp.asarray(ids_b)[None], k=50
     )
     oracle = rrf_reference_py(ids_a.tolist(), ids_b.tolist())
     got = [(int(i), float(s)) for i, s in zip(ids[0], scores[0]) if i >= 0]
@@ -34,7 +34,7 @@ def test_rrf_matches_python_oracle(rng):
 def test_rrf_overlap_accumulates():
     ids_a = jnp.asarray([[5, 3, 1]], dtype=jnp.int32)
     ids_b = jnp.asarray([[3, 7, 5]], dtype=jnp.int32)
-    scores, ids = rrf_from_topk(ids_a, ids_b, 10, k=4)
+    scores, ids = rrf_from_topk(ids_a, ids_b, k=4)
     got = {int(i): float(s) for i, s in zip(ids[0], scores[0]) if i >= 0}
     np.testing.assert_allclose(got[3], 1 / 62 + 1 / 61, rtol=1e-6)
     np.testing.assert_allclose(got[5], 1 / 61 + 1 / 63, rtol=1e-6)
@@ -47,7 +47,7 @@ def test_rrf_overlap_accumulates():
 def test_rrf_ignores_negative_ids():
     ids_a = jnp.asarray([[4, -1, -1]], dtype=jnp.int32)
     ids_b = jnp.asarray([[-1, -1, -1]], dtype=jnp.int32)
-    scores, ids = rrf_from_topk(ids_a, ids_b, 10, k=3)
+    scores, ids = rrf_from_topk(ids_a, ids_b, k=3)
     kept = [int(i) for i in ids[0] if i >= 0]
     assert kept == [4]
 
@@ -87,7 +87,7 @@ def test_rrf_corpus_size_independent(rng):
     ids_b = ids_a.copy()
     ids_b[:10] = rng.integers(0, n, size=10, dtype=np.int64).astype(np.int32)
     scores, ids = rrf_from_topk(
-        jnp.asarray(ids_a)[None], jnp.asarray(ids_b)[None], n, k=50)
+        jnp.asarray(ids_a)[None], jnp.asarray(ids_b)[None], k=50)
     oracle = dict(rrf_reference_py(ids_a.tolist(), ids_b.tolist()))
     got = {int(i): float(s) for i, s in zip(ids[0], scores[0]) if i >= 0}
     assert set(got) == set(oracle)
@@ -98,7 +98,7 @@ def test_rrf_corpus_size_independent(rng):
 def test_rrf_pads_when_k_exceeds_candidates():
     ids_a = jnp.asarray([[4, 2]], dtype=jnp.int32)
     ids_b = jnp.asarray([[2, 9]], dtype=jnp.int32)
-    scores, ids = rrf_from_topk(ids_a, ids_b, 10, k=8)
+    scores, ids = rrf_from_topk(ids_a, ids_b, k=8)
     assert scores.shape == (1, 8) and ids.shape == (1, 8)
     kept = [int(i) for i in ids[0] if i >= 0]
     assert sorted(kept) == [2, 4, 9]

