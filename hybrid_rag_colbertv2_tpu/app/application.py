@@ -59,6 +59,7 @@ class RAGApplication:
         self.indexes: Optional[IndexManager] = None
         self.retriever: Optional[HybridRetriever] = None
         self.chatbot: Optional[RAGChatbot] = None
+        self.fusion_gate: Optional[Dict] = None   # measured-gate details
 
     # ------------------------------------------------------------------
     def check_ollama(self) -> bool:
@@ -273,11 +274,32 @@ class RAGApplication:
         self._use_mesh = use_mesh       # remembered for re-index rebinds
         self._bind_retriever(use_mesh)
 
+    def resolve_final_fusion(self) -> str:
+        """Resolve ``final_fusion="auto"`` via the measured gate
+        (retrieval/gate.py): evaluate both final-ordering modes on
+        held-out pseudo-queries over the indexed corpus, keep the winner,
+        and record the measurement in ``self.fusion_gate``. Idempotent —
+        once resolved, the config carries the concrete mode."""
+        cfg = self.config
+        if cfg.final_fusion != "auto":
+            return cfg.final_fusion
+        from ..retrieval.gate import resolve_final_fusion as _gate
+
+        corpus = self.store.all_chunk_texts()
+        mode, self.fusion_gate = _gate(
+            cfg, self.indexes, self.encoder, corpus, chunk_store=self.store)
+        cfg.final_fusion = mode
+        log.info("final_fusion resolved to %r by measured gate", mode)
+        return mode
+
     def _bind_retriever(self, use_mesh: Optional[bool] = None) -> None:
         """Stand up retriever + chatbot over the CURRENT self.indexes
         (no disk reload)."""
         from ..index.bucketed import BucketedDenseIndex as _BDI
         from ..index.dense import DenseTokenIndex as _DTI
+
+        if self.config.final_fusion == "auto":
+            self.resolve_final_fusion()
 
         n_dev = len(jax.devices())
         if use_mesh is None:

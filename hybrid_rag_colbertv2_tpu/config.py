@@ -81,8 +81,13 @@ class RAGConfig:
     # with the candidate-RRF ranking — keeps lexical evidence in the final
     # cut, hedging dense-rerank misses (measured on the 90-chunk real-text
     # corpus: hit@10 0.906 -> see docs/performance.md). Reported scores
-    # stay exact-MaxSim either way.
-    final_fusion: str = "rerank"
+    # stay exact-MaxSim either way. "auto" (default): the APPLICATION
+    # decides by a measured gate — it evaluates both modes on held-out
+    # pseudo-queries over the indexed corpus and picks the winner
+    # (retrieval/gate.py; ties -> "rerank" parity). Components used
+    # standalone (a bare HybridRetriever) treat an unresolved "auto" as
+    # "rerank".
+    final_fusion: str = "auto"
     # >0: two-stage pruned dense search (ops/prefilter.py) — pooled-cosine
     # prefilter to this many candidates, exact MaxSim only on those.
     # 0 = brute-force full MaxSim scan (exact). Rule of thumb: 8-16x the
@@ -195,11 +200,23 @@ class RAGConfig:
             raise ValueError("final_top_k must be <= fusion_candidates")
         if self.query_max_tokens % 32 != 0:
             raise ValueError("query_max_tokens must be a multiple of 32 (TPU lanes)")
-        if self.final_fusion not in ("rerank", "rrf"):
-            raise ValueError("final_fusion must be 'rerank' or 'rrf'")
+        if self.final_fusion not in ("rerank", "rrf", "auto"):
+            raise ValueError(
+                "final_fusion must be 'rerank', 'rrf', or 'auto'")
         for b in self.mesh.doc_token_buckets:
             if b % 32 != 0:
                 raise ValueError("doc token buckets must be multiples of 32")
 
 
 _FIELD_NAMES = {f.name for f in dataclasses.fields(RAGConfig)}
+
+
+def effective_final_fusion(config) -> str:
+    """The final-fusion mode a retriever should bake into its jit.
+
+    "auto" is an application-level setting: RAGApplication resolves it via
+    the measured gate (retrieval/gate.py) before retrievers are built.
+    Retrievers constructed directly with an unresolved "auto" fall back to
+    reference parity ("rerank", local_rag_complete.py:928)."""
+    v = getattr(config, "final_fusion", "rerank")
+    return "rerank" if v == "auto" else v

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import RAGConfig
+from ..config import RAGConfig, effective_final_fusion
 from ..index.dense import DenseTokenIndex
 from ..index.lexical import LexicalIndex
 from ..index.manager import IndexManager
@@ -165,6 +165,42 @@ def hybrid_cascade(
     return final_ids.astype(jnp.int32), top_vals, debug
 
 
+# (model, query_len, statics) -> jitted encoder+cascade executable.
+# Bounded LRU (VERDICT r2 weak #6): serving processes probing many
+# distinct k values get the hot ks cached and the rest evicted, and
+# fresh retriever instances (eval/gate build one per config) share
+# executables instead of re-jitting. ColBERT models hash by geometry
+# (flax dataclass), so equal-config encoders hit the same entry.
+from ..utils.cache import JitCache  # noqa: E402  (import cycle: none)
+
+_FUSED_CACHE = JitCache(max_entries=16)
+
+
+def fused_cascade_fn(model, query_len: int, statics: Dict):
+    """Memoized jitted fn: encoder forward + hybrid_cascade in ONE
+    dispatch. ``statics`` are hybrid_cascade's static kwargs."""
+    key = (model, query_len, tuple(sorted(statics.items())))
+
+    def build():
+        sd = dict(statics)
+
+        @jax.jit
+        def fused(params, packed, indptr, post_docs, post_weights,
+                  emb_flat, scales, doc_lengths, pooled, doc_scales):
+            q_ids = packed[:, :query_len]
+            q_emb = model.apply({"params": params}, q_ids,
+                                jnp.ones_like(q_ids))
+            ids, scores, _ = hybrid_cascade(
+                q_emb, packed[:, query_len:], indptr, post_docs,
+                post_weights, emb_flat, scales, doc_lengths, pooled,
+                doc_scales, **sd)
+            return ids, scores
+
+        return fused
+
+    return _FUSED_CACHE.get_or_build(key, build)
+
+
 class HybridRetriever:
     """Host-side wrapper: tokenize -> jitted cascade -> result dicts.
 
@@ -204,11 +240,6 @@ class HybridRetriever:
             post_docs=jnp.asarray(lex.post_docs),
             post_weights=jnp.asarray(lex.post_weights),
         )
-        # k_final -> fused jitted fn, bounded LRU (a single slot thrashed
-        # with a full recompile when callers alternated two k values;
-        # unbounded growth leaks compiles — VERDICT r2 weak #6)
-        from ..utils.cache import JitCache
-        self._fused = JitCache(max_entries=8)
         self._bound_key = (id(lex.indptr), id(lex.post_docs),
                            id(dense), dense.n_docs)
 
@@ -230,15 +261,17 @@ class HybridRetriever:
         on tunneled devices and ~0.1 ms on local hardware (CLAUDE.md
         timing rules); fusing them means one dispatch and one PACKED int32
         transfer — query token ids and BM25 term ids ride in a single
-        (B, Lq+Q) array split inside the jit."""
+        (B, Lq+Q) array split inside the jit.
+
+        Executables are memoized MODULE-wide (``_FUSED_CACHE``) keyed by
+        (model, query length, static knobs): fresh retriever instances
+        over the same index geometry — the eval/gate harnesses build many
+        — reuse the compiled program instead of re-jitting."""
         cfg = self.config
         dense = self.indexes.dense
         lex = self.indexes.lexical
-        model = self.encoder.model
-        lq = self.encoder.cfg.query_max_tokens
-        prefilter = getattr(cfg, "dense_prefilter", 0)
         statics = dict(
-            prefilter=prefilter,
+            prefilter=getattr(cfg, "dense_prefilter", 0),
             n_docs=dense.n_docs,
             max_postings=lex.max_postings,
             doc_len=dense.doc_len,
@@ -249,22 +282,10 @@ class HybridRetriever:
             k_final=min(k_final, cfg.fusion_candidates, dense.n_docs),
             rrf_k=cfg.rrf_k,
             approx_recall=getattr(cfg, "approx_topk_recall", 0.95),
-            final_fusion=getattr(cfg, "final_fusion", "rerank"),
+            final_fusion=effective_final_fusion(cfg),
         )
-
-        @jax.jit
-        def fused(params, packed, indptr, post_docs, post_weights,
-                  emb_flat, scales, doc_lengths, pooled, doc_scales):
-            q_ids = packed[:, :lq]
-            q_emb = model.apply({"params": params}, q_ids,
-                                jnp.ones_like(q_ids))
-            ids, scores, _ = hybrid_cascade(
-                q_emb, packed[:, lq:], indptr, post_docs, post_weights,
-                emb_flat, scales, doc_lengths, pooled, doc_scales,
-                **statics)
-            return ids, scores
-
-        return fused
+        return fused_cascade_fn(self.encoder.model,
+                                self.encoder.cfg.query_max_tokens, statics)
 
     # ------------------------------------------------------------------
     def _cascade_bucketed(self, q_emb, q_terms, k_final: int):
@@ -289,7 +310,7 @@ class HybridRetriever:
         final_ids, tv = final_topk_select(
             rerank, fused_ids, min(k_final, rerank.shape[1]),
             rrf_k=cfg.rrf_k,
-            final_fusion=getattr(cfg, "final_fusion", "rerank"))
+            final_fusion=effective_final_fusion(cfg))
         return np.asarray(final_ids), np.asarray(tv)
 
     def retrieve_batch(
@@ -322,7 +343,7 @@ class HybridRetriever:
                 getattr(cfg, "query_max_terms", None))
         prefilter = getattr(cfg, "dense_prefilter", 0)
         kf = min(k, cfg.fusion_candidates, dense.n_docs)
-        fused = self._fused.get_or_build(kf, lambda: self._build_fused(kf))
+        fused = self._build_fused(kf)
         with self.timer.stage("encode+cascade"):
             ids, scores = fused(
                 self.encoder.params, packed,

@@ -39,11 +39,51 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def paraphrase_eval_pairs(corpus) -> list:
+    """-> [(paraphrase_query, chunk_index)] for every template-generated
+    corpus sentence (tools/sample_corpus.paraphrase_pairs) found intact in
+    exactly one indexed chunk.
+
+    Paraphrase queries restate a chunk sentence with different wording but
+    the same concrete facts — unlike verbatim ICT spans (BM25's best
+    case), they leave a semantic gap only the dense leg can close, so
+    hybrid-vs-single-leg comparisons on them measure what fusion actually
+    buys (VERDICT r2 next #2a). Only meaningful on corpora built from
+    tools/sample_corpus; returns [] elsewhere."""
+    import bisect
+
+    from hybrid_rag_colbertv2_tpu.tools.sample_corpus import \
+        paraphrase_pairs
+
+    # one find() over a concatenated corpus per sentence (C-level), then
+    # offset -> chunk via bisect; a second find() rejects ambiguity
+    big = chr(0).join(corpus)   # NUL never occurs in text -> a
+    # sentence can never match across a chunk boundary
+    offsets = []
+    pos = 0
+    for c in corpus:
+        offsets.append(pos)
+        pos += len(c) + 1
+    out = []
+    for query, sentence in paraphrase_pairs():
+        i = big.find(sentence)
+        if i < 0 or big.find(sentence, i + 1) >= 0:
+            continue          # not in corpus / straddles or repeats
+        out.append((query, bisect.bisect_right(offsets, i) - 1))
+    return out
+
+
 def evaluate(app, n_queries: int = 32, k: int = 10, batch: int = 8,
              measure_latency: bool = True, seed: int = 101,
-             config_overrides: Dict = None) -> Dict:
+             config_overrides: Dict = None,
+             query_source: str = "ict") -> Dict:
     """Measure hit@k / agreement@k (+ optional latency) on the app's
     indexed corpus. Returns the result dict (see module docstring).
+
+    ``query_source``: "ict" (default) samples verbatim ICT spans;
+    "paraphrase" uses non-verbatim paraphrase queries from the sample-
+    corpus templates (see paraphrase_eval_pairs — requires a
+    tools/sample_corpus-generated corpus).
 
     The default seed (101) is deliberately distinct from the training-pair
     seed (config.encoder_seed, default 0): with ``encoder_train_steps`` the
@@ -66,7 +106,16 @@ def evaluate(app, n_queries: int = 32, k: int = 10, batch: int = 8,
                 raise AttributeError(f"unknown config field: {key}")
             setattr(cfg, key, val)
 
-    pairs = pseudo_query_pairs(corpus, n_pairs_per_doc=2, seed=seed)
+    if query_source == "paraphrase":
+        pairs = paraphrase_eval_pairs(corpus)
+        if not pairs:
+            raise RuntimeError(
+                "no paraphrase queries match this corpus (paraphrase "
+                "eval requires a tools/sample_corpus-generated corpus)")
+    elif query_source == "ict":
+        pairs = pseudo_query_pairs(corpus, n_pairs_per_doc=2, seed=seed)
+    else:
+        raise ValueError(f"unknown query_source: {query_source!r}")
     rng = np.random.default_rng(seed)
     rng.shuffle(pairs)
     pairs = pairs[:n_queries]
@@ -129,6 +178,7 @@ def evaluate(app, n_queries: int = 32, k: int = 10, batch: int = 8,
     out = {
         "chunks": len(corpus),
         "queries": len(pairs),
+        "query_source": query_source,
         "k": k,
         f"hit@{k}_configured": round(hit_at_k(ids_cfg), 3),
         f"hit@{k}_exact": round(hit_at_k(ids_exact), 3),
@@ -159,6 +209,8 @@ def main(argv=None) -> int:
     ap.add_argument("--n-queries", type=int, default=32)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--query-source", type=str, default="ict",
+                    choices=["ict", "paraphrase"])
     args = ap.parse_args(argv)
 
     from hybrid_rag_colbertv2_tpu.app.application import RAGApplication

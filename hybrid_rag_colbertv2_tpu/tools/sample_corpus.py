@@ -232,86 +232,193 @@ _TOPICS: List[Tuple[str, List[str]]] = [
 # slot fills, so the expanded pool contains NO repeated sentence — an ICT
 # pseudo-query span (train/data.py) then identifies its source chunk
 # unambiguously, which makes hit@k a well-posed measurement.
-_TEMPLATES: List[Tuple[str, str, List[List[str]]]] = [
+#
+# Each entry is (topic, sentence_template, PARAPHRASE query template,
+# slots). The paraphrase restates the sentence with different wording and
+# word order but the SAME concrete slot fills — so a paraphrase query has
+# genuine lexical anchors (the slot values) AND a semantic gap (the
+# rewording) for the dense leg to close. These drive the non-verbatim
+# retrieval eval (VERDICT r2 next #2a): verbatim ICT spans are BM25's
+# best case; paraphrases measure what hybrid retrieval actually adds.
+_TEMPLATES: List[Tuple[str, str, str, List[List[str]]]] = [
     ("Systolic arrays and matrix engines",
      "Profiling the {a} kernel showed the multiplier grid {b} percent "
      "busy once the tiles were padded to {c} lanes.",
-     [["attention", "convolution", "projection", "embedding", "scoring"],
-      ["sixty", "seventy", "eighty", "ninety"],
-      ["one hundred twenty eight", "two hundred fifty six"]]),
+     "how occupied was the matrix engine running the {a} kernel with "
+     "tiles padded to {c} lanes ({b} percent)",
+     [["attention", "convolution", "projection", "embedding", "scoring",
+       "gradient"],
+      ["sixty", "sixty five", "seventy", "seventy five", "eighty",
+       "ninety"],
+      ["one hundred twenty eight", "two hundred fifty six",
+       "three hundred eighty four", "five hundred twelve"]]),
+    ("Systolic arrays and matrix engines",
+     "The {a} benchmark sustained {b} teraflops once the contraction "
+     "was tiled for the {c} cell grid.",
+     "tiling the contraction for the {c} grid let the {a} benchmark "
+     "hold {b} teraflops",
+     [["training", "inference", "decoding", "ranking", "pretraining"],
+      ["ninety", "one hundred forty", "one hundred eighty",
+       "two hundred ten"],
+      ["square", "systolic", "weight stationary"]]),
     ("High bandwidth memory behavior",
      "The {a} pipeline moved {b} gigabytes per step until operator "
-     "fusion cut its tensor traffic roughly in {c}.",
-     [["training", "serving", "indexing", "evaluation"],
-      ["three", "five", "eight", "twelve"],
-      ["half", "thirds", "quarters"]]),
+     "fusion cut its tensor traffic roughly by a {c}.",
+     "operator fusion shrank the {a} pipeline's memory traffic of {b} "
+     "gigabytes each step by about a {c}",
+     [["training", "serving", "indexing", "evaluation", "distillation",
+       "captioning"],
+      ["three", "five", "eight", "twelve", "twenty", "thirty"],
+      ["half", "third", "quarter"]]),
+    ("High bandwidth memory behavior",
+     "Measured arithmetic intensity of the {a} kernel was {b} "
+     "operations per byte, {c} the roofline knee.",
+     "the {a} kernel performs {b} operations for every byte moved, "
+     "which lands {c} the knee of the roofline",
+     [["softmax", "layer norm", "scatter", "gather", "quantization"],
+      ["two", "four", "seven", "eleven", "nineteen"],
+      ["well below", "just below", "right at", "comfortably above"]]),
     ("Late interaction retrieval models",
      "On the {a} collection the token level matcher beat the pooled "
      "baseline by {b} points of recall at rank {c}.",
-     [["patent", "newswire", "biomedical", "legal", "forum"],
-      ["four", "six", "nine", "eleven"],
-      ["ten", "twenty", "fifty"]]),
+     "token level matching gained {b} recall points over single vector "
+     "pooling at depth {c} on the {a} benchmark",
+     [["patent", "newswire", "biomedical", "legal", "forum",
+       "encyclopedia"],
+      ["four", "six", "nine", "eleven", "thirteen", "sixteen"],
+      ["ten", "twenty", "fifty", "one hundred"]]),
+    ("Late interaction retrieval models",
+     "Storing the {a} corpus at {b} bits per dimension shrank the "
+     "token index to {c} gigabytes.",
+     "the token level index for the {a} corpus fit in {c} gigabytes "
+     "after quantizing embeddings to {b} bits",
+     [["news", "web", "clinical", "code", "support"],
+      ["four", "eight", "sixteen"],
+      ["two", "six", "fifteen", "forty"]]),
     ("Sparse lexical scoring",
      "Indexing the {a} archive produced {b} million postings and the "
      "longest list belonged to the term {c}.",
-     [["parliamentary", "newspaper", "encyclopedia", "patent", "mailing "
-       "list"],
-      ["two", "seven", "fifteen", "forty"],
-      ["report", "water", "engine", "market", "field"]]),
+     "which term had the biggest postings list in the {a} archive's "
+     "{b} million entry inverted index (it was {c})",
+     [["parliamentary", "newspaper", "encyclopedia", "patent",
+       "mailing list", "courtroom"],
+      ["two", "seven", "fifteen", "forty", "ninety"],
+      ["report", "water", "engine", "market", "field", "council"]]),
+    ("Sparse lexical scoring",
+     "Raising the saturation parameter to {a} lifted precision on {b} "
+     "queries by {c} percent.",
+     "{b} queries gained {c} percent precision when the term frequency "
+     "saturation constant rose to {a}",
+     [["one point two", "one point five", "two point zero"],
+      ["short", "long", "rare term", "navigational"],
+      ["three", "five", "eight", "twelve"]]),
     ("Device meshes and sharding",
-     "Scaling the {a} job from {b} to {c} chips kept the collective time "
-     "under a tenth of each step.",
-     [["ranking", "pretraining", "distillation", "embedding"],
+     "Scaling the {a} job from {b} to {c} chips kept the collective "
+     "time under a tenth of each step.",
+     "collectives stayed below ten percent of step time while the {a} "
+     "workload grew from {b} to {c} accelerators",
+     [["ranking", "pretraining", "distillation", "embedding",
+       "finetuning"],
       ["eight", "sixteen", "thirty two"],
-      ["sixty four", "one hundred twenty eight", "two hundred fifty "
-       "six"]]),
+      ["sixty four", "one hundred twenty eight", "two hundred fifty six",
+       "five hundred twelve"]]),
+    ("Device meshes and sharding",
+     "Resharding the {a} tensor onto the {b} axis removed {c} "
+     "milliseconds of gather time per step.",
+     "moving the {a} array to the {b} mesh dimension saved {c} "
+     "milliseconds of per step gather",
+     [["optimizer state", "activation", "embedding table", "gradient",
+       "parameter"],
+      ["data", "model", "pipeline", "expert"],
+      ["two", "five", "nine", "fourteen", "twenty"]]),
+    ("Compilation and static shapes",
+     "Bucketing {a} lengths into {b} static shapes held recompilations "
+     "to {c} per day.",
+     "with {b} fixed shape buckets for {a} inputs the compiler rebuilt "
+     "only {c} times a day",
+     [["query", "document", "batch", "sequence", "prompt"],
+      ["three", "four", "six", "eight"],
+      ["two", "five", "ten"]]),
+    ("Compilation and static shapes",
+     "Donating the {a} buffer cut peak memory by {b} gigabytes on the "
+     "{c} step.",
+     "the {c} step's peak memory dropped {b} gigabytes once the {a} "
+     "buffer was donated",
+     [["activation", "gradient", "input", "parameter", "accumulator"],
+      ["one", "two", "four", "six", "nine"],
+      ["training", "evaluation", "prefill", "decode"]]),
     ("Sourdough bread fundamentals",
      "The {a} loaf proofed for {b} hours at cellar temperature and "
      "baked to a {c} crust.",
-     [["rye", "spelt", "whole wheat", "semolina", "buckwheat"],
-      ["ten", "fourteen", "eighteen"],
-      ["blistered", "mahogany", "thin crackling"]]),
+     "after a {b} hour cool proof the {a} bread came out of the oven "
+     "with a {c} crust",
+     [["rye", "spelt", "whole wheat", "semolina", "buckwheat",
+       "einkorn", "barley"],
+      ["ten", "twelve", "fourteen", "eighteen"],
+      ["blistered", "mahogany", "thin crackling",
+       "deeply caramelized"]]),
     ("Alpine hiking preparation",
      "The {a} ridge route gains {b} hundred meters and the guidebook "
      "allows {c} hours for the round trip.",
-     [["eastern", "granite", "glacier", "southern", "knife edge"],
-      ["nine", "twelve", "sixteen"],
-      ["six", "eight", "eleven"]]),
+     "guidebooks budget {c} hours out and back on the {a} ridge which "
+     "climbs {b} hundred meters",
+     [["eastern", "granite", "glacier", "southern", "knife edge",
+       "northern"],
+      ["nine", "twelve", "sixteen", "twenty"],
+      ["six", "eight", "eleven", "thirteen"]]),
     ("Coral reef ecology",
      "Surveys on the {a} atoll counted {b} juvenile groupers per "
      "hectare {c} years after the closure.",
-     [["leeward", "northern", "horseshoe", "outer", "barrier"],
-      ["thirty", "fifty", "ninety"],
-      ["two", "five", "eight"]]),
+     "{c} years of protection left the {a} atoll with {b} young "
+     "groupers on every surveyed hectare",
+     [["leeward", "northern", "horseshoe", "outer", "barrier",
+       "windward"],
+      ["thirty", "fifty", "seventy", "ninety"],
+      ["two", "five", "eight", "twelve"]]),
     ("Espresso extraction",
      "The {a} beans pulled at a {b} ratio tasted {c} once the grinder "
      "was stepped two notches finer.",
-     [["kenyan", "ethiopian", "honduran", "sumatran", "colombian"],
-      ["two to one", "three to one", "lungo"],
+     "grinding two steps finer made the {a} coffee at a {b} recipe "
+     "taste {c}",
+     [["kenyan", "ethiopian", "honduran", "sumatran", "colombian",
+       "rwandan"],
+      ["two to one", "three to one", "lungo", "ristretto"],
       ["syrupy", "bright", "cocoa heavy", "floral"]]),
     ("Municipal water treatment",
      "The {a} plant dosed {b} milligrams of coagulant per liter during "
      "the {c} runoff season.",
+     "during {c} runoff the {a} treatment works needed {b} milligrams "
+     "of coagulant for each liter",
      [["riverside", "hillcrest", "lakeshore", "valley", "harbor"],
-      ["six", "eleven", "eighteen"],
+      ["six", "nine", "eleven", "eighteen"],
       ["spring", "autumn", "monsoon"]]),
     ("Orbital mechanics basics",
      "The {a} probe needed {b} meters per second to circularize after "
      "its {c} day transfer.",
-     [["relay", "mapping", "sample return", "weather", "survey"],
-      ["ninety", "two hundred", "four hundred"],
+     "circularizing the {a} spacecraft after a {c} day cruise took {b} "
+     "meters per second of delta v",
+     [["relay", "mapping", "sample return", "weather", "survey",
+       "lander"],
+      ["ninety", "one hundred fifty", "two hundred", "four hundred",
+       "six hundred"],
       ["ninety", "one hundred eighty", "three hundred"]]),
     ("Knife sharpening technique",
      "The {a} gyuto took a {b} grit finish and shaved {c} after "
      "stropping.",
-     [["carbon steel", "stainless", "laminated", "hand forged"],
-      ["one thousand", "three thousand", "six thousand"],
+     "once stropped, the {b} grit edge on the {a} blade shaved {c}",
+     [["carbon steel", "stainless", "laminated", "hand forged",
+       "damascus"],
+      ["one thousand", "three thousand", "six thousand",
+       "eight thousand"],
       ["arm hair", "newsprint cleanly", "tomato skin effortlessly"]]),
     ("Beekeeping through the seasons",
      "The {a} apiary wintered {b} of its {c} colonies on untreated "
      "meadow honey.",
-     [["orchard", "rooftop", "heather moor", "clover field"],
-      ["nine", "fourteen", "nineteen"],
+     "{b} out of {c} hives at the {a} site came through winter on "
+     "their own meadow honey",
+     [["orchard", "rooftop", "heather moor", "clover field",
+       "riverside"],
+      ["nine", "eleven", "fourteen", "nineteen"],
       ["ten", "fifteen", "twenty"]]),
 ]
 
@@ -321,7 +428,7 @@ def _sentence_pool(seed: int) -> List[Tuple[str, str]]:
     first, then deterministic template expansions."""
     rng = random.Random(seed ^ 0x5EED)
     pool = [(title, s) for title, sents in _TOPICS for s in sents]
-    for title, tmpl, slots in _TEMPLATES:
+    for title, tmpl, _query_tmpl, slots in _TEMPLATES:
         combos = [(a, b, c) for a in slots[0] for b in slots[1]
                   for c in slots[2]]
         rng.shuffle(combos)
@@ -329,6 +436,23 @@ def _sentence_pool(seed: int) -> List[Tuple[str, str]]:
             pool.append((title, tmpl.format(a=a, b=b, c=c)))
     rng.shuffle(pool)
     return pool
+
+
+def paraphrase_pairs() -> List[Tuple[str, str]]:
+    """-> [(paraphrase_query, source_sentence)] for every template
+    expansion, deterministically enumerated (seed-free: the pool contains
+    ALL slot combos regardless of seed; only their document placement is
+    seeded). Callers locate each source sentence inside an indexed chunk
+    by exact substring (sentences are unique by construction) — see
+    tools/eval_recall.paraphrase_eval_pairs."""
+    out: List[Tuple[str, str]] = []
+    for _title, tmpl, query_tmpl, slots in _TEMPLATES:
+        for a in slots[0]:
+            for b in slots[1]:
+                for c in slots[2]:
+                    out.append((query_tmpl.format(a=a, b=b, c=c),
+                                tmpl.format(a=a, b=b, c=c)))
+    return out
 
 
 def generate_corpus(n_docs: int = 16, seed: int = 0,

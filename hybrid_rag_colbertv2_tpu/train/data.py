@@ -20,8 +20,15 @@ def pseudo_query_pairs(
     n_pairs_per_doc: int = 2,
     query_words: Tuple[int, int] = (3, 8),
     seed: int = 0,
+    word_dropout: float = 0.0,
 ) -> List[Tuple[str, int]]:
-    """-> list of (pseudo_query_text, positive_corpus_index)."""
+    """-> list of (pseudo_query_text, positive_corpus_index).
+
+    ``word_dropout`` > 0 drops each span word with that probability
+    (always keeping at least query_words[0] words): queries stop being
+    verbatim substrings, which (a) trains the encoder to rank under
+    partial lexical overlap instead of memorizing exact spans and (b)
+    makes held-out evaluation less of a best case for BM25."""
     rng = np.random.default_rng(seed)
     pairs: List[Tuple[str, int]] = []
     for idx, text in enumerate(corpus):
@@ -32,7 +39,14 @@ def pseudo_query_pairs(
             n = int(rng.integers(query_words[0],
                                  min(query_words[1], len(words)) + 1))
             start = int(rng.integers(0, max(len(words) - n, 0) + 1))
-            pairs.append((" ".join(words[start : start + n]), idx))
+            span = words[start: start + n]
+            if word_dropout > 0.0 and len(span) > query_words[0]:
+                keep = rng.random(len(span)) >= word_dropout
+                # never drop below the minimum query length
+                while keep.sum() < query_words[0]:
+                    keep[int(rng.integers(0, len(span)))] = True
+                span = [w for w, k in zip(span, keep) if k]
+            pairs.append((" ".join(span), idx))
     rng.shuffle(pairs)
     return pairs
 

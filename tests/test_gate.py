@@ -1,0 +1,111 @@
+"""Measured final-fusion gate (retrieval/gate.py), paraphrase eval pairs
+(tools/eval_recall.py), and word-dropout ICT queries (train/data.py)."""
+
+import numpy as np
+import pytest
+
+from hybrid_rag_colbertv2_tpu.config import RAGConfig, effective_final_fusion
+from hybrid_rag_colbertv2_tpu.train.data import pseudo_query_pairs
+
+
+def test_config_auto_is_default_and_validates():
+    cfg = RAGConfig()
+    assert cfg.final_fusion == "auto"
+    cfg.validate()                      # "auto" is a legal value
+    assert effective_final_fusion(cfg) == "rerank"   # unresolved -> parity
+    cfg.final_fusion = "rrf"
+    assert effective_final_fusion(cfg) == "rrf"
+    cfg.final_fusion = "blend"
+    with pytest.raises(ValueError, match="final_fusion"):
+        cfg.validate()
+
+
+def test_word_dropout_queries_not_verbatim():
+    corpus = [" ".join(f"w{i}_{j}" for j in range(30)) for i in range(20)]
+    exact = pseudo_query_pairs(corpus, n_pairs_per_doc=2, seed=3)
+    dropped = pseudo_query_pairs(corpus, n_pairs_per_doc=2, seed=3,
+                                 word_dropout=0.4)
+    # verbatim: every query is a substring of its source
+    assert all(q in corpus[i] for q, i in exact)
+    # dropout: a good fraction are NOT substrings anymore, but every
+    # query keeps only words FROM the source and >= 3 of them
+    non_verbatim = sum(q not in corpus[i] for q, i in dropped)
+    assert non_verbatim >= len(dropped) // 4
+    for q, i in dropped:
+        words = q.split()
+        assert len(words) >= 3
+        assert all(w in corpus[i].split() for w in words)
+
+
+def test_paraphrase_eval_pairs_map_to_unique_chunks():
+    from hybrid_rag_colbertv2_tpu.tools.eval_recall import \
+        paraphrase_eval_pairs
+    from hybrid_rag_colbertv2_tpu.tools.sample_corpus import generate_corpus
+
+    docs = generate_corpus(n_docs=8, seed=0)
+    # treat each section paragraph as a "chunk" (prose lines only)
+    chunks = [line for d in docs for line in d.splitlines()
+              if line and not line.startswith("#")]
+    pairs = paraphrase_eval_pairs(chunks)
+    assert len(pairs) >= 20
+    for q, ci in pairs:
+        assert 0 <= ci < len(chunks)
+        assert q not in chunks[ci]      # genuinely non-verbatim
+    # no paraphrases for an unrelated corpus
+    assert paraphrase_eval_pairs(["totally unrelated text"] * 4) == []
+
+
+@pytest.fixture(scope="module")
+def small_app(tmp_path_factory):
+    from hybrid_rag_colbertv2_tpu.app.application import RAGApplication
+    from hybrid_rag_colbertv2_tpu.tools.sample_corpus import write_corpus
+
+    td = tmp_path_factory.mktemp("gate_app")
+    paths = write_corpus(td / "docs", n_docs=6, seed=0)
+    cfg = RAGConfig(
+        db_path=str(td / "rag.db"),
+        bm25_index_path=str(td / "idx/bm25"),
+        colbert_index_path=str(td / "idx/colbert"),
+        tokenizer_path=str(td / "idx/tok.json"),
+        images_dir=str(td / "img"),
+        min_chunk_size=48, max_chunk_size=96, doc_max_tokens=96,
+        encoder_preset="tiny", tokenizer_vocab_size=512,
+    )
+    app = RAGApplication(cfg, use_ollama=False)
+    app.index_documents([str(p) for p in paths])
+    return app
+
+
+def test_gate_resolves_auto_and_records_measurement(small_app):
+    app = small_app
+    assert app.config.final_fusion == "auto"
+    mode = app.resolve_final_fusion()
+    assert mode in ("rerank", "rrf")
+    assert app.config.final_fusion == mode           # resolved in place
+    g = app.fusion_gate
+    assert g["picked"] == mode
+    assert 0.0 <= g["hit@10_rerank"] <= 1.0
+    assert 0.0 <= g["hit@10_rrf"] <= 1.0
+    # the winner is the measured max (ties -> parity rerank)
+    if g["hit@10_rrf"] > g["hit@10_rerank"]:
+        assert mode == "rrf"
+    else:
+        assert mode == "rerank"
+    # idempotent: second call is a no-op returning the same mode
+    assert app.resolve_final_fusion() == mode
+
+
+def test_gate_skips_tiny_corpora():
+    from hybrid_rag_colbertv2_tpu.retrieval.gate import resolve_final_fusion
+
+    mode, details = resolve_final_fusion(
+        RAGConfig(), None, None, ["just one chunk"])
+    assert mode == "rerank" and "reason" in details
+
+
+def test_bind_retriever_resolves_gate(small_app):
+    app = small_app
+    app.initialize_chatbot(use_mesh=False)
+    assert app.config.final_fusion in ("rerank", "rrf")
+    res = app.query("how occupied was the matrix engine", top_k=3)
+    assert isinstance(res, list)

@@ -57,19 +57,41 @@ def retriever():
 
 
 def test_hybrid_retriever_k_cache_bounded(retriever):
+    import hybrid_rag_colbertv2_tpu.retrieval.cascade as cascade_mod
+
     r = retriever
-    r._fused = JitCache(max_entries=4)   # tighter bound, same code path
-    for k in range(1, 21):               # 20 distinct k values
-        ids, scores = r.retrieve_batch(["topic 3 item 7"], top_k_final=k)
-        assert ids.shape == (1, min(k, r.config.fusion_candidates))
-    assert len(r._fused) <= 4
-    distinct = len({min(k, r.config.fusion_candidates)
-                    for k in range(1, 21)})
-    assert r._fused.builds == distinct
-    # a hot k never recompiles
-    before = r._fused.builds
-    r.retrieve_batch(["topic 1"], top_k_final=20)
-    assert r._fused.builds == before
+    old = cascade_mod._FUSED_CACHE
+    cascade_mod._FUSED_CACHE = JitCache(max_entries=4)  # tighter bound
+    try:
+        cache = cascade_mod._FUSED_CACHE
+        for k in range(1, 21):           # 20 distinct k values
+            ids, scores = r.retrieve_batch(["topic 3 item 7"],
+                                           top_k_final=k)
+            assert ids.shape == (1, min(k, r.config.fusion_candidates))
+        assert len(cache) <= 4
+        distinct = len({min(k, r.config.fusion_candidates)
+                        for k in range(1, 21)})
+        assert cache.builds == distinct
+        # a hot k never recompiles
+        before = cache.builds
+        r.retrieve_batch(["topic 1"], top_k_final=20)
+        assert cache.builds == before
+    finally:
+        cascade_mod._FUSED_CACHE = old
+
+
+def test_fused_executables_shared_across_retriever_instances(retriever):
+    """Eval/gate harnesses build a fresh HybridRetriever per config; equal
+    geometry+knobs must reuse the SAME compiled executable (module-level
+    memoization), not re-jit per instance."""
+    import hybrid_rag_colbertv2_tpu.retrieval.cascade as cascade_mod
+
+    r = retriever
+    r.retrieve_batch(["topic 2"])        # populate the cache
+    before = cascade_mod._FUSED_CACHE.builds
+    r2 = HybridRetriever(r.config, r.indexes, r.encoder)
+    r2.retrieve_batch(["topic 2"])
+    assert cascade_mod._FUSED_CACHE.builds == before
 
 
 def test_sharded_retriever_k_cache_bounded():
