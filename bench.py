@@ -1,10 +1,25 @@
-"""Retrieval benchmark — prints ONE JSON line for the driver.
+"""Retrieval benchmark — prints ONE JSON line, LAST, for the driver.
 
 Headline metric: p50 end-to-end retrieval latency (query encoding + full
 hybrid cascade: BM25 -> pruned MaxSim -> RRF -> exact rerank -> top-10) for
 a BATCH of 8 queries over a 100k-chunk int8 token-embedding index on one
 chip (BASELINE.json config 4), production config (dense_prefilter=1024,
 bm25_postings_cap=512).
+
+The final stdout line is a single JSON object carrying the headline plus
+(VERDICT r2 next #1/#3/#4):
+  * recall10_vs_exact   — full pruned cascade vs exact fp32 MaxSim;
+  * p50_ms_1m           — fused cascade p50 over 1M chunks x 64 tokens
+                          (the BASELINE north-star scale, single chip);
+  * realdata            — retrieval quality on a REAL markdown corpus
+                          (~500 chunks) through the full app pipeline:
+                          paraphrase (non-verbatim) and verbatim-ICT
+                          hit@10 for the gated/parity/rrf/bm25-only/
+                          dense-only configurations, mean +/- spread over
+                          3 training seeds, and the measured final-fusion
+                          gate decision.
+Nothing is printed to stdout after that line (r2's number was lost to
+output ordering, BENCH_r02.json parsed=null). All detail goes to stderr.
 
 Timing methodology (IMPORTANT, validated 2026-08-16): on this tunneled
 device ``block_until_ready`` returns before device execution completes, so
@@ -19,33 +34,100 @@ total retrieval on its own corpus (README.md:182; BASELINE.md) — the
 reference's number is 1 query over 287 chunks on an M4; ours is per-query
 over 100,000 chunks, so the comparison understates the real gap.
 
-Detailed per-stage numbers go to stderr (tools/stage_probe.py for more);
-stdout carries exactly one line.
+Env kill-switches (each pass is also watchdogged):
+  HRAG_BENCH_RECALL=0 | HRAG_BENCH_1M=0 | HRAG_BENCH_REALDATA=0
 """
 
+import hashlib
 import json
+import os
+import shutil
+import signal
 import sys
+import tempfile
 import time
+from pathlib import Path
 
 import numpy as np
+
+BASELINE_MS = 321.0     # reference total retrieval (README.md:182)
+CACHE_VERSION = 1       # bump when training/indexing code changes enough
+#                         to invalidate cached trained-encoder params
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def main():
+class _watchdog:
+    """SIGALRM-scoped pass: device->host fetches can hang for minutes on
+    the tunneled backend; a stuck pass must not eat the whole bench."""
+
+    def __init__(self, seconds):
+        self.seconds = seconds
+
+    def __enter__(self):
+        signal.signal(signal.SIGALRM, self._raise)
+        signal.alarm(self.seconds)
+
+    @staticmethod
+    def _raise(signum, frame):
+        raise TimeoutError("pass watchdog")
+
+    def __exit__(self, *exc):
+        signal.alarm(0)
+        return False
+
+
+def _make_topic_gen(topics, n_topics, topic_noise, n_pad_g, doc_len_g, dim):
+    """Device-side generator of topic-clustered unit-norm int8 token
+    embeddings, in blocks (never materializes a multi-GB fp32 temporary —
+    the tunneled allocator fragments on those). Cluster structure matters:
+    real encoder output is clustered, and the pooled prefilter's recall is
+    only meaningful on clustered data."""
+    import jax
+    import jax.numpy as jnp
+
+    blk = 1024 if n_pad_g % 1024 == 0 else 128  # fp32 temp ~67 MB/step
+
+    @jax.jit
+    def gen(key, lens):
+        ka, kn = jax.random.split(key)
+        assign = jax.random.randint(ka, (n_pad_g,), 0, n_topics)
+        keys = jax.random.split(kn, n_pad_g // blk)
+        lens2 = lens.reshape(-1, blk)
+        base2 = topics[assign].reshape(-1, blk, dim)
+
+        def block(c):
+            kb, base, lb = c              # (blk, D), (blk,) per block
+            noise = jax.random.normal(kb, (blk, doc_len_g, dim),
+                                      jnp.float32) * topic_noise
+            x = base[:, None, :] + noise
+            x = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+            tokr = jnp.arange(doc_len_g, dtype=jnp.int32)
+            x = x * (tokr[None, :] < lb[:, None])[..., None]
+            absmax = jnp.max(jnp.abs(x), axis=-1)
+            scale = absmax / 127.0
+            qv = jnp.round(x / jnp.maximum(scale, 1e-9)[..., None])
+            return qv.astype(jnp.int8), scale.astype(jnp.float32)
+
+        qs, scs = jax.lax.map(block, (keys, base2, lens2))
+        return (qs.reshape(n_pad_g * doc_len_g, dim),
+                scs.reshape(n_pad_g * doc_len_g))
+    return gen
+
+
+def run_headline(result):
+    """100k-chunk fused-cascade p50 -> metric/value/unit/vs_baseline.
+    Returns context the recall pass reuses."""
     import jax
     import jax.numpy as jnp
 
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
     n_docs = 100_000 if on_tpu else 2_000
-    doc_len = 128
-    dim = 128
-    batch = 8          # concurrent query batch
-    prefilter = 1024   # pruned dense search candidates (ops/prefilter.py)
-    postings_cap = 512
+    doc_len, dim, batch = 128, 128, 8
+    prefilter, postings_cap = 1024, 512
     log(f"backend={backend} devices={jax.devices()} n_docs={n_docs}")
 
     from hybrid_rag_colbertv2_tpu.index.dense import DenseTokenIndex
@@ -54,11 +136,13 @@ def main():
         ColBERTConfig, ColBERTEncoder)
     from hybrid_rag_colbertv2_tpu.models.tokenizer import ColBERTTokenizer
     from hybrid_rag_colbertv2_tpu.ops.prefilter import pooled_doc_embeddings
-    from hybrid_rag_colbertv2_tpu.retrieval.cascade import hybrid_cascade
+    from hybrid_rag_colbertv2_tpu.retrieval.cascade import (
+        hybrid_cascade, pack_query_batch)
+    from hybrid_rag_colbertv2_tpu.utils.timing import (
+        measure_rtt_ms, queued_timeit)
 
     rng = np.random.default_rng(0)
 
-    # --- synthetic corpus (lexical) + synthetic embeddings (dense) --------
     t0 = time.perf_counter()
     vocab = np.array([f"term{i}" for i in range(5_000)])
     word_idx = rng.integers(0, len(vocab), size=(n_docs, 12))
@@ -81,46 +165,13 @@ def main():
     lengths_pad = np.zeros((n_pad,), np.int32)
     lengths_pad[:n_docs] = lengths
 
-    # Topic-clustered unit-norm token embeddings, generated on device in
-    # 128-doc blocks (never materializes a >10 MB fp32 intermediate — the
-    # tunneled allocator fragments on multi-GB eager temporaries). Cluster
-    # structure matters: real encoder output is clustered, and the pooled
-    # prefilter's recall is only meaningful on clustered data (i.i.d.
-    # random embeddings have an uninformative mean — recall@10 drops to
-    # ~C/N instead of ~1).
-    n_topics = 512
-    topic_noise = 0.35
+    n_topics, topic_noise = 512, 0.35
     topics = jax.random.normal(jax.random.PRNGKey(42), (n_topics, dim))
     topics = topics / jnp.linalg.norm(topics, axis=-1, keepdims=True)
 
     def make_gen(n_pad_g, doc_len_g):
-        blk = 1024 if n_pad_g % 1024 == 0 else 128  # fp32 temp ~67 MB/step
-
-        @jax.jit
-        def gen(key, lens):
-            ka, kn = jax.random.split(key)
-            assign = jax.random.randint(ka, (n_pad_g,), 0, n_topics)
-            keys = jax.random.split(kn, n_pad_g // blk)
-            lens2 = lens.reshape(-1, blk)
-            base2 = topics[assign].reshape(-1, blk, dim)
-
-            def block(c):
-                kb, base, lb = c          # (blk, D), (blk,) per block
-                noise = jax.random.normal(kb, (blk, doc_len_g, dim),
-                                          jnp.float32) * topic_noise
-                x = base[:, None, :] + noise
-                x = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
-                tokr = jnp.arange(doc_len_g, dtype=jnp.int32)
-                x = x * (tokr[None, :] < lb[:, None])[..., None]
-                absmax = jnp.max(jnp.abs(x), axis=-1)
-                scale = absmax / 127.0
-                qv = jnp.round(x / jnp.maximum(scale, 1e-9)[..., None])
-                return qv.astype(jnp.int8), scale.astype(jnp.float32)
-
-            qs, scs = jax.lax.map(block, (keys, base2, lens2))
-            return (qs.reshape(n_pad_g * doc_len_g, dim),
-                    scs.reshape(n_pad_g * doc_len_g))
-        return gen
+        return _make_topic_gen(topics, n_topics, topic_noise,
+                               n_pad_g, doc_len_g, dim)
 
     lens_dev = jnp.asarray(lengths_pad)   # ONE transfer, reused below
     q8, scales = make_gen(n_pad, doc_len)(jax.random.PRNGKey(0), lens_dev)
@@ -132,8 +183,8 @@ def main():
     log(f"dense index gen(int8)+pool: {time.perf_counter() - t0:.1f}s "
         f"({dense.memory_bytes() / 2**30:.2f} GiB)")
 
-    # --- query encoder (small preset, random init — latency is what we
-    # measure; weights don't change the compute graph) ----------------------
+    # query encoder (small preset, random init — latency is what we
+    # measure; weights don't change the compute graph)
     tok = ColBERTTokenizer.train_bpe(corpus[:2000], vocab_size=8192)
     enc_cfg = ColBERTConfig.small(vocab_size=tok.vocab_size)
     encoder = ColBERTEncoder(enc_cfg, tok, seed=0)
@@ -142,30 +193,28 @@ def main():
     lex_dev = (jnp.asarray(lex.indptr), jnp.asarray(lex.post_docs),
                jnp.asarray(lex.post_weights))
 
-    # production path (retrieval/cascade.py::HybridRetriever._build_fused,
+    # production path (retrieval/cascade.py fused single dispatch,
     # mirrored inline because the honest-timing protocol cannot use
     # retrieve_batch's per-call device->host fetch): encoder forward +
     # full cascade in ONE jitted dispatch, query token ids + BM25 term
     # ids packed into ONE host->device transfer per batch
-    # (pack_query_batch layout contract). Keep in sync with _build_fused.
+    # (pack_query_batch layout contract).
     lq = enc_cfg.query_max_tokens
     model = encoder.model
 
     @jax.jit
     def fused_retrieve(params, packed, indptr, post_docs, post_weights,
-                       emb_flat, scales, doc_lengths, pooled):
+                       emb_flat, scales_a, doc_lengths, pooled_a):
         q_ids = packed[:, :lq]
         q_emb = model.apply({"params": params}, q_ids, jnp.ones_like(q_ids))
         ids, scores, _ = hybrid_cascade(
             q_emb, packed[:, lq:], indptr, post_docs, post_weights,
-            emb_flat, scales, doc_lengths, pooled,
+            emb_flat, scales_a, doc_lengths, pooled_a,
             prefilter=prefilter,
             n_docs=dense.n_docs, max_postings=lex.max_postings,
             doc_len=dense.doc_len, is_int8=True,
             k_each=100, k_fuse=50, k_final=10)
         return scores
-
-    from hybrid_rag_colbertv2_tpu.retrieval.cascade import pack_query_batch
 
     def run_once():
         # host tokenization (BPE + BM25 terms) is part of the serving path
@@ -173,11 +222,6 @@ def main():
         return fused_retrieve(
             encoder.params, packed, *lex_dev,
             dense.emb_flat, dense.scales, dense.doc_lengths, dense.pooled)
-
-    # honest timing: the shared queued-dispatch protocol (utils/timing.py —
-    # queue N executions, one scalar fetch, subtract the measured RTT)
-    from hybrid_rag_colbertv2_tpu.utils.timing import (
-        measure_rtt_ms, queued_timeit)
 
     t0 = time.perf_counter()
     jax.block_until_ready(run_once())  # trigger compiles before timing
@@ -195,142 +239,349 @@ def main():
     log(f"batch={batch} p50={p50:.2f}ms worst={worst:.2f}ms"
         f" per-query={p50_per_query:.2f}ms qps/chip={qps:.0f}")
 
-    baseline_ms = 321.0  # reference total retrieval (README.md:182)
-    print(json.dumps({
+    result.update({
         "metric": f"hybrid retrieval p50 latency (honest queued-dispatch "
                   f"timing), batch={batch} queries, {n_docs} chunks, int8 "
                   f"index, prefilter={prefilter} ({backend})",
         "value": round(p50, 3),
         "unit": "ms",
-        "vs_baseline": round(baseline_ms / p50_per_query, 1),
-    }))
+        "vs_baseline": round(BASELINE_MS / p50_per_query, 1),
+    })
+    return dict(on_tpu=on_tpu, doc_len=doc_len, dim=dim, batch=batch,
+                prefilter=prefilter, postings_cap=postings_cap,
+                vocab=vocab, rng=rng, topics=topics, make_gen=make_gen,
+                big=(q8, scales, dense, pooled, lex, lex_dev),
+                encoder=encoder, corpus=corpus)
 
-    # --- quality pass LAST, after the headline JSON is on stdout:
-    # recall@10 of the full pruned cascade vs exact fp32 MaxSim on a
-    # sub-index. Watchdogged: device->host fetches can take minutes here.
-    import signal
 
-    def _alarm(signum, frame):
-        raise TimeoutError("recall watchdog")
+def run_recall(result, ctx):
+    """recall@10 of the full pruned cascade vs exact fp32 MaxSim on a
+    sub-index (VERDICT r1 #4's protocol, now a field of the final JSON)."""
+    import jax
+    import jax.numpy as jnp
 
-    import os
-    signal.signal(signal.SIGALRM, _alarm)
-    signal.alarm(150)
+    from hybrid_rag_colbertv2_tpu.index.lexical import LexicalIndex
+    from hybrid_rag_colbertv2_tpu.ops.maxsim import maxsim_scores_exact
+    from hybrid_rag_colbertv2_tpu.ops.prefilter import pooled_doc_embeddings
+    from hybrid_rag_colbertv2_tpu.retrieval.cascade import hybrid_cascade
+
+    on_tpu, doc_len, dim = ctx["on_tpu"], ctx["doc_len"], ctx["dim"]
+    batch, prefilter = ctx["batch"], ctx["prefilter"]
+    rng, vocab, topics = ctx["rng"], ctx["vocab"], ctx["topics"]
+    corpus = ctx["corpus"]
+
+    nr = 8192 if on_tpu else 1024
+    lens_r = np.zeros((nr,), np.int32)
+    lens_r[:nr] = rng.integers(doc_len // 2, doc_len + 1, nr)
+    lens_r_dev = jnp.asarray(lens_r)      # ONE transfer, reused
+
+    q8r, scr = ctx["make_gen"](nr, doc_len)(jax.random.PRNGKey(7),
+                                            lens_r_dev)
+    pooled_r = pooled_doc_embeddings(q8r, scr, lens_r_dev, doc_len=doc_len)
+    # the sub-cascade scores nr docs, so its BM25 arm needs a lexical
+    # index over the SAME nr-doc sub-corpus — reusing the 100k-doc index
+    # would mask ~92% of BM25 candidates (ids >= nr -> -1) and the "full
+    # pruned cascade" claim would be dense-only
+    lex_r = LexicalIndex.build(corpus[:nr],
+                               postings_cap=ctx["postings_cap"])
+    lex_r_dev = (jnp.asarray(lex_r.indptr), jnp.asarray(lex_r.post_docs),
+                 jnp.asarray(lex_r.post_weights))
+    qt_r = jnp.asarray(np.stack([
+        lex_r.encode_query(" ".join(rng.choice(vocab, size=6)), 32)
+        for _ in range(batch)]))
+    # topic-aligned queries (what a trained encoder produces)
+    kq1, kq2 = jax.random.split(jax.random.PRNGKey(3))
+    qa = jax.random.randint(kq1, (batch,), 0, topics.shape[0])
+    qe_r = topics[qa][:, None, :] + 0.3 * jax.random.normal(
+        kq2, (batch, 32, dim), jnp.float32)
+    qe_r = qe_r / jnp.linalg.norm(qe_r, axis=-1, keepdims=True)
+    chunk = 128
+    n_chunks_r = nr // chunk
+
+    @jax.jit
+    def recall_on_device(q, q_terms_r, lex_ip, lex_pd, lex_pw,
+                         emb_flat, scales_r, lens, pooled_arg):
+        cascade_ids, _, _ = hybrid_cascade(
+            q, q_terms_r, lex_ip, lex_pd, lex_pw,
+            emb_flat, scales_r, lens, pooled_arg,
+            prefilter=prefilter,
+            n_docs=nr, max_postings=lex_r.max_postings,
+            doc_len=doc_len, is_int8=True,
+            k_each=100, k_fuse=50, k_final=10)
+        e4 = emb_flat.reshape(n_chunks_r, chunk, doc_len, dim)
+        s4 = scales_r.reshape(n_chunks_r, chunk, doc_len)
+        l2 = lens.reshape(n_chunks_r, chunk)
+
+        def f(c):
+            docs = c[0].astype(jnp.float32) * c[1][..., None]
+            return maxsim_scores_exact(q, docs, c[2])
+        parts = jax.lax.map(f, (e4, s4, l2))
+        exact = parts.transpose(1, 0, 2).reshape(q.shape[0], -1)
+        _, e_top = jax.lax.top_k(exact[:, :nr], 10)
+        hits = (cascade_ids[:, :, None] == e_top[:, None, :]).any(-1)
+        hits = hits & (cascade_ids >= 0)
+        return jnp.mean(jnp.sum(hits, axis=1) / 10.0)
+
+    r = float(recall_on_device(qe_r, qt_r, *lex_r_dev, q8r, scr,
+                               lens_r_dev, pooled_r))
+    log(f"recall@10 vs exact fp32 MaxSim (pruned int8 cascade, {nr} "
+        f"docs): {r:.3f}")
+    result["recall10_vs_exact"] = round(r, 3)
+
+
+def run_1m(result, ctx):
+    """Fused-cascade p50 over 1M chunks x 64 tokens on ONE chip — the
+    BASELINE.json config-5 / north-star scale, previously only in
+    docs/performance.md (VERDICT r2 next #4). Same uniform-int8 index
+    recipe as tools/stage_probe.py (latency doesn't depend on values)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hybrid_rag_colbertv2_tpu.index.lexical import LexicalIndex
+    from hybrid_rag_colbertv2_tpu.ops.prefilter import pooled_doc_embeddings
+    from hybrid_rag_colbertv2_tpu.retrieval.cascade import (
+        hybrid_cascade, pack_query_batch)
+    from hybrid_rag_colbertv2_tpu.utils.timing import queued_timeit
+
+    on_tpu, dim, batch = ctx["on_tpu"], ctx["dim"], ctx["batch"]
+    n_docs = 1_000_000 if on_tpu else 10_000
+    doc_len, prefilter = 64, 2048
+    rng, vocab = ctx["rng"], ctx["vocab"]
+    encoder = ctx["encoder"]
+
+    t0 = time.perf_counter()
+    base = ctx["corpus"][:20_000]
+    full_corpus = (base * (n_docs // len(base) + 1))[:n_docs]
+    lex = LexicalIndex.build(full_corpus,
+                             postings_cap=ctx["postings_cap"])
+    log(f"1M bm25 build: {time.perf_counter() - t0:.1f}s "
+        f"max_post={lex.max_postings}")
+
+    n_pad = ((n_docs + 127) // 128) * 128
+    lengths = np.zeros((n_pad,), np.int32)
+    lengths[:n_docs] = rng.integers(doc_len // 2, doc_len + 1, n_docs)
+
+    @jax.jit
+    def gen_index(key, lens):
+        k1, k2 = jax.random.split(key)
+        q8 = jax.random.randint(k1, (n_pad * doc_len, dim), -127, 128,
+                                jnp.int8)
+        sc = (0.9 + 0.2 * jax.random.uniform(k2, (n_pad * doc_len,))) / (
+            127.0 * np.sqrt(dim))
+        tok = jnp.arange(doc_len, dtype=jnp.int32)
+        valid = (tok[None, :] < lens[:, None]).reshape(-1)
+        return q8, jnp.where(valid, sc, 0.0)
+
+    t0 = time.perf_counter()
+    lens_dev = jnp.asarray(lengths)
+    q8, scales = gen_index(jax.random.PRNGKey(0), lens_dev)
+    pooled = pooled_doc_embeddings(q8, scales, lens_dev, doc_len=doc_len)
+    jax.block_until_ready(pooled)
+    log(f"1M index gen+pool: {time.perf_counter() - t0:.1f}s "
+        f"({q8.size / 2**30:.2f} GiB int8)")
+
+    lex_dev = (jnp.asarray(lex.indptr), jnp.asarray(lex.post_docs),
+               jnp.asarray(lex.post_weights))
+    queries = [" ".join(rng.choice(vocab, size=6)) for _ in range(batch)]
+    lq = encoder.cfg.query_max_tokens
+    model = encoder.model
+
+    @jax.jit
+    def fused_1m(params, packed, indptr, post_docs, post_weights,
+                 emb_flat, scales_a, doc_lengths, pooled_a):
+        q_ids = packed[:, :lq]
+        q_emb = model.apply({"params": params}, q_ids, jnp.ones_like(q_ids))
+        ids, scores, _ = hybrid_cascade(
+            q_emb, packed[:, lq:], indptr, post_docs, post_weights,
+            emb_flat, scales_a, doc_lengths, pooled_a,
+            prefilter=prefilter,
+            n_docs=n_docs, max_postings=lex.max_postings,
+            doc_len=doc_len, is_int8=True,
+            k_each=100, k_fuse=50, k_final=10)
+        return scores
+
+    def run_once():
+        packed = pack_query_batch(encoder, lex, queries, 32)
+        return fused_1m(encoder.params, packed, *lex_dev,
+                        q8, scales, lens_dev, pooled)
+
+    t0 = time.perf_counter()
+    jax.block_until_ready(run_once())
+    log(f"1M compile+first run: {time.perf_counter() - t0:.1f}s")
+    iters = 16 if on_tpu else 2
+    reps = 5 if on_tpu else 2
+    p50, worst = queued_timeit(run_once, iters, reps)
+    p50 = max(p50, 1e-3)
+    log(f"1M fused cascade: p50={p50:.2f}ms worst={worst:.2f}ms "
+        f"batch={batch} ({p50 / batch:.2f} ms/query)")
+    result["p50_ms_1m"] = round(p50, 3)
+    result["vs_baseline_1m"] = round(BASELINE_MS / (p50 / batch), 1)
+
+
+def _seed_eval(td, n_docs, steps, seed, prefilter, postings_cap,
+               cache_root):
+    """One training seed of the REAL-DATA pass: corpus -> full app
+    pipeline (chunk -> store -> ICT-train w/ BM25-mined hard negatives ->
+    dual index) -> measured fusion gate -> paraphrase + verbatim-ICT
+    evals. Trained encoder params+tokenizer are cached on disk keyed by
+    (corpus, train config, seed) so warm driver runs skip training
+    (VERDICT r2 next #9)."""
+    from hybrid_rag_colbertv2_tpu.app.application import RAGApplication
+    from hybrid_rag_colbertv2_tpu.config import RAGConfig
+    from hybrid_rag_colbertv2_tpu.tools.eval_recall import evaluate
+    from hybrid_rag_colbertv2_tpu.tools.sample_corpus import write_corpus
+
+    paths = write_corpus(f"{td}/docs", n_docs=n_docs, seed=0)
+    h = hashlib.sha256()
+    for p in sorted(paths):
+        h.update(p.read_bytes())
+    cfg = RAGConfig(
+        db_path=f"{td}/rag.db",
+        bm25_index_path=f"{td}/idx/bm25",
+        colbert_index_path=f"{td}/idx/colbert",
+        tokenizer_path=f"{td}/idx/tok.json",
+        images_dir=f"{td}/img",
+        min_chunk_size=48, max_chunk_size=96,
+        doc_max_tokens=128,
+        encoder_train_steps=steps,
+        encoder_seed=seed,
+        dense_prefilter=prefilter,
+        bm25_postings_cap=postings_cap,
+    )
+    h.update(f"|{steps}|{seed}|{cfg.encoder_preset}|"
+             f"{cfg.encoder_hard_negatives}|{cfg.tokenizer_vocab_size}|"
+             f"{CACHE_VERSION}".encode())
+    cdir = cache_root / h.hexdigest()[:16]
+    c_params, c_tok = cdir / "encoder_params.npz", cdir / "tokenizer.json"
+    warm = c_params.exists() and c_tok.exists()
+    if warm:
+        log(f"seed {seed}: cached encoder {cdir.name} (skipping training)")
+        Path(cfg.tokenizer_path).parent.mkdir(parents=True, exist_ok=True)
+        shutil.copy(c_tok, cfg.tokenizer_path)
+        enc_dir = Path(cfg.colbert_index_path)
+        enc_dir.mkdir(parents=True, exist_ok=True)
+        shutil.copy(c_params, enc_dir / "encoder_params.npz")
+        cfg.encoder_train_steps = 0
+    t0 = time.perf_counter()
+    app = RAGApplication(cfg, use_ollama=False)
+    app.index_documents([str(p) for p in paths])
+    if not warm:
+        cdir.mkdir(parents=True, exist_ok=True)
+        shutil.copy(Path(cfg.colbert_index_path) / "encoder_params.npz",
+                    c_params)
+        shutil.copy(cfg.tokenizer_path, c_tok)
+    gate_mode = app.resolve_final_fusion()
+    log(f"seed {seed}: indexed+trained in {time.perf_counter() - t0:.0f}s, "
+        f"gate={app.fusion_gate}")
+
+    out = {"gate": app.fusion_gate, "chunks": None}
+    for source in ("paraphrase", "ict"):
+        per_mode = {}
+        for mode in ("rerank", "rrf"):
+            r = evaluate(app, n_queries=64, k=10, batch=8,
+                         measure_latency=False, query_source=source,
+                         config_overrides={"final_fusion": mode})
+            per_mode[mode] = r
+            log(f"seed {seed} {source} {mode}: {json.dumps(r)}")
+        conf = per_mode[gate_mode]
+        out["chunks"] = conf["chunks"]
+        out[source] = {
+            "hit10": conf["hit@10_configured"],          # gated mode
+            "hit10_parity": per_mode["rerank"]["hit@10_configured"],
+            "hit10_rrf": per_mode["rrf"]["hit@10_configured"],
+            "hit10_bm25_only": conf["hit@10_bm25_only"],
+            "hit10_dense_only": conf["hit@10_dense_only"],
+            "agreement10_vs_exact": conf["agreement@10"],
+            "queries": conf["queries"],
+        }
+    return out
+
+
+def run_realdata(result, ctx):
+    """REAL-DATA quality (VERDICT r2 next #2/#3): ~500-chunk natural-
+    English markdown corpus through the FULL app pipeline, 3 training
+    seeds, paraphrase (headline) + verbatim-ICT evals, measured
+    final-fusion gate. Aggregates mean and max-min spread across seeds."""
+    on_tpu = ctx["on_tpu"]
+    n_docs = 112 if on_tpu else 12
+    steps = 200 if on_tpu else 8
+    seeds = (0, 1, 2) if on_tpu else (0,)
+    cache_root = Path(__file__).resolve().parent / ".bench_cache"
+    cache_root.mkdir(exist_ok=True)
+
+    per_seed = []
+    for i, seed in enumerate(seeds):
+        budget = 420 if i == 0 else 300   # first seed pays the compiles
+        try:
+            with _watchdog(budget):
+                with tempfile.TemporaryDirectory() as td:
+                    per_seed.append(_seed_eval(
+                        td, n_docs, steps, seed, ctx["prefilter"],
+                        ctx["postings_cap"], cache_root))
+        except Exception as e:
+            log(f"realdata seed {seed} skipped: {type(e).__name__}: {e}")
+    if not per_seed:
+        return
+
+    rd = {"chunks": per_seed[0]["chunks"], "seeds": len(per_seed),
+          "train_steps": steps, "gate": per_seed[0]["gate"]}
+    for source in ("paraphrase", "ict"):
+        rows = [s[source] for s in per_seed if source in s]
+        if not rows:
+            continue
+        agg = {}
+        for key in rows[0]:
+            vals = [r[key] for r in rows]
+            if isinstance(vals[0], (int, float)):
+                agg[key] = round(float(np.mean(vals)), 3)
+                if len(vals) > 1 and key.startswith("hit10"):
+                    agg[f"{key}_spread"] = round(
+                        float(np.max(vals) - np.min(vals)), 3)
+            else:
+                agg[key] = vals[0]
+        rd[source] = agg
+    result["realdata"] = rd
+    # the headline quality claim: gated hybrid vs its own BM25 leg on
+    # non-verbatim queries (VERDICT r2 next #2 done-condition)
+    if "paraphrase" in rd:
+        result["hit10_paraphrase"] = rd["paraphrase"]["hit10"]
+        result["hit10_paraphrase_bm25_only"] = \
+            rd["paraphrase"]["hit10_bm25_only"]
+
+
+def main():
+    result = {}
+    ctx = run_headline(result)   # must succeed — carries the contract keys
+
+    # realdata has NO outer watchdog: its per-seed watchdogs would clash
+    # with a nested alarm (signal.alarm is process-global)
+    passes = [
+        ("HRAG_BENCH_RECALL", 150, run_recall, "recall"),
+        ("HRAG_BENCH_1M", 420, run_1m, "1M"),
+        ("HRAG_BENCH_REALDATA", None, run_realdata, "realdata"),
+    ]
     try:
-        if os.environ.get("HRAG_BENCH_RECALL", "1") == "0":
-            raise RuntimeError("disabled via HRAG_BENCH_RECALL=0")
-        from hybrid_rag_colbertv2_tpu.ops.maxsim import maxsim_scores_exact
-
-        nr = 8192 if on_tpu else 1024
-        lens_r = np.zeros((nr,), np.int32)
-        lens_r[:nr] = rng.integers(doc_len // 2, doc_len + 1, nr)
-        lens_r_dev = jnp.asarray(lens_r)      # ONE transfer, reused
-
-        q8r, scr = make_gen(nr, doc_len)(jax.random.PRNGKey(7), lens_r_dev)
-        pooled_r = pooled_doc_embeddings(q8r, scr, lens_r_dev,
-                                         doc_len=doc_len)
-        # the sub-cascade scores nr docs, so its BM25 arm needs a lexical
-        # index over the SAME nr-doc sub-corpus — reusing the 100k-doc
-        # index would mask ~92% of BM25 candidates (ids >= nr -> -1) and
-        # the "full pruned cascade" claim would be dense-only
-        lex_r = LexicalIndex.build(corpus[:nr], postings_cap=postings_cap)
-        lex_r_dev = (jnp.asarray(lex_r.indptr), jnp.asarray(lex_r.post_docs),
-                     jnp.asarray(lex_r.post_weights))
-        qt_r = jnp.asarray(np.stack([
-            lex_r.encode_query(" ".join(rng.choice(vocab, size=6)), 32)
-            for _ in range(batch)]))
-        # topic-aligned queries (what a trained encoder produces)
-        kq1, kq2 = jax.random.split(jax.random.PRNGKey(3))
-        qa = jax.random.randint(kq1, (batch,), 0, n_topics)
-        qe_r = topics[qa][:, None, :] + 0.3 * jax.random.normal(
-            kq2, (batch, 32, dim), jnp.float32)
-        qe_r = qe_r / jnp.linalg.norm(qe_r, axis=-1, keepdims=True)
-        chunk = 128
-        n_chunks_r = nr // chunk
-
-        @jax.jit
-        def recall_on_device(q, q_terms_r, lex_ip, lex_pd, lex_pw,
-                             emb_flat, scales_r, lens, pooled_arg):
-            cascade_ids, _, _ = hybrid_cascade(
-                q, q_terms_r, lex_ip, lex_pd, lex_pw,
-                emb_flat, scales_r, lens, pooled_arg,
-                prefilter=prefilter,
-                n_docs=nr, max_postings=lex_r.max_postings,
-                doc_len=doc_len, is_int8=True,
-                k_each=100, k_fuse=50, k_final=10)
-            e4 = emb_flat.reshape(n_chunks_r, chunk, doc_len, dim)
-            s4 = scales_r.reshape(n_chunks_r, chunk, doc_len)
-            l2 = lens.reshape(n_chunks_r, chunk)
-            def f(c):
-                docs = c[0].astype(jnp.float32) * c[1][..., None]
-                return maxsim_scores_exact(q, docs, c[2])
-            parts = jax.lax.map(f, (e4, s4, l2))
-            exact = parts.transpose(1, 0, 2).reshape(q.shape[0], -1)
-            _, e_top = jax.lax.top_k(exact[:, :nr], 10)
-            hits = (cascade_ids[:, :, None] == e_top[:, None, :]).any(-1)
-            hits = hits & (cascade_ids >= 0)
-            return jnp.mean(jnp.sum(hits, axis=1) / 10.0)
-
-        r = float(recall_on_device(qe_r, qt_r, *lex_r_dev, q8r, scr,
-                                   lens_r_dev, pooled_r))
-        log(f"recall@10 vs exact fp32 MaxSim (pruned int8 cascade, {nr} "
-            f"docs): {r:.3f}")
-        del q8r, scr
-    except Exception as e:
-        log(f"recall measurement skipped: {type(e).__name__}: {e}")
-    signal.alarm(0)
-
-    # --- REAL-DATA quality pass (VERDICT r1 #5): a deterministic natural-
-    # English markdown corpus through the FULL app pipeline (chunker ->
-    # SQLite store -> ICT-trained encoder -> dual device index), then
-    # hit@10 / agreement@10 from tools/eval_recall.evaluate — retrieval
-    # quality on real text, not synthetic embeddings. Watchdogged; the
-    # headline JSON is already on stdout.
-    signal.alarm(560)
-    try:
-        if os.environ.get("HRAG_BENCH_REALDATA", "1") == "0":
-            raise RuntimeError("disabled via HRAG_BENCH_REALDATA=0")
-        # release the big synthetic index before the app allocates
-        del q8, scales, dense, pooled
-
-        import tempfile
-
-        from hybrid_rag_colbertv2_tpu.app.application import RAGApplication
-        from hybrid_rag_colbertv2_tpu.config import RAGConfig
-        from hybrid_rag_colbertv2_tpu.tools.eval_recall import evaluate
-        from hybrid_rag_colbertv2_tpu.tools.sample_corpus import write_corpus
-
-        t0 = time.perf_counter()
-        with tempfile.TemporaryDirectory() as td:
-            paths = write_corpus(f"{td}/docs", n_docs=20, seed=0)
-            cfg2 = RAGConfig(
-                db_path=f"{td}/rag.db",
-                bm25_index_path=f"{td}/idx/bm25",
-                colbert_index_path=f"{td}/idx/colbert",
-                tokenizer_path=f"{td}/idx/tok.json",
-                images_dir=f"{td}/img",
-                min_chunk_size=48, max_chunk_size=96,
-                doc_max_tokens=128,
-                encoder_train_steps=200 if on_tpu else 8,
-                dense_prefilter=prefilter,
-                bm25_postings_cap=postings_cap,
-            )
-            app = RAGApplication(cfg2, use_ollama=False)
-            app.index_documents([str(p) for p in paths])
-            res = evaluate(app, n_queries=64, k=10, batch=8,
-                           measure_latency=False)
-            log(f"REAL-DATA eval ({len(paths)} markdown docs, ICT-trained "
-                f"encoder w/ BM25-mined hard negatives, production knobs, "
-                f"final_fusion=rerank [reference parity], "
-                f"{time.perf_counter() - t0:.0f}s): {json.dumps(res)}")
-            res_rrf = evaluate(app, n_queries=64, k=10, batch=8,
-                               measure_latency=False,
-                               config_overrides={"final_fusion": "rrf"})
-            log(f"REAL-DATA eval, final_fusion=rrf (opt-in, keeps lexical "
-                f"evidence in the final cut): {json.dumps(res_rrf)}")
-    except Exception as e:
-        log(f"real-data eval skipped: {type(e).__name__}: {e}")
-    signal.alarm(0)
+        for env, budget, fn, name in passes:
+            if os.environ.get(env, "1") == "0":
+                log(f"{name} pass disabled via {env}=0")
+                continue
+            if name in ("1M", "realdata") and "big" in ctx:
+                # release the 100k headline index before big allocations
+                ctx.pop("big", None)
+                import gc
+                gc.collect()
+            try:
+                if budget is None:
+                    fn(result, ctx)
+                else:
+                    with _watchdog(budget):
+                        fn(result, ctx)
+            except Exception as e:
+                log(f"{name} pass skipped: {type(e).__name__}: {e}")
+    finally:
+        # THE contract: exactly one JSON line, LAST on stdout
+        sys.stderr.flush()
+        print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

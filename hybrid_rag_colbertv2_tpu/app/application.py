@@ -218,9 +218,13 @@ class RAGApplication:
 
         steps = self.config.encoder_train_steps
         # 6 pairs/doc measured +1.5pp dense hit@10 over 4 at equal wall
-        # time (docs/performance.md ablation); 8 adds nothing further
+        # time (docs/performance.md ablation); 8 adds nothing further.
+        # word_dropout makes training queries non-verbatim — the encoder
+        # must rank under partial lexical overlap (the paraphrase-query
+        # regime), not memorize exact spans.
         pairs_idx = pseudo_query_pairs(corpus, n_pairs_per_doc=6,
-                                       seed=self.config.encoder_seed)
+                                       seed=self.config.encoder_seed,
+                                       word_dropout=0.15)
         n_neg = self.config.encoder_hard_negatives
         if n_neg > 0 and len(corpus) > n_neg + 1:
             mined = mine_hard_negatives(corpus, pairs_idx,

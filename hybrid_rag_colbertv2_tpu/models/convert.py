@@ -32,6 +32,46 @@ from .colbert import ColBERTConfig
 
 _PREFIXES = ("roberta.", "bert.", "model.")
 
+# State-dict keys the converters deliberately ignore: rotary inverse-
+# frequency buffers are recomputed from config (rope_base), and the
+# pooler head plays no part in ColBERT token embeddings.
+_IGNORED_SUBSTRINGS = ("rotary_emb.inv_freq",)
+_IGNORED_PREFIXES = ("pooler.",)
+
+
+def _is_ignored(key: str) -> bool:
+    return (any(s in key for s in _IGNORED_SUBSTRINGS)
+            or any(key.startswith(p) for p in _IGNORED_PREFIXES))
+
+
+class _TrackingDict(dict):
+    """Dict recording which keys were actually READ (getitem/get) —
+    membership tests don't count. Lets strict conversion prove the source
+    layout was consumed exactly (golden-manifest tests)."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.used = set()
+
+    def __getitem__(self, k):
+        self.used.add(k)
+        return super().__getitem__(k)
+
+    def get(self, k, default=None):
+        self.used.add(k)
+        return super().get(k, default)
+
+
+def _check_consumed(sd: "_TrackingDict", strict: bool) -> None:
+    if not strict:
+        return
+    unused = {k for k in sd
+              if k not in sd.used and not _is_ignored(k)}
+    if unused:
+        raise ValueError(
+            f"strict conversion: {len(unused)} state_dict keys were not "
+            f"consumed (layout drift?): {sorted(unused)[:8]}...")
+
 
 def _t(x) -> np.ndarray:
     arr = np.asarray(x.detach().cpu().numpy() if hasattr(x, "detach") else x)
@@ -49,14 +89,16 @@ def convert_xlmr_state_dict(
     state: Mapping[str, "np.ndarray"],
     cfg: ColBERTConfig,
     projection_key: Optional[str] = None,
+    strict: bool = False,
 ) -> Dict:
     """torch state_dict (XLMRobertaModel naming, with or without a leading
     'roberta.' prefix) -> Flax params for ColBERTModel.
 
     projection_key: state_dict key of the ColBERT linear head weight (e.g.
     'linear.weight'); if absent the head must be initialized separately.
+    strict: raise if any source key is left unconsumed (layout drift).
     """
-    sd = {_strip(k): _t(v) for k, v in state.items()}
+    sd = _TrackingDict({_strip(k): _t(v) for k, v in state.items()})
 
     def dense(prefix: str, bias: bool = True) -> Dict:
         p = {"kernel": jnp.asarray(sd[f"{prefix}.weight"].T)}
@@ -108,6 +150,7 @@ def convert_xlmr_state_dict(
         params["colbert_linear"] = {
             "kernel": jnp.asarray(sd[projection_key].T)
         }
+    _check_consumed(sd, strict)
     return params
 
 
@@ -115,6 +158,7 @@ def convert_flash_state_dict(
     state: Mapping[str, "np.ndarray"],
     cfg: ColBERTConfig,
     projection_key: Optional[str] = None,
+    strict: bool = False,
 ) -> Dict:
     """jina-xlm-roberta rotary flash state_dict -> Flax ColBERTModel params.
 
@@ -133,7 +177,7 @@ def convert_flash_state_dict(
     cfg.rope_interleaved=False). ``rotary_emb.inv_freq`` buffers and the
     pooler are ignored.
     """
-    sd = {_strip(k): _t(v) for k, v in state.items()}
+    sd = _TrackingDict({_strip(k): _t(v) for k, v in state.items()})
     h = cfg.hidden_size
 
     def dense_t(key: str) -> Dict:
@@ -183,6 +227,7 @@ def convert_flash_state_dict(
 
     if projection_key and projection_key in sd:
         params["colbert_linear"] = {"kernel": jnp.asarray(sd[projection_key].T)}
+    _check_consumed(sd, strict)
     return params
 
 
@@ -197,11 +242,17 @@ def convert_state_dict(
     state: Mapping[str, "np.ndarray"],
     cfg: ColBERTConfig,
     projection_key: Optional[str] = None,
+    strict: bool = False,
 ) -> Dict:
-    """Auto-detect the source naming and convert."""
+    """Auto-detect the source naming and convert.
+
+    ``strict=True`` additionally requires every source key to be consumed
+    (modulo deliberately-ignored rotary inv_freq buffers and the pooler) —
+    the golden-manifest tests use this to pin the published checkpoint
+    layout (tests/test_convert_manifest.py)."""
     if is_flash_layout(state):
-        return convert_flash_state_dict(state, cfg, projection_key)
-    return convert_xlmr_state_dict(state, cfg, projection_key)
+        return convert_flash_state_dict(state, cfg, projection_key, strict)
+    return convert_xlmr_state_dict(state, cfg, projection_key, strict)
 
 
 def colbert_config_from_hf(model_dir: str, **overrides) -> ColBERTConfig:

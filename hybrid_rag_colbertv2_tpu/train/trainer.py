@@ -239,10 +239,16 @@ class ColBERTTrainer:
         params = self.encoder.params
         metrics: List[Dict] = []
         bpos = 0
+        # host BPE tokenization dominates step wall-time if repeated —
+        # tokenize each batch ONCE on first use and reuse the device
+        # arrays across epochs (the pair->batch grouping is fixed)
+        batch_cache: List[Optional[Dict]] = [None] * len(batches)
         for step in range(steps):
             if bpos >= len(batches):
                 bpos = 0
-            batch = self._make_batch(batches[bpos])
+            if batch_cache[bpos] is None:
+                batch_cache[bpos] = self._make_batch(batches[bpos])
+            batch = batch_cache[bpos]
             bpos += 1
             params, self.opt_state, m = self.step_fn(
                 params, self.opt_state, batch)

@@ -75,19 +75,39 @@ def test_sharded_matches_single_device(setup):
         assert set(ids8[b].tolist()) == set(ids1[b].tolist()), f"query {b}"
 
 
-def test_sharded_int8(setup):
-    cfg, encoder, lex, dense = setup
+@pytest.mark.parametrize("dtype", ["int8", "int8-doc"])
+@pytest.mark.parametrize("prefilter", [0, 32])
+def test_sharded_flat_quantized_equals_single_device(setup, dtype,
+                                                     prefilter):
+    """VERDICT r2 next #6: the PRODUCTION flat quantized layouts (int8
+    per-token-row scales and int8-doc per-document scales), with and
+    without the pruned prefilter, must return the same results sharded
+    over the 8-device mesh as on a single device — not merely finite
+    shapes."""
+    import copy
+
+    cfg0, encoder, lex, dense = setup
+    cfg = copy.deepcopy(cfg0)
+    cfg.dense_prefilter = prefilter
     embs3 = dense.emb_flat.reshape(dense.n_pad, dense.doc_len, -1)
-    dense8 = DenseTokenIndex.build(
+    denseq = DenseTokenIndex.build(
         embs3[: dense.n_docs], dense.doc_lengths[: dense.n_docs],
-        doc_len=dense.doc_len, dtype="int8")
+        doc_len=dense.doc_len, dtype=dtype)
+
+    mgr = IndexManager(cfg, encoder)
+    mgr.lexical = lex
+    mgr.dense = denseq
+    single = HybridRetriever(cfg, mgr, encoder)
+    ids1, scores1 = single.retrieve_batch(QUERIES)
+
     mesh = make_mesh(MeshConfig(mesh_shape=(8, 1)))
-    sharded = shard_dense_index(dense8, mesh)
+    sharded = shard_dense_index(denseq, mesh)
     r = ShardedRetriever(cfg, mesh, lex, sharded, encoder)
-    ids, scores = r.retrieve_batch(QUERIES[:2])
-    assert ids.shape == (2, cfg.final_top_k)
-    assert np.isfinite(scores).all()
-    assert (ids >= -1).all() and (ids < len(CORPUS)).all()
+    ids8, scores8 = r.retrieve_batch(QUERIES)
+
+    assert ids8.shape == ids1.shape == (len(QUERIES), cfg.final_top_k)
+    np.testing.assert_array_equal(ids8, ids1)
+    np.testing.assert_allclose(scores8, scores1, rtol=1e-4, atol=1e-4)
 
 
 def test_mesh_shapes(setup):
