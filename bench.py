@@ -470,25 +470,33 @@ def _seed_eval(td, n_docs, steps, seed, prefilter, postings_cap,
         shutil.copy(Path(cfg.colbert_index_path) / "encoder_params.npz",
                     c_params)
         shutil.copy(cfg.tokenizer_path, c_tok)
-    gate_mode = app.resolve_final_fusion()
+    app.resolve_final_fusion()
     log(f"seed {seed}: indexed+trained in {time.perf_counter() - t0:.0f}s, "
         f"gate={app.fusion_gate}")
 
     out = {"gate": app.fusion_gate, "chunks": None}
+    # "gated" = whatever (final_fusion, fusion_weight_bm25) the measured
+    # gate calibrated; "parity" = the reference's settings; "rrf" = the
+    # equal-weight blended final ordering
+    configs = {
+        "gated": None,
+        "parity": {"final_fusion": "rerank", "fusion_weight_bm25": 0.5},
+        "rrf": {"final_fusion": "rrf", "fusion_weight_bm25": 0.5},
+    }
     for source in ("paraphrase", "ict"):
-        per_mode = {}
-        for mode in ("rerank", "rrf"):
+        per = {}
+        for name, overrides in configs.items():
             r = evaluate(app, n_queries=64, k=10, batch=8,
                          measure_latency=False, query_source=source,
-                         config_overrides={"final_fusion": mode})
-            per_mode[mode] = r
-            log(f"seed {seed} {source} {mode}: {json.dumps(r)}")
-        conf = per_mode[gate_mode]
+                         config_overrides=overrides)
+            per[name] = r
+            log(f"seed {seed} {source} {name}: {json.dumps(r)}")
+        conf = per["gated"]
         out["chunks"] = conf["chunks"]
         out[source] = {
-            "hit10": conf["hit@10_configured"],          # gated mode
-            "hit10_parity": per_mode["rerank"]["hit@10_configured"],
-            "hit10_rrf": per_mode["rrf"]["hit@10_configured"],
+            "hit10": conf["hit@10_configured"],          # calibrated
+            "hit10_parity": per["parity"]["hit@10_configured"],
+            "hit10_rrf": per["rrf"]["hit@10_configured"],
             "hit10_bm25_only": conf["hit@10_bm25_only"],
             "hit10_dense_only": conf["hit@10_dense_only"],
             "agreement10_vs_exact": conf["agreement@10"],
@@ -504,7 +512,9 @@ def run_realdata(result, ctx):
     final-fusion gate. Aggregates mean and max-min spread across seeds."""
     on_tpu = ctx["on_tpu"]
     n_docs = 112 if on_tpu else 12
-    steps = 200 if on_tpu else 8
+    # ~3 epochs at 491 chunks x 6 pairs / batch 16; tokenized batches are
+    # cached (trainer), so steps beyond the first epoch are ~0.1 s each
+    steps = 600 if on_tpu else 8
     seeds = (0, 1, 2) if on_tpu else (0,)
     cache_root = Path(__file__).resolve().parent / ".bench_cache"
     cache_root.mkdir(exist_ok=True)

@@ -221,10 +221,13 @@ class RAGApplication:
         # time (docs/performance.md ablation); 8 adds nothing further.
         # word_dropout makes training queries non-verbatim — the encoder
         # must rank under partial lexical overlap (the paraphrase-query
-        # regime), not memorize exact spans.
+        # regime), not memorize exact spans. Disabled on tiny corpora
+        # (config.encoder_word_dropout note).
+        dropout = (self.config.encoder_word_dropout
+                   if len(corpus) >= 16 else 0.0)
         pairs_idx = pseudo_query_pairs(corpus, n_pairs_per_doc=6,
                                        seed=self.config.encoder_seed,
-                                       word_dropout=0.15)
+                                       word_dropout=dropout)
         n_neg = self.config.encoder_hard_negatives
         if n_neg > 0 and len(corpus) > n_neg + 1:
             mined = mine_hard_negatives(corpus, pairs_idx,
@@ -290,10 +293,12 @@ class RAGApplication:
         from ..retrieval.gate import resolve_final_fusion as _gate
 
         corpus = self.store.all_chunk_texts()
-        mode, self.fusion_gate = _gate(
+        (mode, weight), self.fusion_gate = _gate(
             cfg, self.indexes, self.encoder, corpus, chunk_store=self.store)
         cfg.final_fusion = mode
-        log.info("final_fusion resolved to %r by measured gate", mode)
+        cfg.fusion_weight_bm25 = weight
+        log.info("final_fusion resolved to (%r, bm25_weight=%s) by "
+                 "measured gate", mode, weight)
         return mode
 
     def _bind_retriever(self, use_mesh: Optional[bool] = None) -> None:

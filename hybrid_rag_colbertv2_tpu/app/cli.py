@@ -46,11 +46,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--top-k", type=int, default=None,
                    help="results for --query")
     p.add_argument("--final-fusion", type=str, default=None,
-                   choices=["rerank", "rrf"],
+                   choices=["rerank", "rrf", "auto"],
                    help="final top-k ordering: 'rerank' = exact MaxSim "
                         "alone (reference parity), 'rrf' = fuse in the "
-                        "candidate-RRF ranking (measured +6pp hit@10 on "
-                        "ICT queries)")
+                        "candidate-RRF ranking, 'auto' (default) = "
+                        "calibrate mode + leg weight by a measured gate "
+                        "on held-out pseudo-queries (retrieval/gate.py)")
+    p.add_argument("--fusion-weight-bm25", type=float, default=None,
+                   metavar="W",
+                   help="calibrated-hybrid BM25 leg weight in [0,1]; "
+                        "0.5 = the reference's unweighted RRF (set "
+                        "explicitly to pin it instead of the auto gate)")
     p.add_argument("--train-encoder", type=int, default=None, metavar="N",
                    help="contrastively train the encoder on the corpus for "
                         "N steps during --upload (self-contained mode)")
@@ -80,6 +86,9 @@ def _main(argv=None) -> int:
         cfg.encoder_train_steps = args.train_encoder
     if args.final_fusion is not None:
         cfg.final_fusion = args.final_fusion
+    if args.fusion_weight_bm25 is not None:
+        cfg.fusion_weight_bm25 = args.fusion_weight_bm25
+        cfg.validate()
     app = RAGApplication(cfg, use_ollama=not args.no_generate)
 
     if args.upload:

@@ -88,6 +88,13 @@ class RAGConfig:
     # standalone (a bare HybridRetriever) treat an unresolved "auto" as
     # "rerank".
     final_fusion: str = "auto"
+    # Calibrated-hybrid leg weight for the candidate RRF (and, in
+    # final_fusion="rrf", the final blend): 0.5 = the reference's
+    # unweighted RRF (parity). The "auto" gate searches a small menu and
+    # raises this when the measured dense leg is weak — a BM25-lean
+    # hybrid can then never lose to its own lexical leg while the dense
+    # leg still breaks ties and rescues queries BM25 misses.
+    fusion_weight_bm25: float = 0.5
     # >0: two-stage pruned dense search (ops/prefilter.py) — pooled-cosine
     # prefilter to this many candidates, exact MaxSim only on those.
     # 0 = brute-force full MaxSim scan (exact). Rule of thumb: 8-16x the
@@ -158,6 +165,12 @@ class RAGConfig:
     # the chunks BM25 confuses with the source; in-batch-only negatives
     # (0) never show it those.
     encoder_hard_negatives: int = 4
+    # ICT training-query word dropout: non-verbatim training queries teach
+    # ranking under partial lexical overlap (the paraphrase-query regime).
+    # Applied only when the corpus has >= 16 chunks — on tiny corpora the
+    # lexical prior is the whole signal and noisy spans destabilize the
+    # few-batch training (see encoder_max_epochs note).
+    encoder_word_dropout: float = 0.15
     # Epoch ceiling on encoder_train_steps: overtraining tiny corpora
     # collapses the representation into per-batch clusters and destroys
     # the fresh encoder's lexical prior (measured in app/application.py
@@ -203,6 +216,8 @@ class RAGConfig:
         if self.final_fusion not in ("rerank", "rrf", "auto"):
             raise ValueError(
                 "final_fusion must be 'rerank', 'rrf', or 'auto'")
+        if not 0.0 <= self.fusion_weight_bm25 <= 1.0:
+            raise ValueError("fusion_weight_bm25 must be in [0, 1]")
         for b in self.mesh.doc_token_buckets:
             if b % 32 != 0:
                 raise ValueError("doc token buckets must be multiples of 32")

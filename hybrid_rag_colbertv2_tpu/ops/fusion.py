@@ -24,13 +24,14 @@ import jax.numpy as jnp
 _BIG = jnp.iinfo(jnp.int32).max
 
 
-@functools.partial(jax.jit, static_argnames=("k", "rrf_k"))
+@functools.partial(jax.jit, static_argnames=("k", "rrf_k", "weights"))
 def rrf_from_topk(
     ids_a: jax.Array,      # (B, Ka) int32 doc ids (global id space)
     ids_b: jax.Array,      # (B, Kb) int32
     *,
     k: int,                # number of fused candidates to keep
     rrf_k: int = 60,       # reference hard-codes 60 (local_rag_complete.py:964)
+    weights: Tuple[float, float] = (1.0, 1.0),
 ) -> Tuple[jax.Array, jax.Array]:
     """Fuse two ranked id lists -> (fused_scores (B,k), fused_ids (B,k)).
 
@@ -39,13 +40,18 @@ def rrf_from_topk(
     When k exceeds the number of distinct fused candidates, the tail is
     padded with score 0 / id -1. Fusion is corpus-size independent — the
     merge domain is just Ka+Kb candidate ids.
+
+    ``weights`` scales each list's rank contributions: (1, 1) is the
+    reference's unweighted RRF; asymmetric weights implement the
+    calibrated hybrid (retrieval/gate.py) — e.g. (1.5, 0.5) leans on the
+    first (BM25) list when the measured gate finds the dense leg weak.
     """
     b, ka = ids_a.shape
     kb = ids_b.shape[1]
     kt = ka + kb
 
-    wa = 1.0 / (rrf_k + 1.0 + jnp.arange(ka, dtype=jnp.float32))
-    wb = 1.0 / (rrf_k + 1.0 + jnp.arange(kb, dtype=jnp.float32))
+    wa = weights[0] / (rrf_k + 1.0 + jnp.arange(ka, dtype=jnp.float32))
+    wb = weights[1] / (rrf_k + 1.0 + jnp.arange(kb, dtype=jnp.float32))
 
     def fuse_one(ia: jax.Array, ib: jax.Array):
         ids = jnp.concatenate([ia, ib])                       # (Kt,)
@@ -105,6 +111,7 @@ def final_topk_select(
     *,
     rrf_k: int = 60,
     final_fusion: str = "rerank",
+    weight_cand: float = 0.5,
 ) -> Tuple[jax.Array, jax.Array]:
     """Final top-k over the fused candidates -> (ids (B,k), scores (B,k)).
 
@@ -112,18 +119,22 @@ def final_topk_select(
     reference parity (local_rag_complete.py:928). ``"rrf"``: order by
     RRF(rerank ranking, candidate-RRF ranking) — the candidate list's own
     order already encodes BM25+dense evidence, so fusing it back in hedges
-    dense-rerank misses (opt-in via RAGConfig.final_fusion). Reported
-    scores are ALWAYS the exact MaxSim values; only the ORDER changes.
-    Missing candidates (id < 0) never surface; short candidate lists pad
-    with id -1.
+    dense-rerank misses (opt-in via RAGConfig.final_fusion).
+    ``weight_cand`` (rrf mode only) tilts that blend: 0.5 = equal (the
+    round-2 behavior), higher leans on the candidate order — the
+    calibrated-hybrid gate raises it when the measured dense leg is weak.
+    Reported scores are ALWAYS the exact MaxSim values; only the ORDER
+    changes. Missing candidates (id < 0) never surface; short candidate
+    lists pad with id -1.
     """
     live = fused_ids >= 0
     rerank = jnp.where(live, rerank, -jnp.inf)
     if final_fusion == "rrf":
         kc = rerank.shape[1]
         rr_rank = jnp.argsort(jnp.argsort(-rerank, axis=1), axis=1)
-        sel = (1.0 / (rrf_k + 1.0 + rr_rank)
-               + 1.0 / (rrf_k + 1.0 + jnp.arange(kc, dtype=jnp.float32)))
+        wc, wr = 2.0 * weight_cand, 2.0 * (1.0 - weight_cand)
+        sel = (wr / (rrf_k + 1.0 + rr_rank)
+               + wc / (rrf_k + 1.0 + jnp.arange(kc, dtype=jnp.float32)))
         sel = jnp.where(live, sel, -jnp.inf)
     elif final_fusion == "rerank":
         sel = rerank

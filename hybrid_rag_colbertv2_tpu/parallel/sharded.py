@@ -84,6 +84,7 @@ def _make_sharded_cascade_impl(
     prefilter: int = 0,
     approx_recall: float = 0.95,
     final_fusion: str = "rerank",
+    fusion_weight_bm25: float = 0.5,
     axis: str = "data",
     interpret: Optional[bool] = None,
     encoder_model=None,
@@ -163,9 +164,11 @@ def _make_sharded_cascade_impl(
             n_docs=n_docs, max_postings=max_postings,
             k=min(k_each, n_docs))
 
-        # --- fusion (replicated) ------------------------------------------
+        # --- fusion (replicated, calibrated leg weights) ------------------
+        fw = fusion_weight_bm25
         fused_scores, fused_ids = rrf_from_topk(
-            bi, ms_ids, k=kf, rrf_k=rrf_k)
+            bi, ms_ids, k=kf, rrf_k=rrf_k,
+            weights=(2.0 * fw, 2.0 * (1.0 - fw)))
 
         # --- stage 3: rerank owned candidates, psum across shards --------
         local_pos = fused_ids - offset
@@ -188,7 +191,8 @@ def _make_sharded_cascade_impl(
             q_emb.astype(jnp.float32), safe, owned)        # (B, kf)
         rerank = jax.lax.psum(partial_rr, axis)
         return final_topk_select(rerank, fused_ids, kfin, rrf_k=rrf_k,
-                                 final_fusion=final_fusion)
+                                 final_fusion=final_fusion,
+                                 weight_cand=fusion_weight_bm25)
 
     rep = P()
     sharded = shard_map(
@@ -229,6 +233,7 @@ def _make_sharded_bucketed_cascade_impl(
     prefilter: int = 0,
     approx_recall: float = 0.95,
     final_fusion: str = "rerank",
+    fusion_weight_bm25: float = 0.5,
     axis: str = "data",
     interpret: Optional[bool] = None,
     encoder_model=None,
@@ -312,8 +317,10 @@ def _make_sharded_bucketed_cascade_impl(
             n_docs=n_docs, max_postings=max_postings,
             k=min(k_each, n_docs))
 
+        fw = fusion_weight_bm25
         fused_scores, fused_ids = rrf_from_topk(
-            bm_ids, ms_ids, k=kf, rrf_k=rrf_k)
+            bm_ids, ms_ids, k=kf, rrf_k=rrf_k,
+            weights=(2.0 * fw, 2.0 * (1.0 - fw)))
 
         # --- rerank owned candidates (per-bucket gather), psum ------------
         safe_c = jnp.clip(fused_ids, 0, n_docs - 1)
@@ -354,7 +361,8 @@ def _make_sharded_bucketed_cascade_impl(
             fused_ids >= 0)
         rerank = jax.lax.psum(partial_rr, axis)
         return final_topk_select(rerank, fused_ids, kfin, rrf_k=rrf_k,
-                                 final_fusion=final_fusion)
+                                 final_fusion=final_fusion,
+                                 weight_cand=fusion_weight_bm25)
 
     rep = P()
     per_bucket_specs = []
@@ -453,6 +461,7 @@ class ShardedBucketedRetriever:
                 prefilter=getattr(cfg, "dense_prefilter", 0),
                 approx_recall=getattr(cfg, "approx_topk_recall", 0.95),
                 final_fusion=effective_final_fusion(cfg),
+                fusion_weight_bm25=getattr(cfg, "fusion_weight_bm25", 0.5),
                 encoder_model=self._model,
                 query_len=self._lq,
             )))
@@ -537,6 +546,7 @@ class ShardedRetriever:
                 prefilter=getattr(cfg, "dense_prefilter", 0),
                 approx_recall=getattr(cfg, "approx_topk_recall", 0.95),
                 final_fusion=effective_final_fusion(cfg),
+                fusion_weight_bm25=getattr(cfg, "fusion_weight_bm25", 0.5),
                 encoder_model=self._model,
                 query_len=self._lq,
             )))

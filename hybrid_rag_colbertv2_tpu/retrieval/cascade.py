@@ -67,7 +67,7 @@ def pack_query_batch(encoder, lexical, queries: Sequence[str],
         "n_docs", "max_postings", "doc_len", "is_int8",
         "k_each", "k_dense", "k_fuse", "k_final", "rrf_k", "prefilter",
         "approx_recall",
-        "final_fusion",
+        "final_fusion", "fusion_weight_bm25",
     ),
 )
 def hybrid_cascade(
@@ -101,6 +101,10 @@ def hybrid_cascade(
                                    # RRF(rerank rank, candidate-RRF rank)
                                    # — hedges dense misses with lexical
                                    # evidence (opt-in, beyond parity)
+    fusion_weight_bm25: float = 0.5,  # calibrated-hybrid leg weight: 0.5
+                                      # = the reference's unweighted RRF;
+                                      # the measured gate raises it when
+                                      # the dense leg is weak
 ) -> Tuple[jax.Array, jax.Array, Dict[str, jax.Array]]:
     """-> (final_ids (B, k_final), final_scores, debug dict)."""
     b = q_emb.shape[0]
@@ -132,9 +136,11 @@ def hybrid_cascade(
         q_terms, indptr, post_docs, post_weights,
         n_docs=n_docs, max_postings=max_postings, k=min(k_each, n_docs))
 
-    # Fusion: RRF -> k_fuse candidates
+    # Fusion: (weighted) RRF -> k_fuse candidates
+    w = fusion_weight_bm25
     fused_scores, fused_ids = rrf_from_topk(
-        bm25_ids, ms_ids, k=min(k_fuse, n_docs), rrf_k=rrf_k)
+        bm25_ids, ms_ids, k=min(k_fuse, n_docs), rrf_k=rrf_k,
+        weights=(2.0 * w, 2.0 * (1.0 - w)))
 
     # Stage 3: exact fp32 rerank over gathered candidate embeddings
     safe = jnp.where(fused_ids >= 0, fused_ids, n_pad - 1)
@@ -155,7 +161,8 @@ def hybrid_cascade(
 
     kf = min(k_final, k_fuse, fused_ids.shape[1])
     final_ids, top_vals = final_topk_select(
-        rerank, fused_ids, kf, rrf_k=rrf_k, final_fusion=final_fusion)
+        rerank, fused_ids, kf, rrf_k=rrf_k, final_fusion=final_fusion,
+        weight_cand=fusion_weight_bm25)
     debug = {
         "bm25_ids": bm25_ids, "bm25_vals": bm25_vals,
         "ms_ids": ms_ids, "ms_vals": ms_vals,
@@ -283,6 +290,7 @@ class HybridRetriever:
             rrf_k=cfg.rrf_k,
             approx_recall=getattr(cfg, "approx_topk_recall", 0.95),
             final_fusion=effective_final_fusion(cfg),
+            fusion_weight_bm25=getattr(cfg, "fusion_weight_bm25", 0.5),
         )
         return fused_cascade_fn(self.encoder.model,
                                 self.encoder.cfg.query_max_tokens, statics)
@@ -304,13 +312,16 @@ class HybridRetriever:
                                    getattr(cfg, "dense_prefilter", 0),
                                    getattr(cfg, "approx_topk_recall", 0.95))
         mi = jnp.where(mv > -1e29, mi, -1).astype(jnp.int32)
+        w = getattr(cfg, "fusion_weight_bm25", 0.5)
         fused_scores, fused_ids = rrf_from_topk(
-            bi, mi, k=min(cfg.fusion_candidates, n), rrf_k=cfg.rrf_k)
+            bi, mi, k=min(cfg.fusion_candidates, n), rrf_k=cfg.rrf_k,
+            weights=(2.0 * w, 2.0 * (1.0 - w)))
         rerank = dense.rerank_scores(q_emb, fused_ids)
         final_ids, tv = final_topk_select(
             rerank, fused_ids, min(k_final, rerank.shape[1]),
             rrf_k=cfg.rrf_k,
-            final_fusion=effective_final_fusion(cfg))
+            final_fusion=effective_final_fusion(cfg),
+            weight_cand=w)
         return np.asarray(final_ids), np.asarray(tv)
 
     def retrieve_batch(

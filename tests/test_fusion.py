@@ -105,6 +105,52 @@ def test_rrf_pads_when_k_exceeds_candidates():
     assert all(int(i) == -1 for i in ids[0][3:])
 
 
+def test_weighted_rrf_matches_weighted_oracle(rng):
+    """Calibrated-hybrid leg weights scale each list's contributions."""
+    n = 100
+    ids_a = rng.permutation(n)[:12].astype(np.int32)
+    ids_b = rng.permutation(n)[:12].astype(np.int32)
+    wa, wb = 1.5, 0.5
+    scores, ids = rrf_from_topk(jnp.asarray(ids_a)[None],
+                                jnp.asarray(ids_b)[None],
+                                k=30, weights=(wa, wb))
+    oracle = {}
+    for rank, cid in enumerate(ids_a, 1):
+        oracle[int(cid)] = oracle.get(int(cid), 0.0) + wa / (60 + rank)
+    for rank, cid in enumerate(ids_b, 1):
+        oracle[int(cid)] = oracle.get(int(cid), 0.0) + wb / (60 + rank)
+    got = {int(i): float(s) for i, s in zip(ids[0], scores[0]) if i >= 0}
+    assert set(got) == set(oracle)
+    for cid, s in got.items():
+        np.testing.assert_allclose(s, oracle[cid], rtol=1e-6)
+
+
+def test_weighted_rrf_zero_weight_drops_leg():
+    """weights=(2, 0): the second list contributes nothing — its
+    exclusive ids must not appear (degenerate lexical-only endpoint of
+    the gate menu)."""
+    ids_a = jnp.asarray([[5, 3, 1]], dtype=jnp.int32)
+    ids_b = jnp.asarray([[9, 3, 7]], dtype=jnp.int32)
+    scores, ids = rrf_from_topk(ids_a, ids_b, k=6, weights=(2.0, 0.0))
+    kept = [int(i) for i in ids[0] if i >= 0]
+    assert kept == [5, 3, 1]           # exactly list a, in a's order
+
+
+def test_final_topk_select_weight_cand_endpoints():
+    from hybrid_rag_colbertv2_tpu.ops.fusion import final_topk_select
+
+    rerank = jnp.asarray([[0.1, 9.0, 8.0, 7.0]])
+    fused_ids = jnp.asarray([[10, 20, 30, 40]], dtype=jnp.int32)
+    # weight_cand=1.0 -> pure candidate (RRF) order
+    ids_c, _ = final_topk_select(rerank, fused_ids, 4, final_fusion="rrf",
+                                 weight_cand=1.0)
+    assert ids_c[0].tolist() == [10, 20, 30, 40]
+    # weight_cand=0.0 -> pure rerank order (== parity ordering)
+    ids_r, _ = final_topk_select(rerank, fused_ids, 4, final_fusion="rrf",
+                                 weight_cand=0.0)
+    assert ids_r[0].tolist() == [20, 30, 40, 10]
+
+
 def test_queued_timeit_sane_on_cpu():
     """utils/timing.py: the shared honest-timing helper returns positive,
     ordered numbers and handles trivial fns."""

@@ -77,6 +77,8 @@ def small_app(tmp_path_factory):
 
 
 def test_gate_resolves_auto_and_records_measurement(small_app):
+    from hybrid_rag_colbertv2_tpu.retrieval.gate import GATE_MENU
+
     app = small_app
     assert app.config.final_fusion == "auto"
     mode = app.resolve_final_fusion()
@@ -84,13 +86,11 @@ def test_gate_resolves_auto_and_records_measurement(small_app):
     assert app.config.final_fusion == mode           # resolved in place
     g = app.fusion_gate
     assert g["picked"] == mode
-    assert 0.0 <= g["hit@10_rerank"] <= 1.0
-    assert 0.0 <= g["hit@10_rrf"] <= 1.0
-    # the winner is the measured max (ties -> parity rerank)
-    if g["hit@10_rrf"] > g["hit@10_rerank"]:
-        assert mode == "rrf"
-    else:
-        assert mode == "rerank"
+    assert app.config.fusion_weight_bm25 == g["picked_weight"]
+    hits = {(m, w): g[f"hit@10_{m}_w{w}"] for m, w in GATE_MENU}
+    assert all(0.0 <= h <= 1.0 for h in hits.values())
+    # the winner is the measured max (ties -> the more parity-like entry)
+    assert hits[(mode, g["picked_weight"])] == max(hits.values())
     # idempotent: second call is a no-op returning the same mode
     assert app.resolve_final_fusion() == mode
 
@@ -98,9 +98,9 @@ def test_gate_resolves_auto_and_records_measurement(small_app):
 def test_gate_skips_tiny_corpora():
     from hybrid_rag_colbertv2_tpu.retrieval.gate import resolve_final_fusion
 
-    mode, details = resolve_final_fusion(
+    (mode, weight), details = resolve_final_fusion(
         RAGConfig(), None, None, ["just one chunk"])
-    assert mode == "rerank" and "reason" in details
+    assert mode == "rerank" and weight == 0.5 and "reason" in details
 
 
 def test_bind_retriever_resolves_gate(small_app):
