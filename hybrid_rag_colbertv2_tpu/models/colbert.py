@@ -219,6 +219,29 @@ class ColBERTModel(nn.Module):
 # High-level encoder: tokenization + markers + bucketing + jitted forwards
 # ---------------------------------------------------------------------------
 
+from ..utils.cache import JitCache
+
+# model -> jitted forward executables, shared across encoder instances
+# with equal geometry (ColBERTModel is a frozen flax dataclass, hashable
+# by its config). Bounded LRU so abandoned geometries release their
+# executables.
+_FORWARD_CACHE = JitCache(max_entries=8)
+
+
+def _jitted_doc_forward(model):
+    return _FORWARD_CACHE.get_or_build(("doc", model), lambda: jax.jit(
+        lambda p, ids, mask: model.apply({"params": p}, ids, mask)))
+
+
+def _jitted_query_forward(model):
+    # query path: the [MASK]-augmented mask is all-ones, so build it on
+    # device — halves the host->device transfers per query batch (each
+    # transfer has a fixed cost; on tunneled devices several ms)
+    return _FORWARD_CACHE.get_or_build(("query", model), lambda: jax.jit(
+        lambda p, ids: model.apply({"params": p}, ids,
+                                   jnp.ones_like(ids))))
+
+
 class ColBERTEncoder:
     """Implements the index-manager's DocEncoder protocol.
 
@@ -250,16 +273,13 @@ class ColBERTEncoder:
             log.info("ColBERTEncoder: random-initialized params "
                      "(%d layers, H=%d)", config.num_layers, config.hidden_size)
         self.params = params
-        self._apply = jax.jit(
-            lambda p, ids, mask: self.model.apply({"params": p}, ids, mask)
-        )
-        # query path: the [MASK]-augmented mask is all-ones, so build it on
-        # device — halves the host->device transfers per query batch (each
-        # transfer has a fixed cost; on tunneled devices several ms)
-        self._apply_q = jax.jit(
-            lambda p, ids: self.model.apply({"params": p}, ids,
-                                            jnp.ones_like(ids))
-        )
+        # jitted forwards are memoized MODULE-wide keyed by the model
+        # (flax modules hash by geometry): fresh encoder instances over
+        # the same architecture — multi-seed training/eval harnesses
+        # build several — reuse the compiled executables instead of
+        # re-jitting (~20 s per doc-forward compile on a tunneled TPU)
+        self._apply = _jitted_doc_forward(self.model)
+        self._apply_q = _jitted_query_forward(self.model)
 
     # -- tokenization ----------------------------------------------------
     def _tokenize_query(self, text: str) -> Tuple[np.ndarray, np.ndarray]:

@@ -28,9 +28,31 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.colbert import ColBERTConfig, ColBERTEncoder, ColBERTModel
+from ..utils.cache import JitCache
 from ..utils.logging import get_logger
 
 log = get_logger(__name__)
+
+# (model, optimizer knobs) -> (tx, jitted step). Multi-seed harnesses
+# (bench realdata trains 3 seeds) build one trainer per seed; sharing the
+# jitted step saves a full train-step compile each time (up to ~8 min on
+# a contended tunneled TPU). optax transforms are pure, so trainers with
+# identical knobs can share one tx (each still inits its own opt_state).
+_STEP_CACHE = JitCache(max_entries=8)
+
+
+def _shared_step(model: "ColBERTModel", cfg: "TrainConfig"):
+    key = (model, cfg.learning_rate, cfg.weight_decay, cfg.steps,
+           cfg.warmup_steps, cfg.temperature)
+
+    def build():
+        sched = optax.warmup_cosine_decay_schedule(
+            0.0, cfg.learning_rate, cfg.warmup_steps,
+            max(cfg.steps, cfg.warmup_steps + 1))
+        tx = optax.adamw(sched, weight_decay=cfg.weight_decay)
+        return tx, make_train_step(model, tx, cfg.temperature)
+
+    return _STEP_CACHE.get_or_build(key, build)
 
 
 @dataclass
@@ -103,13 +125,8 @@ class ColBERTTrainer:
         self.cfg = train_cfg or TrainConfig()
         self.mesh = mesh
         self.data_axis = data_axis
-        sched = optax.warmup_cosine_decay_schedule(
-            0.0, self.cfg.learning_rate, self.cfg.warmup_steps,
-            max(self.cfg.steps, self.cfg.warmup_steps + 1))
-        self.tx = optax.adamw(sched, weight_decay=self.cfg.weight_decay)
+        self.tx, self.step_fn = _shared_step(encoder.model, self.cfg)
         self.opt_state = self.tx.init(encoder.params)
-        self.step_fn = make_train_step(encoder.model, self.tx,
-                                       self.cfg.temperature)
         self._batch_sharding = None
         if mesh is not None:
             self._batch_sharding = NamedSharding(mesh, P(data_axis, None))

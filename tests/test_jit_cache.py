@@ -94,6 +94,39 @@ def test_fused_executables_shared_across_retriever_instances(retriever):
     assert cascade_mod._FUSED_CACHE.builds == before
 
 
+def test_encoder_forwards_shared_across_instances():
+    """Multi-seed harnesses build one encoder per seed; equal geometry
+    must reuse the SAME jitted forward executables (module cache), not
+    re-jit per instance (~20 s per doc-forward compile on tunneled TPU)."""
+    tok = ColBERTTokenizer.train_bpe(CORPUS[:8], vocab_size=128)
+    cfg = ColBERTConfig.tiny(vocab_size=tok.vocab_size)
+    e1 = ColBERTEncoder(cfg, tok, seed=0)
+    e2 = ColBERTEncoder(cfg, tok, seed=1)
+    assert e1._apply is e2._apply
+    assert e1._apply_q is e2._apply_q
+    # different geometry -> different executables
+    e3 = ColBERTEncoder(ColBERTConfig.tiny(vocab_size=tok.vocab_size,
+                                           num_layers=1), tok)
+    assert e3._apply is not e1._apply
+
+
+def test_trainer_step_shared_across_instances():
+    from hybrid_rag_colbertv2_tpu.train.trainer import (ColBERTTrainer,
+                                                        TrainConfig)
+
+    tok = ColBERTTokenizer.train_bpe(CORPUS[:8], vocab_size=128)
+    cfg = ColBERTConfig.tiny(vocab_size=tok.vocab_size)
+    tc = TrainConfig(steps=2, batch_size=2, doc_len=16)
+    t1 = ColBERTTrainer(ColBERTEncoder(cfg, tok, seed=0), tc)
+    t2 = ColBERTTrainer(ColBERTEncoder(cfg, tok, seed=1), tc)
+    assert t1.step_fn is t2.step_fn and t1.tx is t2.tx
+    # different optimizer knobs -> fresh step
+    t3 = ColBERTTrainer(ColBERTEncoder(cfg, tok, seed=2),
+                        TrainConfig(steps=2, batch_size=2, doc_len=16,
+                                    learning_rate=1e-4))
+    assert t3.step_fn is not t1.step_fn
+
+
 def test_sharded_retriever_k_cache_bounded():
     import jax
 
