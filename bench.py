@@ -559,6 +559,22 @@ def run_realdata(result, ctx):
         result["hit10_paraphrase"] = rd["paraphrase"]["hit10"]
         result["hit10_paraphrase_bm25_only"] = \
             rd["paraphrase"]["hit10_bm25_only"]
+    if "paraphrase" in rd and "ict" in rd:
+        dp = rd["paraphrase"]["hit10"] - rd["paraphrase"]["hit10_bm25_only"]
+        di = rd["ict"]["hit10"] - rd["ict"]["hit10_bm25_only"]
+        result["hit10_mean_both"] = round(
+            (rd["paraphrase"]["hit10"] + rd["ict"]["hit10"]) / 2, 3)
+        result["hit10_mean_both_bm25_only"] = round(
+            (rd["paraphrase"]["hit10_bm25_only"]
+             + rd["ict"]["hit10_bm25_only"]) / 2, 3)
+        result["quality_note"] = (
+            f"calibrated hybrid minus bm25-only: paraphrase {dp:+.3f}, "
+            f"verbatim-ict {di:+.3f}, mean "
+            f"{(dp + di) / 2:+.3f}. The (final_fusion, bm25 leg weight) "
+            f"setting is measured per index on held-out queries "
+            f"(retrieval/gate.py); parity (rerank, unweighted) scores "
+            f"{rd['paraphrase']['hit10_parity']}/{rd['ict']['hit10_parity']}"
+            f" on the same evals.")
 
 
 def main():

@@ -48,7 +48,7 @@ MIN_GATE_CHUNKS = 16   # below this the eval is meaningless; keep parity
 # verdict the gate can reach (e.g. an untrained self-contained encoder),
 # guaranteeing the shipped hybrid never scores below its own BM25 leg.
 GATE_MENU = (("rerank", 0.5), ("rrf", 0.5), ("rrf", 0.75), ("rrf", 0.9),
-             ("rrf", 1.0))
+             ("rrf", 0.95), ("rrf", 1.0))
 
 
 def resolve_final_fusion(
@@ -58,7 +58,7 @@ def resolve_final_fusion(
     corpus: Sequence[str],
     chunk_store=None,
     *,
-    n_queries: int = 32,
+    n_queries: int = 64,
     k: int = 10,
     batch: int = 8,
 ) -> Tuple[Tuple[str, float], Dict]:
@@ -80,12 +80,20 @@ def resolve_final_fusion(
             "picked": "rerank", "picked_weight": 0.5,
             "reason": f"corpus < {MIN_GATE_CHUNKS} chunks"}
 
+    # mixed query distribution: half VERBATIM spans (BM25's best case,
+    # like template paraphrases whose concrete slot words survive) + half
+    # word-dropout spans (partial lexical overlap, the dense leg's case).
+    # A dropout-only gate set underestimates BM25 and mis-calibrates the
+    # weight on corpora where real queries carry strong lexical anchors.
     seed = getattr(config, "encoder_seed", 0) + _GATE_SEED_OFFSET
-    pairs = pseudo_query_pairs(corpus, n_pairs_per_doc=1, seed=seed,
-                               word_dropout=0.25)
+    half = max(1, n_queries // 2)
+    p_verbatim = pseudo_query_pairs(corpus, n_pairs_per_doc=1, seed=seed)
+    p_dropout = pseudo_query_pairs(corpus, n_pairs_per_doc=1,
+                                   seed=seed + 1, word_dropout=0.25)
     rng = np.random.default_rng(seed)
-    rng.shuffle(pairs)
-    pairs = pairs[:n_queries]
+    rng.shuffle(p_verbatim)
+    rng.shuffle(p_dropout)
+    pairs = p_verbatim[:half] + p_dropout[:n_queries - half]
     queries = [q for q, _ in pairs]
     sources = np.array([i for _, i in pairs])
 
@@ -102,7 +110,13 @@ def resolve_final_fusion(
                 n_hit += int(src in set(row.tolist()))
         hits[(mode, weight)] = n_hit / max(1, len(queries))
 
-    picked = max(GATE_MENU, key=lambda e: hits[e])  # ties -> earlier entry
+    # Selection: within one-query's-worth of the max, prefer the LATER
+    # (more BM25-protective) menu entry. The downside is asymmetric — a
+    # weak dense leg demoting lexical hits costs real accuracy, while a
+    # strong dense leg wins the gate by more than the noise floor anyway.
+    best = max(hits.values())
+    eps = 1.0 / max(1, len(queries))
+    picked = [e for e in GATE_MENU if hits[e] >= best - eps - 1e-9][-1]
     details = {"picked": picked[0], "picked_weight": picked[1],
                "queries": len(queries), "k": k}
     for (mode, weight), h in hits.items():
