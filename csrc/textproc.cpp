@@ -9,8 +9,10 @@
 // API: documents arrive joined by '\x1e'; the result is stemmed tokens
 // joined by ' ' within a document and '\x1e' between documents.
 
+#include <algorithm>
 #include <cctype>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <string>
 #include <unordered_map>
@@ -488,6 +490,123 @@ void tokenize_doc(const char* begin, const char* end, int32_t stem_algo,
   flush();
 }
 
+// ---- postings builder: the BM25 index-build hot loop ---------------------
+//
+// Tokenize+stem every document and aggregate (term, doc) -> tf triples in
+// one pass, interning terms into integer ids as they appear. The numeric
+// half of the build (idf, BM25 weights, postings cap, CSR assembly) stays
+// in numpy (index/lexical.py) so results are bit-identical to the
+// pure-Python path by construction — this function only replaces the
+// string-heavy part (tokenize, vocab unique, pair aggregation), which is
+// where a Python build spends its time.
+
+struct PostingsBuild {
+  std::vector<std::string> terms;          // id -> term (insertion order)
+  std::vector<int32_t> doc_lens;           // kept tokens per doc
+  std::vector<int32_t> tids, dids, tfs;    // triples, doc-major
+};
+
+void tokenize_doc_ids(const char* begin, const char* end, int32_t stem_algo,
+                      std::unordered_map<std::string, int32_t>* tok2id,
+                      std::unordered_map<std::string, int32_t>* term2id,
+                      std::vector<std::string>* terms,
+                      std::vector<int32_t>* ids_out) {
+  std::string tok;
+  const auto& stops = stopwords();
+  auto intern = [&](const std::string& t) -> int32_t {
+    auto it = tok2id->find(t);
+    if (it != tok2id->end()) return it->second;
+    std::string term = stem_algo != 0 ? stem_word(t, stem_algo) : t;
+    int32_t id;
+    auto jt = term2id->find(term);
+    if (jt != term2id->end()) {
+      id = jt->second;
+    } else {
+      id = (int32_t)terms->size();
+      terms->push_back(term);
+      term2id->emplace(std::move(term), id);
+    }
+    tok2id->emplace(t, id);
+    return id;
+  };
+  auto flush = [&]() {
+    if (tok.size() >= 2 && !stops.count(tok)) ids_out->push_back(intern(tok));
+    tok.clear();
+  };
+  for (const char* p = begin; p != end; ++p) {
+    unsigned char c = (unsigned char)*p;
+    unsigned char lc = (c >= 'A' && c <= 'Z') ? c + 32 : c;
+    if ((lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9')) {
+      tok.push_back((char)lc);
+    } else {
+      flush();
+    }
+  }
+  flush();
+}
+
+void build_postings(const char* data, int64_t len, int32_t stem_algo,
+                    PostingsBuild* b) {
+  std::unordered_map<std::string, int32_t> tok2id, term2id;
+  const char* p = data;
+  const char* end = data + len;
+  std::vector<int32_t> ids;
+  int32_t di = 0;
+  while (p <= end) {
+    const char* sep = (const char*)memchr(p, '\x1e', end - p);
+    const char* doc_end = sep ? sep : end;
+    ids.clear();
+    tokenize_doc_ids(p, doc_end, stem_algo, &tok2id, &term2id, &b->terms,
+                     &ids);
+    b->doc_lens.push_back((int32_t)ids.size());
+    // run-length over the sorted ids -> per-doc tf
+    std::sort(ids.begin(), ids.end());
+    for (size_t i = 0; i < ids.size();) {
+      size_t j = i + 1;
+      while (j < ids.size() && ids[j] == ids[i]) ++j;
+      b->tids.push_back(ids[i]);
+      b->dids.push_back(di);
+      b->tfs.push_back((int32_t)(j - i));
+      i = j;
+    }
+    ++di;
+    if (!sep) break;
+    p = sep + 1;
+  }
+  // remap insertion-order ids to LEXICOGRAPHIC ids (np.unique parity —
+  // terms are pure ASCII [a-z0-9]+ so bytewise order == Python str order)
+  const int32_t v = (int32_t)b->terms.size();
+  std::vector<int32_t> order(v);
+  for (int32_t i = 0; i < v; ++i) order[i] = i;
+  std::sort(order.begin(), order.end(), [&](int32_t a, int32_t c) {
+    return b->terms[a] < b->terms[c];
+  });
+  std::vector<int32_t> rank(v);
+  std::vector<std::string> sorted_terms(v);
+  for (int32_t i = 0; i < v; ++i) {
+    rank[order[i]] = i;
+    sorted_terms[i] = std::move(b->terms[order[i]]);
+  }
+  b->terms = std::move(sorted_terms);
+  for (auto& t : b->tids) t = rank[t];
+  // triples are doc-major; a STABLE sort by term id leaves docs ascending
+  // within each term — exactly numpy's (term, doc) pair order
+  std::vector<int64_t> idx(b->tids.size());
+  for (size_t i = 0; i < idx.size(); ++i) idx[i] = (int64_t)i;
+  std::stable_sort(idx.begin(), idx.end(), [&](int64_t a, int64_t c) {
+    return b->tids[a] < b->tids[c];
+  });
+  std::vector<int32_t> t2(idx.size()), d2(idx.size()), f2(idx.size());
+  for (size_t i = 0; i < idx.size(); ++i) {
+    t2[i] = b->tids[idx[i]];
+    d2[i] = b->dids[idx[i]];
+    f2[i] = b->tfs[idx[i]];
+  }
+  b->tids = std::move(t2);
+  b->dids = std::move(d2);
+  b->tfs = std::move(f2);
+}
+
 }  // namespace
 
 extern "C" {
@@ -532,8 +651,51 @@ char* hrag_stem(const char* word, int64_t len, int32_t algo,
   return buf;
 }
 
+// docs joined by '\x1e' -> packed postings buffer (caller frees with
+// hrag_free; *out_len gets the byte length):
+//   int64[4] header: n_docs, n_terms, nnz, vocab_bytes
+//   char vocab[vocab_bytes]: sorted terms joined by ' ', zero-padded to 8
+//   int32 doc_lens[n_docs]   (kept-token count per doc)
+//   int32 tids[nnz]          (lexicographic term ids, (term, doc) sorted)
+//   int32 dids[nnz]
+//   int32 tfs[nnz]
+// ...each int32 block zero-padded to an 8-byte boundary.
+char* hrag_build_postings(const char* data, int64_t len, int32_t stem_algo,
+                          int64_t* out_len) {
+  PostingsBuild b;
+  build_postings(data, len, stem_algo, &b);
+  std::string vocab;
+  for (size_t i = 0; i < b.terms.size(); ++i) {
+    if (i) vocab.push_back(' ');
+    vocab += b.terms[i];
+  }
+  auto pad8 = [](int64_t x) { return (x + 7) & ~int64_t(7); };
+  const int64_t n_docs = (int64_t)b.doc_lens.size();
+  const int64_t n_terms = (int64_t)b.terms.size();
+  const int64_t nnz = (int64_t)b.tids.size();
+  const int64_t vocab_bytes = (int64_t)vocab.size();
+  int64_t off_vocab = 32;
+  int64_t off_lens = off_vocab + pad8(vocab_bytes);
+  int64_t off_tids = off_lens + pad8(n_docs * 4);
+  int64_t off_dids = off_tids + pad8(nnz * 4);
+  int64_t off_tfs = off_dids + pad8(nnz * 4);
+  int64_t total = off_tfs + pad8(nnz * 4);
+  char* buf = (char*)calloc(1, (size_t)total);
+  int64_t header[4] = {n_docs, n_terms, nnz, vocab_bytes};
+  memcpy(buf, header, sizeof(header));
+  memcpy(buf + off_vocab, vocab.data(), (size_t)vocab_bytes);
+  if (n_docs) memcpy(buf + off_lens, b.doc_lens.data(), (size_t)n_docs * 4);
+  if (nnz) {
+    memcpy(buf + off_tids, b.tids.data(), (size_t)nnz * 4);
+    memcpy(buf + off_dids, b.dids.data(), (size_t)nnz * 4);
+    memcpy(buf + off_tfs, b.tfs.data(), (size_t)nnz * 4);
+  }
+  *out_len = total;
+  return buf;
+}
+
 void hrag_free(char* p) { free(p); }
 
-int32_t hrag_abi_version() { return 2; }
+int32_t hrag_abi_version() { return 3; }
 
 }  // extern "C"

@@ -29,7 +29,7 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from .textproc import tokenize_corpus, tokenize_lexical
+from .textproc import tokenize_lexical
 
 
 def _round_up(x: int, m: int) -> int:
@@ -71,32 +71,49 @@ class LexicalIndex:
         least idf — otherwise dominate scan time at large corpus scale.
         This is the standard impact-ordered truncation; exact when every
         term's df <= cap."""
+        from ..utils.native import build_postings_native
+
         n = len(corpus)
-        # tokenization takes the native C++ path when csrc/ is built
-        all_toks = tokenize_corpus(list(corpus), stemmer=stemmer)
-        doc_lens_i = np.array([len(t) for t in all_toks], np.int64)
+        native = build_postings_native(list(corpus), stemmer=stemmer)
+        if native is not None:
+            # one-pass C++ tokenize + (term, doc, tf) aggregation — the
+            # string-heavy half of the build; the numeric half below is
+            # shared with the fallback, so results are bit-identical
+            terms, tids32, dids32, tf32, doc_lens_i32 = native
+            vocab: Dict[str, int] = {t: i for i, t in enumerate(terms)}
+            v = len(terms)
+            tids = tids32.astype(np.int64)
+            dids = dids32.astype(np.int64)
+            tf = tf32.astype(np.int64)
+            doc_lens_i = doc_lens_i32.astype(np.int64)
+        else:
+            all_toks = [tokenize_lexical(t, stemmer=stemmer)
+                        for t in corpus]
+            doc_lens_i = np.array([len(t) for t in all_toks], np.int64)
+            # vectorized vocab + postings: np.unique over all tokens,
+            # then over (term, doc) pairs — the pairs come out sorted by
+            # (term, doc), which IS the term-major CSR order
+            flat = np.array([t for toks in all_toks for t in toks],
+                            dtype=object)
+            if flat.size:
+                doc_of_tok = np.repeat(np.arange(n, dtype=np.int64),
+                                       doc_lens_i)
+                uniq, inv = np.unique(flat.astype(str),
+                                      return_inverse=True)
+                vocab = {t: i for i, t in enumerate(uniq)}
+                v = len(uniq)
+                pair_key = inv.astype(np.int64) * n + doc_of_tok
+                uk, tf = np.unique(pair_key, return_counts=True)
+                tids = (uk // n).astype(np.int64)
+                dids = (uk % n).astype(np.int64)
+            else:
+                vocab = {}
+                v = 0
+                tids = dids = np.zeros((0,), np.int64)
+                tf = np.zeros((0,), np.int64)
         doc_lens = doc_lens_i.astype(np.float64)
         avgdl = float(doc_lens.mean()) if n else 1.0
         avgdl = max(avgdl, 1e-9)
-
-        # vectorized vocab + postings: np.unique over all tokens, then over
-        # (term, doc) pairs — the pairs come out sorted by (term, doc),
-        # which IS the term-major CSR order
-        flat = np.array([t for toks in all_toks for t in toks], dtype=object)
-        if flat.size:
-            doc_of_tok = np.repeat(np.arange(n, dtype=np.int64), doc_lens_i)
-            uniq, inv = np.unique(flat.astype(str), return_inverse=True)
-            vocab: Dict[str, int] = {t: i for i, t in enumerate(uniq)}
-            v = len(uniq)
-            pair_key = inv.astype(np.int64) * n + doc_of_tok
-            uk, tf = np.unique(pair_key, return_counts=True)
-            tids = (uk // n).astype(np.int64)
-            dids = (uk % n).astype(np.int64)
-        else:
-            vocab = {}
-            v = 0
-            tids = dids = np.zeros((0,), np.int64)
-            tf = np.zeros((0,), np.int64)
 
         df = np.bincount(tids, minlength=v).astype(np.int64)
         idf = np.log(1.0 + (n - df + 0.5) / (df + 0.5))

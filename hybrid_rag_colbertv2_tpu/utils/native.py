@@ -66,9 +66,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.hrag_stem.argtypes = [ctypes.c_char_p, ctypes.c_int64,
                                   ctypes.c_int32,
                                   ctypes.POINTER(ctypes.c_int64)]
+        lib.hrag_build_postings.restype = ctypes.POINTER(ctypes.c_char)
+        lib.hrag_build_postings.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64)]
         lib.hrag_free.argtypes = [ctypes.POINTER(ctypes.c_char)]
         lib.hrag_abi_version.restype = ctypes.c_int32
-        if lib.hrag_abi_version() != 2:
+        if lib.hrag_abi_version() != 3:
             raise RuntimeError("native ABI mismatch")
         _lib = lib
         return _lib
@@ -114,6 +118,61 @@ def tokenize_corpus_native(corpus: List[str], stem: bool = True,
         lib.hrag_free(buf)
     docs = raw.split("\x1e")
     return [d.split(" ") if d else [] for d in docs]
+
+
+def build_postings_native(corpus: List[str], stem: bool = True,
+                          stemmer: str = "snowball"):
+    """One-pass tokenize + (term, doc) -> tf aggregation in C++.
+
+    -> (vocab_terms: List[str] lexicographically sorted,
+        tids, dids, tfs: int32 arrays in (term, doc) order,
+        doc_lens: int32 (n_docs,)) or None when the library is absent.
+
+    Replaces the string-heavy half of LexicalIndex.build (tokenize,
+    np.unique over all tokens, pair aggregation); the numeric half (idf,
+    BM25 weights, postings cap, CSR assembly) stays in numpy so the
+    result is bit-identical to the pure-Python path by construction
+    (tested in tests/test_native.py)."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not corpus:
+        return ([], np.zeros(0, np.int32), np.zeros(0, np.int32),
+                np.zeros(0, np.int32), np.zeros(0, np.int32))
+    algo = _STEM_ALGOS[stemmer] if stem else 0
+    # same sanitization contract as tokenize_corpus_native (see there)
+    joined = "\x1e".join(
+        t.lower().replace("\x1e", " ") for t in corpus).encode(
+        "utf-8", errors="replace")
+    out_len = ctypes.c_int64()
+    buf = lib.hrag_build_postings(joined, len(joined), algo,
+                                  ctypes.byref(out_len))
+    try:
+        raw = ctypes.string_at(buf, out_len.value)
+    finally:
+        lib.hrag_free(buf)
+    n_docs, n_terms, nnz, vocab_bytes = np.frombuffer(
+        raw, np.int64, count=4)
+
+    def pad8(x):
+        return (int(x) + 7) & ~7
+
+    off = 32
+    vocab_blob = raw[off:off + vocab_bytes].decode("utf-8")
+    vocab_terms = vocab_blob.split(" ") if vocab_bytes else []
+    assert len(vocab_terms) == n_terms, (len(vocab_terms), n_terms)
+    off += pad8(vocab_bytes)
+    doc_lens = np.frombuffer(raw, np.int32, count=int(n_docs),
+                             offset=off).copy()
+    off += pad8(n_docs * 4)
+    tids = np.frombuffer(raw, np.int32, count=int(nnz), offset=off).copy()
+    off += pad8(nnz * 4)
+    dids = np.frombuffer(raw, np.int32, count=int(nnz), offset=off).copy()
+    off += pad8(nnz * 4)
+    tfs = np.frombuffer(raw, np.int32, count=int(nnz), offset=off).copy()
+    return vocab_terms, tids, dids, tfs, doc_lens
 
 
 def stem_native(word: str, stemmer: str = "snowball") -> Optional[str]:

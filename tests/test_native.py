@@ -130,3 +130,52 @@ def test_native_unicode_lower_parity_and_empty_corpus():
     t = "Kelvin scale measurement"
     assert tokenize_corpus_native([t]) == [tokenize_lexical(t)]
     assert tokenize_corpus_native([]) == []
+
+
+def test_build_postings_matches_python_exactly(lib, rng):
+    """The native one-pass postings builder must produce a BIT-identical
+    LexicalIndex to the pure-Python path (vocab, CSR, weights, avgdl) —
+    the numeric half is shared, so this pins the C++ tokenize/intern/
+    aggregate half."""
+    import os
+
+    from hybrid_rag_colbertv2_tpu.index.lexical import LexicalIndex
+
+    corpus = [
+        "The quick brown foxes were running quickly over the lazy dogs!",
+        "",
+        "systolic arrays multiply matrices\x1e with MXU units",
+        "café résumé Kelvin 123 ab",
+        "don't it's won't apples apples apples",
+        "Repeating repeated repeats repetition repetitive",
+    ] * 17 + [f"unique document {i} speaks about topic {i % 9}"
+              for i in range(50)]
+    for cap in (0, 3):
+        a = LexicalIndex.build(corpus, postings_cap=cap)
+        os.environ["HRAG_NO_NATIVE"] = "1"
+        try:
+            b = LexicalIndex.build(corpus, postings_cap=cap)
+        finally:
+            del os.environ["HRAG_NO_NATIVE"]
+        assert a.vocab == b.vocab
+        np.testing.assert_array_equal(a.indptr, b.indptr)
+        np.testing.assert_array_equal(a.post_docs, b.post_docs)
+        np.testing.assert_array_equal(a.post_weights, b.post_weights)
+        assert a.avgdl == b.avgdl
+        assert a.max_postings == b.max_postings
+        assert a.n_docs == b.n_docs == len(corpus)
+
+
+def test_build_postings_native_edge_cases(lib):
+    from hybrid_rag_colbertv2_tpu.utils.native import build_postings_native
+
+    # empty corpus contract
+    terms, tids, dids, tfs, lens = build_postings_native([])
+    assert terms == [] and len(tids) == 0 and len(lens) == 0
+    # all-stopword / empty docs keep their slots (doc ids stay aligned)
+    terms, tids, dids, tfs, lens = build_postings_native(
+        ["the and of", "", "alpha beta", "alpha"])
+    assert list(lens) == [0, 0, 2, 1]
+    assert terms == ["alpha", "beta"]
+    assert list(tids) == [0, 0, 1] and list(dids) == [2, 3, 2]
+    assert list(tfs) == [1, 1, 1]
