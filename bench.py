@@ -450,6 +450,7 @@ def _seed_eval(td, n_docs, steps, seed, prefilter, postings_cap,
     )
     h.update(f"|{steps}|{seed}|{cfg.encoder_preset}|"
              f"{cfg.encoder_hard_negatives}|{cfg.tokenizer_vocab_size}|"
+             f"{cfg.encoder_word_dropout}|{cfg.encoder_max_epochs}|"
              f"{CACHE_VERSION}".encode())
     cdir = cache_root / h.hexdigest()[:16]
     c_params, c_tok = cdir / "encoder_params.npz", cdir / "tokenizer.json"
