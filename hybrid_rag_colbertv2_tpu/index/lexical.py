@@ -122,8 +122,11 @@ class LexicalIndex:
                         / (tf + denom_norm)).astype(np.float32)
         if postings_cap and v:
             # stable tid-major, weight-descending order; keep each term's
-            # first `cap` entries (term-major CSR order is preserved; doc
-            # order within a term is irrelevant to the scatter-add scorer)
+            # first `cap` entries, then RESTORE (term, doc) order so the
+            # capped CSR keeps the same within-term doc-ascending
+            # invariant as the uncapped one (the device scorers are
+            # order-insensitive, but a uniform layout keeps persisted
+            # indexes canonical and diffable)
             order = np.lexsort((-post_weights, tids))
             tids_s = tids[order]
             seg_start = np.searchsorted(tids_s, np.arange(v))
@@ -133,6 +136,10 @@ class LexicalIndex:
             dids = dids[order][keep]
             post_weights = post_weights[order][keep]
             df = np.bincount(tids, minlength=v).astype(np.int64)
+            reorder = np.lexsort((dids, tids))
+            tids = tids[reorder]
+            dids = dids[reorder]
+            post_weights = post_weights[reorder]
 
         post_docs = dids.astype(np.int32)
         indptr = np.zeros((v + 1,), np.int64)
