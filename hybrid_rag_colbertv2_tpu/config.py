@@ -44,6 +44,13 @@ class MeshConfig:
     # "bucketed": one sub-index per length bucket (index/bucketed.py) —
     # smaller HBM + faster scans on mixed-length corpora.
     index_layout: str = "single"
+    # Shard the BM25 postings CSR on the doc axis too (flat layout;
+    # LexicalIndex.shard_postings + the sharded cascade's allgather
+    # merge). Default False: replicating the CSR is exact and avoids a
+    # collective at single-host scale; enable at pod scale where the
+    # postings no longer fit comfortably per chip — HBM and scan cost
+    # divide by the shard count.
+    shard_bm25: bool = False
 
     def resolved_mesh_shape(self, n_devices: int) -> Tuple[int, int]:
         if self.mesh_shape is not None:

@@ -237,6 +237,61 @@ class LexicalIndex:
         )
 
     # ------------------------------------------------------------------
+    def shard_postings(self, n_shards: int, n_pad: Optional[int] = None):
+        """Split the CSR by document range for doc-axis BM25 sharding.
+
+        Shard ``s`` owns docs ``[s*n_local, (s+1)*n_local)`` where
+        ``n_local = n_pad // n_shards`` — the SAME ownership layout as the
+        doc-sharded dense index (parallel/mesh.shard_dense_index), so one
+        mesh axis shards both legs consistently.
+
+        -> (indptr (S, V+1) int32, post_docs (S, nnz_max) int32 with
+            LOCAL doc ids (pad slots = n_local), post_weights
+            (S, nnz_max) f32, max_postings_local int) — stacked so the
+            leading axis can carry a jax.sharding doc-axis spec; every
+            shard padded to the widest shard's nnz (static shapes).
+        """
+        if n_pad is None:
+            n_pad = _round_up(max(self.n_docs, 1), 128)
+        assert n_pad % n_shards == 0, (n_pad, n_shards)
+        n_local = n_pad // n_shards
+        v = len(self.vocab)
+        nnz = int(self.indptr[-1])
+        docs = self.post_docs[:nnz].astype(np.int64)
+        weights = self.post_weights[:nnz]
+        # reconstruct term ids from the CSR offsets
+        counts = np.diff(self.indptr.astype(np.int64))
+        tids = np.repeat(np.arange(v, dtype=np.int64), counts)
+        shard_of = docs // n_local
+
+        indptrs, pdocs, pweights = [], [], []
+        max_post_local = 0
+        for s in range(n_shards):
+            m = shard_of == s
+            t_s = tids[m]
+            df_s = np.bincount(t_s, minlength=v).astype(np.int64)
+            ip = np.zeros((v + 1,), np.int64)
+            np.cumsum(df_s, out=ip[1:])
+            # within-term doc order is preserved by the boolean mask
+            # (canonical doc-ascending CSR), so this IS a valid CSR
+            indptrs.append(ip)
+            pdocs.append((docs[m] - s * n_local).astype(np.int32))
+            pweights.append(weights[m])
+            if df_s.size:
+                max_post_local = max(max_post_local, int(df_s.max()))
+        nnz_max = max(_round_up(max((p.size for p in pdocs), default=0),
+                                128), 128)
+        out_docs = np.full((n_shards, nnz_max), n_local, np.int32)
+        out_w = np.zeros((n_shards, nnz_max), np.float32)
+        out_ip = np.zeros((n_shards, v + 1), np.int64)
+        for s in range(n_shards):
+            out_docs[s, : pdocs[s].size] = pdocs[s]
+            out_w[s, : pweights[s].size] = pweights[s]
+            out_ip[s] = indptrs[s]
+        max_post_local = max(_round_up(max_post_local, 128), 128)
+        return (out_ip.astype(np.int32), out_docs, out_w, max_post_local)
+
+    # ------------------------------------------------------------------
     def memory_bytes(self) -> int:
         return (
             self.indptr.nbytes + self.post_docs.nbytes

@@ -89,6 +89,8 @@ def _make_sharded_cascade_impl(
     interpret: Optional[bool] = None,
     encoder_model=None,
     query_len: Optional[int] = None,
+    bm25_sharded: bool = False,
+    max_postings_local: int = 0,
 ):
     """Build the jitted sharded cascade fn for a fixed index geometry.
 
@@ -105,6 +107,15 @@ def _make_sharded_cascade_impl(
     ``prefilter`` > 0 runs the pruned two-stage dense search *per shard*
     (each shard prefilters its own docs to ``prefilter`` candidates before
     exact MaxSim) — the allgather/fusion/rerank structure is unchanged.
+
+    ``bm25_sharded``: the lexical CSR arrives doc-axis sharded — stacked
+    (S, V+1)/(S, nnz_max) arrays from LexicalIndex.shard_postings, each
+    shard scoring only the docs it owns (local ids) with
+    ``max_postings_local`` as the static postings cap, followed by the
+    same full-k-per-shard allgather merge as the dense leg. Replicated
+    BM25 (the default) is exact and simple at single-host scale; sharding
+    it divides postings HBM and scan cost by the shard count — the pod-
+    scale layout where the CSR no longer fits comfortably per chip.
     """
     n_shards = mesh.shape[axis]
     assert n_pad % n_shards == 0
@@ -158,11 +169,28 @@ def _make_sharded_cascade_impl(
         ms_ids = jnp.take_along_axis(ai, pos, axis=1)
         ms_ids = jnp.where(ms_vals > NEG_INF / 2, ms_ids, -1)
 
-        # --- stage 1 (replicated): sort-based BM25 top-k ------------------
-        _, bi = bm25_topk_device(
-            q_terms, indptr, post_docs, post_weights,
-            n_docs=n_docs, max_postings=max_postings,
-            k=min(k_each, n_docs))
+        # --- stage 1: sort-based BM25 top-k -------------------------------
+        if bm25_sharded:
+            # doc-sharded CSR: score the locally-owned docs (full k per
+            # shard — exactness), then the same allgather merge as dense
+            bv_l, bi_l = bm25_topk_device(
+                q_terms, indptr[0], post_docs[0], post_weights[0],
+                n_docs=n_local, max_postings=max_postings_local,
+                k=min(k_each, n_local))
+            gb = jnp.where(bi_l >= 0, bi_l + offset, -1)
+            bv_l = jnp.where((gb >= 0) & (gb < n_docs), bv_l, NEG_INF)
+            abv = jax.lax.all_gather(bv_l, axis, axis=1, tiled=True)
+            abi = jax.lax.all_gather(gb, axis, axis=1, tiled=True)
+            kbg = min(k_each, n_docs, abv.shape[1])
+            bm_vals, pos_b = jax.lax.top_k(abv, kbg)
+            bi = jnp.take_along_axis(abi, pos_b, axis=1)
+            bi = jnp.where(bm_vals > NEG_INF / 2, bi, -1)
+        else:
+            # replicated CSR: every shard scores the full corpus
+            _, bi = bm25_topk_device(
+                q_terms, indptr, post_docs, post_weights,
+                n_docs=n_docs, max_postings=max_postings,
+                k=min(k_each, n_docs))
 
         # --- fusion (replicated, calibrated leg weights) ------------------
         fw = fusion_weight_bm25
@@ -195,10 +223,11 @@ def _make_sharded_cascade_impl(
                                  weight_cand=fusion_weight_bm25)
 
     rep = P()
+    lex_spec = P(axis, None) if bm25_sharded else rep
     sharded = shard_map(
         body,
         mesh=mesh,
-        in_specs=(rep, rep, rep, rep, rep,
+        in_specs=(rep, rep, lex_spec, lex_spec, lex_spec,
                   P(axis, None),
                   rep if not is_int8 else P(axis),
                   P(axis),
@@ -510,11 +539,25 @@ class ShardedRetriever:
         self.store = chunk_store
         self.timer = StageTimer()
         rep = NamedSharding(mesh, P())
-        self._lex_dev = (
-            jax.device_put(jnp.asarray(lexical.indptr), rep),
-            jax.device_put(jnp.asarray(lexical.post_docs), rep),
-            jax.device_put(jnp.asarray(lexical.post_weights), rep),
-        )
+        axis0 = "data"
+        self._bm25_sharded = bool(getattr(config.mesh, "shard_bm25", False))
+        self._max_postings_local = 0
+        if self._bm25_sharded:
+            # doc-axis sharded CSR, same ownership layout as the dense
+            # index (see LexicalIndex.shard_postings)
+            ip, pd, pw, mpl = lexical.shard_postings(
+                mesh.shape[axis0], dense.n_pad)
+            spec = NamedSharding(mesh, P(axis0, None))
+            self._lex_dev = (jax.device_put(jnp.asarray(ip), spec),
+                             jax.device_put(jnp.asarray(pd), spec),
+                             jax.device_put(jnp.asarray(pw), spec))
+            self._max_postings_local = mpl
+        else:
+            self._lex_dev = (
+                jax.device_put(jnp.asarray(lexical.indptr), rep),
+                jax.device_put(jnp.asarray(lexical.post_docs), rep),
+                jax.device_put(jnp.asarray(lexical.post_weights), rep),
+            )
         # encoder forward fused into the same jit when a real encoder is
         # bound (one dispatch + one packed transfer per batch, mirroring
         # HybridRetriever); stubs without .model fall back to 2 dispatches
@@ -549,6 +592,8 @@ class ShardedRetriever:
                 fusion_weight_bm25=getattr(cfg, "fusion_weight_bm25", 0.5),
                 encoder_model=self._model,
                 query_len=self._lq,
+                bm25_sharded=self._bm25_sharded,
+                max_postings_local=self._max_postings_local,
             )))
 
     def retrieve_batch(self, queries, top_k_final=None

@@ -110,6 +110,66 @@ def test_sharded_flat_quantized_equals_single_device(setup, dtype,
     np.testing.assert_allclose(scores8, scores1, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("dtype", ["float32", "int8"])
+def test_doc_sharded_bm25_equals_single_device(setup, dtype):
+    """MeshConfig.shard_bm25: the lexical CSR sharded on the doc axis
+    (each shard scoring only its owned docs + allgather merge) must be
+    indistinguishable from the replicated-CSR cascade — a document's
+    postings all live on its owner shard, so per-shard exact top-k then
+    merge is exact."""
+    import copy
+
+    cfg0, encoder, lex, dense = setup
+    if dtype == "int8":
+        embs3 = dense.emb_flat.reshape(dense.n_pad, dense.doc_len, -1)
+        dense = DenseTokenIndex.build(
+            embs3[: dense.n_docs], dense.doc_lengths[: dense.n_docs],
+            doc_len=dense.doc_len, dtype="int8")
+    cfg = copy.deepcopy(cfg0)
+    mgr = IndexManager(cfg, encoder)
+    mgr.lexical = lex
+    mgr.dense = dense
+    ids1, scores1 = HybridRetriever(cfg, mgr, encoder).retrieve_batch(
+        QUERIES)
+
+    cfg.mesh.shard_bm25 = True
+    mesh = make_mesh(MeshConfig(mesh_shape=(8, 1)))
+    r = ShardedRetriever(cfg, mesh, lex, shard_dense_index(dense, mesh),
+                         encoder)
+    ids8, scores8 = r.retrieve_batch(QUERIES)
+    np.testing.assert_array_equal(ids8, ids1)
+    np.testing.assert_allclose(scores8, scores1, rtol=1e-4, atol=1e-4)
+
+
+def test_shard_postings_partition(setup):
+    """shard_postings covers every posting exactly once with local ids."""
+    _, _, lex, dense = setup
+    n_shards = 4
+    ip, pd, pw, mpl = lex.shard_postings(n_shards, dense.n_pad)
+    n_local = dense.n_pad // n_shards
+    assert ip.shape == (n_shards, len(lex.vocab) + 1)
+    total = sum(int(ip[s, -1]) for s in range(n_shards))
+    assert total == int(lex.indptr[-1])      # exact partition
+    assert mpl % 128 == 0 and mpl >= 128
+    for s in range(n_shards):
+        nnz_s = int(ip[s, -1])
+        assert (pd[s, :nnz_s] >= 0).all() and (pd[s, :nnz_s] < n_local).all()
+        assert (pd[s, nnz_s:] == n_local).all()      # pad slots
+        assert (pw[s, nnz_s:] == 0.0).all()
+    # per-term reassembly matches the global CSR (global ids, weights)
+    v = len(lex.vocab)
+    for t in range(0, v, max(1, v // 13)):
+        got = []
+        for s in range(n_shards):
+            a, b = int(ip[s, t]), int(ip[s, t + 1])
+            got += [(int(d) + s * n_local, float(w))
+                    for d, w in zip(pd[s, a:b], pw[s, a:b])]
+        a, b = int(lex.indptr[t]), int(lex.indptr[t + 1])
+        want = [(int(d), float(w)) for d, w in
+                zip(lex.post_docs[a:b], lex.post_weights[a:b])]
+        assert sorted(got) == sorted(want), t
+
+
 def test_mesh_shapes(setup):
     cfg, encoder, lex, dense = setup
     for shape in [(2, 1), (4, 1)]:
