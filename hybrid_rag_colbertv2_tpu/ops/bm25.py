@@ -93,21 +93,20 @@ def bm25_topk_device(
         w = jnp.where(valid, post_weights[idx], 0.0).reshape(-1)
 
         docs_s, w_s = jax.lax.sort_key_val(docs, w)          # (QP,)
-        cs = jnp.cumsum(w_s)
+        run_start = jnp.concatenate(
+            [jnp.ones((1,), bool), docs_s[1:] != docs_s[:-1]])
         run_end = jnp.concatenate(
             [docs_s[1:] != docs_s[:-1], jnp.ones((1,), bool)])
-        # total of each run = cs at its end minus cs at the PREVIOUS run's
-        # end. A run start at position i (run_end[i-1]) records i-1; a
-        # running max then gives every position the last run-end before
-        # its own run (-1 for the first run).
-        idx_pos = jnp.arange(qp, dtype=jnp.int32)
-        prev_end_pos = jnp.where(
-            jnp.concatenate([jnp.zeros((1,), bool), run_end[:-1]]),
-            idx_pos - 1, -1)
-        prev_end_pos = jax.lax.associative_scan(jnp.maximum, prev_end_pos)
-        prev_cs = jnp.where(prev_end_pos >= 0,
-                            cs[jnp.clip(prev_end_pos, 0, qp - 1)], 0.0)
-        totals = jnp.where(run_end & (docs_s < big), cs - prev_cs, 0.0)
+        # per-run totals via segment_sum: each doc's total adds ONLY its
+        # own weights, in (term-major) gather order. A cumsum-difference
+        # would be cheaper-looking but accumulates unrelated weights and
+        # cancels them — ULP noise that depends on what else is in the
+        # array, so a doc's score would differ between the replicated and
+        # doc-sharded lexical layouts and reorder near-ties (observed);
+        # segment_sum makes the two layouts produce bit-equal scores.
+        seg = jnp.cumsum(run_start) - 1                      # (QP,)
+        sums = jax.ops.segment_sum(w_s, seg, num_segments=qp)
+        totals = jnp.where(run_end & (docs_s < big), sums[seg], 0.0)
 
         vals, pos = jax.lax.top_k(totals, kk)
         ids = docs_s[pos]
