@@ -218,7 +218,10 @@ def run_headline(result):
 
     def run_once():
         # host tokenization (BPE + BM25 terms) is part of the serving path
-        packed = pack_query_batch(encoder, lex, queries, 32)
+        # production default: BM25 term width rounds down to the
+        # smallest covering bucket (RAGConfig.query_term_buckets)
+        packed = pack_query_batch(encoder, lex, queries, 32,
+                                  (8, 16, 32))
         return fused_retrieve(
             encoder.params, packed, *lex_dev,
             dense.emb_flat, dense.scales, dense.doc_lengths, dense.pooled)
@@ -401,7 +404,10 @@ def run_1m(result, ctx):
         return scores
 
     def run_once():
-        packed = pack_query_batch(encoder, lex, queries, 32)
+        # production default: BM25 term width rounds down to the
+        # smallest covering bucket (RAGConfig.query_term_buckets)
+        packed = pack_query_batch(encoder, lex, queries, 32,
+                                  (8, 16, 32))
         return fused_1m(encoder.params, packed, *lex_dev,
                         q8, scales, lens_dev, pooled)
 

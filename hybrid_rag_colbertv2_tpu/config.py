@@ -149,6 +149,13 @@ class RAGConfig:
     # query actually has — keep this at the realistic ceiling, not the
     # worst case (the index-side default is 64).
     query_max_terms: int = 32
+    # Static width menu for the BM25 term axis: per batch the dispatch
+    # width rounds DOWN to the smallest bucket covering the real term
+    # count (pack_query_batch). Typical queries carry ~4-10 terms, so the
+    # 8-wide program runs a 4x smaller lexical sort than the 32 ceiling;
+    # -1 padding is inert, so results are identical across widths. One
+    # compile per used width. Empty tuple = always query_max_terms.
+    query_term_buckets: Tuple[int, ...] = (8, 16, 32)
 
     # Encoder selection: "tiny" | "small" | "jina-colbert-v2". With
     # ``encoder_checkpoint`` pointing at a local HF checkpoint dir, weights
@@ -196,6 +203,7 @@ class RAGConfig:
         d = json.loads(s)
         mesh = d.pop("mesh", None)
         cfg = cls(**{k: v for k, v in d.items() if k in _FIELD_NAMES})
+        cfg.query_term_buckets = tuple(cfg.query_term_buckets)
         if mesh:
             if mesh.get("mesh_shape") is not None:
                 mesh["mesh_shape"] = tuple(mesh["mesh_shape"])

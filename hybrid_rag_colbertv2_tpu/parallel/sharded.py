@@ -35,7 +35,8 @@ from ..ops.fusion import final_topk_select, rrf_from_topk
 from ..ops.maxsim import (maxsim_scores, maxsim_scores_exact,
                           maxsim_scores_int8, maxsim_scores_int8_doc)
 from ..ops.prefilter import approx_or_exact_topk, maxsim_topk_pruned
-from ..retrieval.cascade import pack_query_batch
+from ..retrieval.cascade import (encode_query_terms,
+                                 pack_query_batch)
 from ..utils.cache import JitCache
 from ..utils.logging import StageTimer, get_logger
 
@@ -500,17 +501,16 @@ class ShardedBucketedRetriever:
         k = top_k_final or self.config.final_top_k
         fn = self._fn_for(min(k, self.config.fusion_candidates, self._n))
         with self.timer.stage("tokenize"):
+            cfg_t = getattr(self.config, "query_max_terms", None)
+            cfg_b = getattr(self.config, "query_term_buckets", None)
             if self._model is not None:
                 packed = pack_query_batch(
-                    self.encoder, self.lexical, queries,
-                    getattr(self.config, "query_max_terms", None))
+                    self.encoder, self.lexical, queries, cfg_t, cfg_b)
                 head = (self.encoder.params, packed)
             else:
                 q_emb = self.encoder.encode_queries(list(queries))
-                head = (q_emb, jnp.asarray(np.stack([
-                    self.lexical.encode_query(
-                        q, getattr(self.config, "query_max_terms", None))
-                    for q in queries])))
+                head = (q_emb, jnp.asarray(encode_query_terms(
+                    self.lexical, queries, cfg_t, cfg_b)))
         with self.timer.stage("cascade"):
             ids, scores = fn(*head, *self._lex_dev,
                              *self._maps, *self._flat)
@@ -602,17 +602,16 @@ class ShardedRetriever:
         fn = self._fn_for(min(k, self.config.fusion_candidates,
                               self.dense.n_docs))
         with self.timer.stage("tokenize"):
+            cfg_t = getattr(self.config, "query_max_terms", None)
+            cfg_b = getattr(self.config, "query_term_buckets", None)
             if self._model is not None:
                 packed = pack_query_batch(
-                    self.encoder, self.lexical, queries,
-                    getattr(self.config, "query_max_terms", None))
+                    self.encoder, self.lexical, queries, cfg_t, cfg_b)
                 head = (self.encoder.params, packed)
             else:
                 q_emb = self.encoder.encode_queries(list(queries))
-                head = (q_emb, jnp.asarray(np.stack([
-                    self.lexical.encode_query(
-                        q, getattr(self.config, "query_max_terms", None))
-                    for q in queries])))
+                head = (q_emb, jnp.asarray(encode_query_terms(
+                    self.lexical, queries, cfg_t, cfg_b)))
         with self.timer.stage("cascade"):
             scales = self.dense.scales
             if scales is None:

@@ -46,19 +46,59 @@ log = get_logger(__name__)
 
 
 def pack_query_batch(encoder, lexical, queries: Sequence[str],
-                     query_max_terms: Optional[int] = None) -> jax.Array:
+                     query_max_terms: Optional[int] = None,
+                     term_buckets: Optional[Sequence[int]] = None
+                     ) -> jax.Array:
     """Host tokenization for the fused single-dispatch retrieve: query
     token ids (B, Lq) ‖ BM25 term ids (B, Q) concatenated into ONE int32
     array — one host->device transfer per batch. The jit side splits at
     ``encoder.cfg.query_max_tokens``; every fused wrapper (flat, sharded,
-    bucketed×sharded, bench.py) MUST use this layout."""
+    bucketed×sharded, bench.py) MUST use this layout.
+
+    ``term_buckets``: round the BM25 term width Q DOWN to the smallest
+    bucket covering the batch's real term count instead of always using
+    the ``query_max_terms`` ceiling. The lexical stage costs O(B*Q*P) and
+    -1 padding slots are dead weight the kernel still sorts; typical
+    queries carry ~4-10 terms, so an 8-wide dispatch quarters the BM25
+    sort vs the 32-wide ceiling. Each distinct width compiles once
+    (bounded by the bucket menu); trimming only removes -1 columns, so
+    scores are bit-identical across widths."""
     lq = encoder.cfg.query_max_tokens
     q_ids = np.stack([encoder.tokenizer.encode_query(q, lq)
                       for q in queries])
     q_terms = np.stack([lexical.encode_query(q, query_max_terms)
                         for q in queries])
+    q_terms = _trim_terms(q_terms, term_buckets)
     return jnp.asarray(np.concatenate(
         [q_ids.astype(np.int32), q_terms.astype(np.int32)], axis=1))
+
+
+def _trim_terms(q_terms: np.ndarray,
+                term_buckets: Optional[Sequence[int]]) -> np.ndarray:
+    """Trim the (B, Q) BM25 term-id array's -1 padding columns down to the
+    smallest covering bucket width (see pack_query_batch)."""
+    if not term_buckets or q_terms.size == 0:
+        return q_terms
+    # encode_query left-packs real ids, so the max per-row count IS the
+    # needed width
+    need = int((q_terms >= 0).sum(axis=1).max())
+    width = q_terms.shape[1]
+    for b in sorted(term_buckets):
+        if b >= need and b < width:
+            width = b
+            break
+    return q_terms[:, :width]
+
+
+def encode_query_terms(lexical, queries: Sequence[str],
+                       query_max_terms: Optional[int] = None,
+                       term_buckets: Optional[Sequence[int]] = None
+                       ) -> np.ndarray:
+    """Batch BM25 term-id encoding with optional width bucketing — the
+    non-fused counterpart of pack_query_batch's term half."""
+    q_terms = np.stack([lexical.encode_query(q, query_max_terms)
+                        for q in queries])
+    return _trim_terms(q_terms, term_buckets)
 
 
 @functools.partial(
@@ -337,11 +377,9 @@ class HybridRetriever:
             with self.timer.stage("encode_query"):
                 q_emb = self.encoder.encode_queries(list(queries))
             with self.timer.stage("tokenize_bm25"):
-                q_terms = jnp.asarray(
-                    np.stack([lex.encode_query(
-                        q, getattr(cfg, "query_max_terms", None))
-                        for q in queries])
-                )
+                q_terms = jnp.asarray(encode_query_terms(
+                    lex, queries, getattr(cfg, "query_max_terms", None),
+                    getattr(cfg, "query_term_buckets", None)))
             with self.timer.stage("cascade"):
                 return self._cascade_bucketed(
                     q_emb, q_terms,
@@ -351,7 +389,8 @@ class HybridRetriever:
         with self.timer.stage("tokenize"):
             packed = pack_query_batch(
                 self.encoder, lex, queries,
-                getattr(cfg, "query_max_terms", None))
+                getattr(cfg, "query_max_terms", None),
+                getattr(cfg, "query_term_buckets", None))
         prefilter = getattr(cfg, "dense_prefilter", 0)
         kf = min(k, cfg.fusion_candidates, dense.n_docs)
         fused = self._build_fused(kf)
