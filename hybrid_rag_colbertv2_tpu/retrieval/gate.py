@@ -47,8 +47,11 @@ MIN_GATE_CHUNKS = 16   # below this the eval is meaningless; keep parity
 # ordering — an honest "the dense leg adds nothing on this corpus"
 # verdict the gate can reach (e.g. an untrained self-contained encoder),
 # guaranteeing the shipped hybrid never scores below its own BM25 leg.
+# Menu spacing is deliberately coarse: entries the 64-query validation
+# cannot statistically separate (a 0.95 step was tried) just inject
+# selection noise.
 GATE_MENU = (("rerank", 0.5), ("rrf", 0.5), ("rrf", 0.75), ("rrf", 0.9),
-             ("rrf", 0.95), ("rrf", 1.0))
+             ("rrf", 1.0))
 
 
 def resolve_final_fusion(
