@@ -190,11 +190,11 @@ class RAGApplication:
         if trains:
             self._train_encoder(corpus)
         self.indexes = IndexManager(self.config, self.encoder)
-        if (self.indexes.is_built() and not trains
-                and self.config.mesh.index_layout == "single"):
-            # incremental: reuse persisted embeddings, encode only new
-            # chunks (tokenizer + encoder params are persisted with the
-            # index, so old and new embeddings share one encoder)
+        if self.indexes.is_built() and not trains:
+            # incremental (flat AND bucketed layouts): reuse persisted
+            # embeddings, encode only new chunks (tokenizer + encoder
+            # params are persisted with the index, so old and new
+            # embeddings share one encoder)
             self.indexes.load()
             self.indexes.add_documents(corpus)
         else:

@@ -89,6 +89,76 @@ class BucketedDenseIndex:
         )
 
     # ------------------------------------------------------------------
+    def append(
+        self,
+        token_embs: jax.Array,    # (M, L_in, D) new docs' token embeddings
+        lengths: jax.Array,       # (M,)
+        *,
+        bucket_sizes: Sequence[int] = (64, 128, 256),
+        docs_pad_multiple: int = 128,
+    ) -> "BucketedDenseIndex":
+        """Incrementally add documents to the bucketed layout (the flat
+        counterpart is DenseTokenIndex.append). Each new doc routes to the
+        smallest configured bucket that holds it: existing buckets append
+        in place (their embeddings are reused untouched), lengths with no
+        existing bucket open a NEW one (appended at the end of the bucket
+        list — consumers never assume a size order). Global ids stay
+        corpus row order: old docs keep their ids, new docs follow."""
+        m = int(lengths.shape[0])
+        if m == 0:
+            return self
+        lengths_np = np.asarray(lengths)
+        sizes = sorted(bucket_sizes)
+        assign_size = np.full((m,), sizes[-1], np.int64)
+        for s in reversed(sizes):
+            assign_size[lengths_np <= s] = s
+
+        buckets = list(self.buckets)
+        gids = [np.asarray(g) for g in self.global_ids]
+        bucket_of = np.concatenate(
+            [np.asarray(self.bucket_of), np.zeros((m,), np.int32)])
+        row_of = np.concatenate(
+            [np.asarray(self.row_of), np.zeros((m,), np.int32)])
+        size_to_bucket = {b.doc_len: i for i, b in enumerate(buckets)}
+        quant = buckets[0].quant
+        for size in sorted(set(assign_size.tolist())):
+            rows = np.nonzero(assign_size == size)[0]
+            new_gids = (self.n_docs + rows).astype(np.int32)
+            sel = jnp.asarray(rows)
+            bi = size_to_bucket.get(size)
+            if bi is None:
+                sub = DenseTokenIndex.build(
+                    token_embs[sel], lengths[sel], doc_len=size,
+                    dtype=quant, docs_pad_multiple=docs_pad_multiple)
+                bi = len(buckets)
+                size_to_bucket[size] = bi
+                buckets.append(sub)
+                gid = np.full((sub.n_pad,), -1, np.int32)
+                gid[: rows.size] = new_gids
+                gids.append(gid)
+                row_of[self.n_docs + rows] = np.arange(rows.size,
+                                                       dtype=np.int32)
+            else:
+                old = buckets[bi]
+                sub = old.append(token_embs[sel], lengths[sel],
+                                 docs_pad_multiple=docs_pad_multiple)
+                buckets[bi] = sub
+                gid = np.full((sub.n_pad,), -1, np.int32)
+                gid[: old.n_docs] = gids[bi][: old.n_docs]
+                gid[old.n_docs: sub.n_docs] = new_gids
+                gids[bi] = gid
+                row_of[self.n_docs + rows] = old.n_docs + np.arange(
+                    rows.size, dtype=np.int32)
+            bucket_of[self.n_docs + rows] = bi
+        return BucketedDenseIndex(
+            buckets=buckets,
+            global_ids=[jnp.asarray(g) for g in gids],
+            bucket_of=jnp.asarray(bucket_of),
+            row_of=jnp.asarray(row_of),
+            n_docs=self.n_docs + m,
+        )
+
+    # ------------------------------------------------------------------
     @property
     def max_doc_len(self) -> int:
         return max(b.doc_len for b in self.buckets)

@@ -108,10 +108,15 @@ class IndexManager:
         global-id order with the new chunks appended at the end. Only the
         new chunks are encoded (the reference re-encodes everything,
         local_rag_complete.py:728-746); the lexical CSR is rebuilt host-side
-        (vectorized numpy — cheap next to encoding). Falls back to a full
-        rebuild for the bucketed layout or when nothing is loaded."""
+        (vectorized numpy — cheap next to encoding). Both the flat and the
+        length-bucketed layouts append in place; falls back to a full
+        rebuild only when nothing is loaded / the corpus shrank."""
+        from .bucketed import BucketedDenseIndex
+
         full_corpus = list(full_corpus)
-        if (self.dense is None or not isinstance(self.dense, DenseTokenIndex)
+        if (self.dense is None
+                or not isinstance(self.dense,
+                                  (DenseTokenIndex, BucketedDenseIndex))
                 or self.dense.n_docs > len(full_corpus)):
             self.build_all(full_corpus)
             return
@@ -122,11 +127,19 @@ class IndexManager:
             return
         if self.encoder is None:
             raise RuntimeError("IndexManager needs an encoder to add docs")
+        bucketed = isinstance(self.dense, BucketedDenseIndex)
+        enc_len = (max(self.config.mesh.doc_token_buckets) if bucketed
+                   else self.dense.doc_len)
         with self.timer.stage("colbert_encode_new"):
             embs, lengths = self.encoder.encode_docs(
-                new_texts, doc_len=self.dense.doc_len)
+                new_texts, doc_len=enc_len)
         with self.timer.stage("colbert_append"):
-            self.dense = self.dense.append(embs, lengths)
+            if bucketed:
+                self.dense = self.dense.append(
+                    embs, lengths,
+                    bucket_sizes=self.config.mesh.doc_token_buckets)
+            else:
+                self.dense = self.dense.append(embs, lengths)
             self.dense.save(self.config.colbert_index_path)
         log.info(
             "Dense index +%d docs -> %d total (encode %.2fs, append %.2fs)",

@@ -222,6 +222,46 @@ def test_bucketed_layout_end_to_end(tmp_path):
     assert [r["chunk_id"] for r in res2] == [r["chunk_id"] for r in res]
 
 
+def test_bucketed_incremental_upload(tmp_path):
+    """Second upload with the bucketed layout must APPEND (encode only the
+    new chunks) and serve the new document — previously bucketed fell
+    back to a full rebuild."""
+    from hybrid_rag_colbertv2_tpu.index.bucketed import BucketedDenseIndex
+
+    cfg = RAGConfig(
+        db_path=str(tmp_path / "b.db"),
+        bm25_index_path=str(tmp_path / "idx/bm25"),
+        colbert_index_path=str(tmp_path / "idx/colbert"),
+        images_dir=str(tmp_path / "imgs"),
+        tokenizer_path=str(tmp_path / "idx/tok.json"),
+        min_chunk_size=8, max_chunk_size=64,
+        encoder_preset="tiny", tokenizer_vocab_size=512,
+    )
+    cfg.mesh.index_layout = "bucketed"
+    cfg.mesh.doc_token_buckets = (32, 64)
+    d1 = tmp_path / "first.md"
+    d1.write_text("# Short\n\ntiny section about espresso\n")
+    a = RAGApplication(cfg, use_ollama=False)
+    a.index_documents([str(d1)])
+    n1 = a.indexes.dense.n_docs
+    d2 = tmp_path / "second.md"
+    d2.write_text("# Long\n\nsystolic arrays multiply matrices "
+                  + "word " * 80)
+    a.index_documents([str(d2)])
+    assert isinstance(a.indexes.dense, BucketedDenseIndex)
+    assert a.indexes.dense.n_docs > n1
+    # only the NEW chunks were encoded (append stage ran)
+    assert "colbert_append" in a.indexes.timer.timings
+    a.initialize_chatbot(use_mesh=False)
+    res = a.query("systolic arrays", top_k=2)
+    assert res and "systolic" in res[0]["text"]
+    # the pre-append chunk remains retrievable (rank on a 3-chunk corpus
+    # with an untrained tiny encoder is parity-rerank noise — membership
+    # is the indexing contract)
+    res_old = a.query("tiny section about espresso", top_k=3)
+    assert any("espresso" in r["text"] for r in res_old)
+
+
 def test_query_sees_newly_indexed_docs_without_reinit(tmp_path):
     """Regression: a live retriever must not keep serving the previous
     index after index_documents (staleness bug found via examples/demo.py)."""

@@ -172,3 +172,56 @@ def test_dense_append_matches_full_build():
         np.testing.assert_allclose(
             np.asarray(inc.pooled.astype(jnp.float32)),
             np.asarray(full.pooled.astype(jnp.float32)), atol=1e-2)
+
+
+def test_bucketed_append_matches_full_build(data):
+    """BucketedDenseIndex.append: build(A).append(B) must score every doc
+    identically to build(A+B) — per-doc quantization is independent, and
+    search_scores scatters by global id, so the (B, N) matrices compare
+    directly. Also covers opening a NEW bucket for lengths absent from
+    the initial build."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    q, docs, lengths = data
+    n = docs.shape[0]
+    split = n - 5
+    full = BucketedDenseIndex.build(docs, lengths, bucket_sizes=(16, 64),
+                                    dtype="int8", docs_pad_multiple=16)
+    inc = BucketedDenseIndex.build(docs[:split], lengths[:split],
+                                   bucket_sizes=(16, 64), dtype="int8",
+                                   docs_pad_multiple=16)
+    inc = inc.append(docs[split:], lengths[split:],
+                     bucket_sizes=(16, 64), docs_pad_multiple=16)
+    assert inc.n_docs == full.n_docs == n
+    np.testing.assert_allclose(np.asarray(inc.search_scores(q)),
+                               np.asarray(full.search_scores(q)),
+                               rtol=1e-5, atol=1e-5)
+    v1, i1 = full.search_topk(q, 8)
+    v2, i2 = inc.search_topk(q, 8)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                               rtol=1e-5, atol=1e-5)
+    # rerank path (gather across buckets incl. appended rows)
+    np.testing.assert_allclose(
+        np.asarray(inc.rerank_scores(q, i2)),
+        np.asarray(full.rerank_scores(q, i1)), rtol=1e-4, atol=1e-4)
+
+    # new-bucket case: initial build saw only short docs; the appended
+    # batch carries lengths that need the larger bucket
+    short_rows = np.asarray(lengths) <= 16
+    assert short_rows.any() and (~short_rows).any()
+    sel_s = jnp.asarray(np.nonzero(short_rows)[0])
+    sel_l = jnp.asarray(np.nonzero(~short_rows)[0])
+    inc2 = BucketedDenseIndex.build(docs[sel_s], lengths[sel_s],
+                                    bucket_sizes=(16, 64), dtype="int8",
+                                    docs_pad_multiple=16)
+    assert len(inc2.buckets) == 1
+    inc2 = inc2.append(docs[sel_l], lengths[sel_l],
+                       bucket_sizes=(16, 64), docs_pad_multiple=16)
+    assert len(inc2.buckets) == 2
+    # global ids: order = shorts first then longs
+    perm = np.concatenate([np.asarray(sel_s), np.asarray(sel_l)])
+    sc = np.asarray(inc2.search_scores(q))
+    ref = np.asarray(full.search_scores(q))[:, perm]
+    np.testing.assert_allclose(sc, ref, rtol=1e-5, atol=1e-5)
