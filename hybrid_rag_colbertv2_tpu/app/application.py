@@ -445,6 +445,9 @@ class RAGApplication:
             self.indexes.is_built() if self.indexes
             else IndexManager(self.config).is_built())
         s["devices"] = [str(d) for d in jax.devices()]
+        s["final_fusion"] = self.config.final_fusion
+        if self.fusion_gate is not None:
+            s["fusion_gate"] = self.fusion_gate   # measured calibration
         return s
 
     def print_stats(self) -> None:
