@@ -137,7 +137,7 @@ def run_headline(result):
     from hybrid_rag_colbertv2_tpu.models.tokenizer import ColBERTTokenizer
     from hybrid_rag_colbertv2_tpu.ops.prefilter import pooled_doc_embeddings
     from hybrid_rag_colbertv2_tpu.retrieval.cascade import (
-        hybrid_cascade, pack_query_batch)
+        fused_cascade_fn, pack_query_batch)
     from hybrid_rag_colbertv2_tpu.utils.timing import (
         measure_rtt_ms, queued_timeit)
 
@@ -193,38 +193,25 @@ def run_headline(result):
     lex_dev = (jnp.asarray(lex.indptr), jnp.asarray(lex.post_docs),
                jnp.asarray(lex.post_weights))
 
-    # production path (retrieval/cascade.py fused single dispatch,
-    # mirrored inline because the honest-timing protocol cannot use
-    # retrieve_batch's per-call device->host fetch): encoder forward +
-    # full cascade in ONE jitted dispatch, query token ids + BM25 term
-    # ids packed into ONE host->device transfer per batch
-    # (pack_query_batch layout contract).
-    lq = enc_cfg.query_max_tokens
-    model = encoder.model
-
-    @jax.jit
-    def fused_retrieve(params, packed, indptr, post_docs, post_weights,
-                       emb_flat, scales_a, doc_lengths, pooled_a):
-        q_ids = packed[:, :lq]
-        q_emb = model.apply({"params": params}, q_ids, jnp.ones_like(q_ids))
-        ids, scores, _ = hybrid_cascade(
-            q_emb, packed[:, lq:], indptr, post_docs, post_weights,
-            emb_flat, scales_a, doc_lengths, pooled_a,
-            prefilter=prefilter,
-            n_docs=dense.n_docs, max_postings=lex.max_postings,
-            doc_len=dense.doc_len, is_int8=True,
-            k_each=100, k_fuse=50, k_final=10)
-        return scores
+    # production path: the SAME memoized fused encoder+cascade executable
+    # the retrievers use (retrieval/cascade.fused_cascade_fn — one jitted
+    # dispatch, one packed transfer), driven directly because the honest-
+    # timing protocol cannot use retrieve_batch's per-call device->host
+    # fetch
+    fused = fused_cascade_fn(encoder.model, enc_cfg.query_max_tokens, dict(
+        prefilter=prefilter, n_docs=dense.n_docs,
+        max_postings=lex.max_postings, doc_len=dense.doc_len, is_int8=True,
+        k_each=100, k_fuse=50, k_final=10))
 
     def run_once():
-        # host tokenization (BPE + BM25 terms) is part of the serving path
-        # production default: BM25 term width rounds down to the
-        # smallest covering bucket (RAGConfig.query_term_buckets)
+        # host tokenization (BPE + BM25 terms) is part of the serving
+        # path; BM25 term width rounds down to the smallest covering
+        # bucket (RAGConfig.query_term_buckets, production default)
         packed = pack_query_batch(encoder, lex, queries, 32,
                                   (8, 16, 32))
-        return fused_retrieve(
-            encoder.params, packed, *lex_dev,
-            dense.emb_flat, dense.scales, dense.doc_lengths, dense.pooled)
+        return fused(encoder.params, packed, *lex_dev,
+                     dense.emb_flat, dense.scales, dense.doc_lengths,
+                     dense.pooled, None)[1]
 
     t0 = time.perf_counter()
     jax.block_until_ready(run_once())  # trigger compiles before timing
@@ -343,7 +330,7 @@ def run_1m(result, ctx):
     from hybrid_rag_colbertv2_tpu.index.lexical import LexicalIndex
     from hybrid_rag_colbertv2_tpu.ops.prefilter import pooled_doc_embeddings
     from hybrid_rag_colbertv2_tpu.retrieval.cascade import (
-        hybrid_cascade, pack_query_batch)
+        fused_cascade_fn, pack_query_batch)
     from hybrid_rag_colbertv2_tpu.utils.timing import queued_timeit
 
     on_tpu, dim, batch = ctx["on_tpu"], ctx["dim"], ctx["batch"]
@@ -386,30 +373,19 @@ def run_1m(result, ctx):
     lex_dev = (jnp.asarray(lex.indptr), jnp.asarray(lex.post_docs),
                jnp.asarray(lex.post_weights))
     queries = [" ".join(rng.choice(vocab, size=6)) for _ in range(batch)]
-    lq = encoder.cfg.query_max_tokens
-    model = encoder.model
-
-    @jax.jit
-    def fused_1m(params, packed, indptr, post_docs, post_weights,
-                 emb_flat, scales_a, doc_lengths, pooled_a):
-        q_ids = packed[:, :lq]
-        q_emb = model.apply({"params": params}, q_ids, jnp.ones_like(q_ids))
-        ids, scores, _ = hybrid_cascade(
-            q_emb, packed[:, lq:], indptr, post_docs, post_weights,
-            emb_flat, scales_a, doc_lengths, pooled_a,
-            prefilter=prefilter,
-            n_docs=n_docs, max_postings=lex.max_postings,
-            doc_len=doc_len, is_int8=True,
-            k_each=100, k_fuse=50, k_final=10)
-        return scores
+    fused = fused_cascade_fn(encoder.model, encoder.cfg.query_max_tokens,
+                             dict(prefilter=prefilter, n_docs=n_docs,
+                                  max_postings=lex.max_postings,
+                                  doc_len=doc_len, is_int8=True,
+                                  k_each=100, k_fuse=50, k_final=10))
 
     def run_once():
         # production default: BM25 term width rounds down to the
         # smallest covering bucket (RAGConfig.query_term_buckets)
         packed = pack_query_batch(encoder, lex, queries, 32,
                                   (8, 16, 32))
-        return fused_1m(encoder.params, packed, *lex_dev,
-                        q8, scales, lens_dev, pooled)
+        return fused(encoder.params, packed, *lex_dev,
+                     q8, scales, lens_dev, pooled, None)[1]
 
     t0 = time.perf_counter()
     jax.block_until_ready(run_once())

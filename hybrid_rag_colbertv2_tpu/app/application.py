@@ -60,6 +60,7 @@ class RAGApplication:
         self.retriever: Optional[HybridRetriever] = None
         self.chatbot: Optional[RAGChatbot] = None
         self.fusion_gate: Optional[Dict] = None   # measured-gate details
+        self._gate_resolved = False   # True when THIS app resolved "auto"
 
     # ------------------------------------------------------------------
     def check_ollama(self) -> bool:
@@ -199,6 +200,15 @@ class RAGApplication:
             self.indexes.add_documents(corpus)
         else:
             self.indexes.build_all(corpus)
+        # the index (and possibly the encoder) changed: a previously
+        # measured fusion-gate verdict no longer describes it — drop the
+        # persisted verdict and re-arm "auto" IF the gate (not the user)
+        # chose the current mode, so the next bind re-measures
+        self._gate_path().unlink(missing_ok=True)
+        if self._gate_resolved:
+            self.config.final_fusion = "auto"
+            self._gate_resolved = False
+            self.fusion_gate = None
         # a live retriever/chatbot would keep serving the PREVIOUS index —
         # rebind them to the freshly built one (no disk reload; preserves
         # an initialized chat session across re-indexing)
@@ -281,22 +291,65 @@ class RAGApplication:
         self._use_mesh = use_mesh       # remembered for re-index rebinds
         self._bind_retriever(use_mesh)
 
+    def _gate_path(self) -> Path:
+        return Path(self.config.colbert_index_path) / "fusion_gate.json"
+
     def resolve_final_fusion(self) -> str:
         """Resolve ``final_fusion="auto"`` via the measured gate
-        (retrieval/gate.py): evaluate both final-ordering modes on
+        (retrieval/gate.py): evaluate the (mode, leg-weight) menu on
         held-out pseudo-queries over the indexed corpus, keep the winner,
-        and record the measurement in ``self.fusion_gate``. Idempotent —
-        once resolved, the config carries the concrete mode."""
+        and record the measurement in ``self.fusion_gate``.
+
+        The verdict is PERSISTED next to the dense index
+        (fusion_gate.json) and reloaded by later processes serving the
+        same index — the gate's per-entry compiles + retrievals run once
+        per index build, not once per process (re-indexing invalidates
+        the file, see index_documents). A user-pinned
+        ``fusion_weight_bm25`` (fusion_weight_pinned) restricts the gate
+        to the ordering mode only."""
         cfg = self.config
         if cfg.final_fusion != "auto":
             return cfg.final_fusion
+        gp = self._gate_path()
+        n_chunks = self.store.stats().get("chunks", 0)
+        if gp.exists():
+            try:
+                saved = json.loads(gp.read_text())
+                pin_ok = (not cfg.fusion_weight_pinned
+                          or saved.get("pinned_weight")
+                          == cfg.fusion_weight_bm25)
+                if saved.get("n_chunks") == n_chunks and pin_ok:
+                    cfg.final_fusion = saved["picked"]
+                    if not cfg.fusion_weight_pinned:
+                        cfg.fusion_weight_bm25 = saved["picked_weight"]
+                    self.fusion_gate = saved["details"]
+                    self._gate_resolved = True
+                    log.info("final_fusion (%r, w=%s) loaded from "
+                             "persisted gate verdict",
+                             cfg.final_fusion, cfg.fusion_weight_bm25)
+                    return cfg.final_fusion
+            except Exception as e:           # corrupt file -> re-measure
+                log.warning("ignoring persisted gate verdict: %s", e)
         from ..retrieval.gate import resolve_final_fusion as _gate
 
         corpus = self.store.all_chunk_texts()
+        fixed = cfg.fusion_weight_bm25 if cfg.fusion_weight_pinned else None
         (mode, weight), self.fusion_gate = _gate(
-            cfg, self.indexes, self.encoder, corpus, chunk_store=self.store)
+            cfg, self.indexes, self.encoder, corpus,
+            chunk_store=self.store, fixed_weight=fixed)
         cfg.final_fusion = mode
         cfg.fusion_weight_bm25 = weight
+        self._gate_resolved = True
+        try:
+            gp.parent.mkdir(parents=True, exist_ok=True)
+            gp.write_text(json.dumps({
+                "picked": mode, "picked_weight": weight,
+                "n_chunks": n_chunks,
+                "pinned_weight": (cfg.fusion_weight_bm25
+                                  if cfg.fusion_weight_pinned else None),
+                "details": self.fusion_gate}))
+        except OSError as e:
+            log.warning("could not persist gate verdict: %s", e)
         log.info("final_fusion resolved to (%r, bm25_weight=%s) by "
                  "measured gate", mode, weight)
         return mode

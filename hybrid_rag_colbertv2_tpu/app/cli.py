@@ -88,6 +88,7 @@ def _main(argv=None) -> int:
         cfg.final_fusion = args.final_fusion
     if args.fusion_weight_bm25 is not None:
         cfg.fusion_weight_bm25 = args.fusion_weight_bm25
+        cfg.fusion_weight_pinned = True   # the auto gate must not override
         cfg.validate()
     app = RAGApplication(cfg, use_ollama=not args.no_generate)
 

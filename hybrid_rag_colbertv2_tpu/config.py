@@ -89,11 +89,12 @@ class RAGConfig:
     # cut, hedging dense-rerank misses (measured on the 90-chunk real-text
     # corpus: hit@10 0.906 -> see docs/performance.md). Reported scores
     # stay exact-MaxSim either way. "auto" (default): the APPLICATION
-    # decides by a measured gate — it evaluates both modes on held-out
-    # pseudo-queries over the indexed corpus and picks the winner
-    # (retrieval/gate.py; ties -> "rerank" parity). Components used
-    # standalone (a bare HybridRetriever) treat an unresolved "auto" as
-    # "rerank".
+    # decides by a measured gate — it evaluates a (mode, leg-weight) menu
+    # on held-out pseudo-queries over the indexed corpus and picks per
+    # the band rule documented in retrieval/gate.py (parity wins inside
+    # the noise band; otherwise the most lexical-protective entry in the
+    # band). Components used standalone (a bare HybridRetriever) treat an
+    # unresolved "auto" as "rerank".
     final_fusion: str = "auto"
     # Calibrated-hybrid leg weight for the candidate RRF (and, in
     # final_fusion="rrf", the final blend): 0.5 = the reference's
@@ -102,6 +103,10 @@ class RAGConfig:
     # hybrid can then never lose to its own lexical leg while the dense
     # leg still breaks ties and rescues queries BM25 misses.
     fusion_weight_bm25: float = 0.5
+    # True = the user pinned fusion_weight_bm25 explicitly (CLI
+    # --fusion-weight-bm25); the "auto" gate then only decides the final
+    # ORDERING mode and never overrides the pinned weight.
+    fusion_weight_pinned: bool = False
     # >0: two-stage pruned dense search (ops/prefilter.py) — pooled-cosine
     # prefilter to this many candidates, exact MaxSim only on those.
     # 0 = brute-force full MaxSim scan (exact). Rule of thumb: 8-16x the

@@ -14,21 +14,33 @@ pseudo-queries over the indexed corpus:
     (rrf,    0.5)   equal-weight blended final ordering
     (rrf,    0.75)  BM25-leaning calibrated hybrid
     (rrf,    0.9)   strongly BM25-leaning (weak/untrained dense leg)
+    (rrf,    1.0)   lexical-only ordering (dense leg adds nothing)
 
-Ties resolve toward the earlier (more parity-like) entry. A BM25-lean
-setting means the hybrid cannot lose to its own lexical leg while the
-dense leg still breaks ties and rescues queries BM25 misses — this is how
-the cascade stays >= max(leg) when the self-trained encoder is weak.
+Selection rule (mirrored by the implementation and tests): take the
+measured max; inside a one-query noise band around it,
+  * if PARITY (rerank, 0.5) is in the band, ship parity — the measurement
+    cannot distinguish the settings, so keep the reference behavior
+    (this also covers saturated validations where everything scores 1.0);
+  * otherwise ship the LAST (most BM25-protective) entry in the band —
+    the downside is asymmetric: a weak dense leg demoting lexical hits
+    costs real accuracy, while a genuinely strong dense leg wins the
+    gate by more than the noise floor anyway.
 
-Gate queries use word-dropout ICT spans (train/data.py) with a seed offset
-from the training seed, so the gate measures generalization, not
-training-pair recall, and is not a pure-verbatim best case for BM25.
+A BM25-lean setting means the hybrid cannot lose to its own lexical leg
+while the dense leg still breaks ties and rescues queries BM25 misses —
+this is how the cascade stays >= max(leg) when the self-trained encoder
+is weak.
+
+Gate queries are half verbatim ICT spans, half word-dropout spans
+(train/data.py) with a seed offset from the training seed, so the gate
+measures generalization across both lexical regimes, not training-pair
+recall.
 """
 
 from __future__ import annotations
 
 import copy
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -42,14 +54,10 @@ _GATE_SEED_OFFSET = 7919
 
 MIN_GATE_CHUNKS = 16   # below this the eval is meaningless; keep parity
 
-# (final_fusion, fusion_weight_bm25) menu, parity first (ties resolve
-# toward the front). The 1.0 endpoint degenerates to lexical-only
-# ordering — an honest "the dense leg adds nothing on this corpus"
-# verdict the gate can reach (e.g. an untrained self-contained encoder),
-# guaranteeing the shipped hybrid never scores below its own BM25 leg.
-# Menu spacing is deliberately coarse: entries the 64-query validation
-# cannot statistically separate (a 0.95 step was tried) just inject
-# selection noise.
+# (final_fusion, fusion_weight_bm25) menu, parity first, ascending
+# lexical protection. Menu spacing is deliberately coarse: entries the
+# 64-query validation cannot statistically separate (a 0.95 step was
+# tried) just inject selection noise.
 GATE_MENU = (("rerank", 0.5), ("rrf", 0.5), ("rrf", 0.75), ("rrf", 0.9),
              ("rrf", 1.0))
 
@@ -64,23 +72,32 @@ def resolve_final_fusion(
     n_queries: int = 64,
     k: int = 10,
     batch: int = 8,
+    fixed_weight: Optional[float] = None,
 ) -> Tuple[Tuple[str, float], Dict]:
     """-> ((final_fusion, fusion_weight_bm25), details). Evaluates hit@k
-    of every GATE_MENU entry on ``n_queries`` held-out word-dropout ICT
-    queries and returns the winner (ties -> the more parity-like entry).
+    of every menu entry on ``n_queries`` held-out queries and applies the
+    selection rule documented in the module docstring.
+
+    ``fixed_weight``: the user pinned fusion_weight_bm25 — the gate then
+    only decides the final ORDERING mode, measuring
+    [("rerank", w), ("rrf", w)] instead of the full menu.
 
     Runs single-device (quality is mesh-invariant; tests/test_sharded.py
     proves sharded == single-device). Cost: one fused-cascade compile per
     menu entry + ~len(menu)*n_queries/batch dispatches — one-time per
-    index build/load, and the compiled executables are shared module-wide
-    (retrieval/cascade._FUSED_CACHE).
+    index build (the application persists the verdict next to the index,
+    app/application.py), and the compiled executables are shared
+    module-wide (retrieval/cascade._FUSED_CACHE).
     """
     from ..train.data import pseudo_query_pairs
     from .cascade import HybridRetriever
 
+    menu = (GATE_MENU if fixed_weight is None
+            else (("rerank", fixed_weight), ("rrf", fixed_weight)))
     if len(corpus) < MIN_GATE_CHUNKS:
-        return ("rerank", 0.5), {
-            "picked": "rerank", "picked_weight": 0.5,
+        picked = menu[0]
+        return picked, {
+            "picked": picked[0], "picked_weight": picked[1],
             "reason": f"corpus < {MIN_GATE_CHUNKS} chunks"}
 
     # mixed query distribution: half VERBATIM spans (BM25's best case,
@@ -101,7 +118,7 @@ def resolve_final_fusion(
     sources = np.array([i for _, i in pairs])
 
     hits: Dict[Tuple[str, float], float] = {}
-    for mode, weight in GATE_MENU:
+    for mode, weight in menu:
         cfg = copy.deepcopy(config)
         cfg.final_fusion = mode
         cfg.fusion_weight_bm25 = weight
@@ -113,13 +130,11 @@ def resolve_final_fusion(
                 n_hit += int(src in set(row.tolist()))
         hits[(mode, weight)] = n_hit / max(1, len(queries))
 
-    # Selection: within one-query's-worth of the max, prefer the LATER
-    # (more BM25-protective) menu entry. The downside is asymmetric — a
-    # weak dense leg demoting lexical hits costs real accuracy, while a
-    # strong dense leg wins the gate by more than the noise floor anyway.
+    # selection rule — see module docstring
     best = max(hits.values())
-    eps = 1.0 / max(1, len(queries))
-    picked = [e for e in GATE_MENU if hits[e] >= best - eps - 1e-9][-1]
+    eps = 1.0 / max(1, len(queries)) + 1e-9
+    in_band = [e for e in menu if hits[e] >= best - eps]
+    picked = menu[0] if menu[0] in in_band else in_band[-1]
     details = {"picked": picked[0], "picked_weight": picked[1],
                "queries": len(queries), "k": k}
     for (mode, weight), h in hits.items():
