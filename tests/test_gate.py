@@ -111,3 +111,75 @@ def test_bind_retriever_resolves_gate(small_app):
     assert app.config.final_fusion in ("rerank", "rrf")
     res = app.query("how occupied was the matrix engine", top_k=3)
     assert isinstance(res, list)
+
+
+def test_gate_verdict_persists_and_invalidates(tmp_path):
+    """The measured verdict must persist next to the index (a second
+    process loads it instead of re-measuring) and be invalidated by
+    re-indexing, which re-arms 'auto' so calibration follows the new
+    index."""
+    import dataclasses
+
+    from hybrid_rag_colbertv2_tpu.app.application import RAGApplication
+    from hybrid_rag_colbertv2_tpu.tools.sample_corpus import write_corpus
+
+    paths = write_corpus(tmp_path / "docs", n_docs=6, seed=0)
+    cfg = RAGConfig(
+        db_path=str(tmp_path / "rag.db"),
+        bm25_index_path=str(tmp_path / "idx/bm25"),
+        colbert_index_path=str(tmp_path / "idx/colbert"),
+        tokenizer_path=str(tmp_path / "idx/tok.json"),
+        images_dir=str(tmp_path / "img"),
+        min_chunk_size=48, max_chunk_size=96, doc_max_tokens=96,
+        encoder_preset="tiny", tokenizer_vocab_size=512,
+    )
+    app = RAGApplication(cfg, use_ollama=False)
+    app.index_documents([str(p) for p in paths])
+    mode = app.resolve_final_fusion()
+    gp = app._gate_path()
+    assert gp.exists()
+    saved = __import__("json").loads(gp.read_text())
+    assert saved["picked"] == mode
+
+    # a FRESH process (new config object) loads the verdict — no re-measure
+    cfg2 = dataclasses.replace(cfg, final_fusion="auto",
+                               fusion_weight_bm25=0.5)
+    app2 = RAGApplication(cfg2, use_ollama=False)
+    app2.initialize_chatbot(use_mesh=False)
+    assert app2.config.final_fusion == mode
+    assert app2.fusion_gate == saved["details"]
+
+    # re-indexing invalidates the verdict and re-arms auto for the
+    # gate-resolved app; the next bind re-measures and re-persists
+    extra = write_corpus(tmp_path / "docs2", n_docs=2, seed=1)
+    app2.index_documents([str(p) for p in extra])
+    assert gp.exists()          # re-bound -> re-measured -> re-persisted
+    saved2 = __import__("json").loads(gp.read_text())
+    assert saved2["n_chunks"] > saved["n_chunks"]
+
+
+def test_pinned_weight_survives_gate(tmp_path):
+    """--fusion-weight-bm25 pinning: the gate may choose the ordering
+    mode but must NOT override the pinned weight."""
+    from hybrid_rag_colbertv2_tpu.app.application import RAGApplication
+    from hybrid_rag_colbertv2_tpu.tools.sample_corpus import write_corpus
+
+    paths = write_corpus(tmp_path / "docs", n_docs=6, seed=0)
+    cfg = RAGConfig(
+        db_path=str(tmp_path / "rag.db"),
+        bm25_index_path=str(tmp_path / "idx/bm25"),
+        colbert_index_path=str(tmp_path / "idx/colbert"),
+        tokenizer_path=str(tmp_path / "idx/tok.json"),
+        images_dir=str(tmp_path / "img"),
+        min_chunk_size=48, max_chunk_size=96, doc_max_tokens=96,
+        encoder_preset="tiny", tokenizer_vocab_size=512,
+        fusion_weight_bm25=0.75, fusion_weight_pinned=True,
+    )
+    app = RAGApplication(cfg, use_ollama=False)
+    app.index_documents([str(p) for p in paths])
+    mode = app.resolve_final_fusion()
+    assert mode in ("rerank", "rrf")
+    assert app.config.fusion_weight_bm25 == 0.75      # never overridden
+    # the gate only measured the two modes at the pinned weight
+    assert set(k for k in app.fusion_gate if k.startswith("hit@10")) == {
+        "hit@10_rerank_w0.75", "hit@10_rrf_w0.75"}
