@@ -203,12 +203,17 @@ def run_headline(result):
         max_postings=lex.max_postings, doc_len=dense.doc_len, is_int8=True,
         k_each=100, k_fuse=50, k_final=10))
 
+    from hybrid_rag_colbertv2_tpu.config import RAGConfig
+    term_ceiling = RAGConfig.query_max_terms
+    term_buckets = RAGConfig.query_term_buckets
+
     def run_once():
         # host tokenization (BPE + BM25 terms) is part of the serving
-        # path; BM25 term width rounds down to the smallest covering
-        # bucket (RAGConfig.query_term_buckets, production default)
-        packed = pack_query_batch(encoder, lex, queries, 32,
-                                  (8, 16, 32))
+        # path; the term width/buckets are the PRODUCTION defaults read
+        # from RAGConfig so the benched path cannot drift from the
+        # served one
+        packed = pack_query_batch(encoder, lex, queries, term_ceiling,
+                                  term_buckets)
         return fused(encoder.params, packed, *lex_dev,
                      dense.emb_flat, dense.scales, dense.doc_lengths,
                      dense.pooled, None)[1]
@@ -379,11 +384,13 @@ def run_1m(result, ctx):
                                   doc_len=doc_len, is_int8=True,
                                   k_each=100, k_fuse=50, k_final=10))
 
+    from hybrid_rag_colbertv2_tpu.config import RAGConfig
+
     def run_once():
-        # production default: BM25 term width rounds down to the
-        # smallest covering bucket (RAGConfig.query_term_buckets)
-        packed = pack_query_batch(encoder, lex, queries, 32,
-                                  (8, 16, 32))
+        # production-default term width/buckets, read from RAGConfig
+        packed = pack_query_batch(encoder, lex, queries,
+                                  RAGConfig.query_max_terms,
+                                  RAGConfig.query_term_buckets)
         return fused(encoder.params, packed, *lex_dev,
                      q8, scales, lens_dev, pooled, None)[1]
 

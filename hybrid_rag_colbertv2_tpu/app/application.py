@@ -294,6 +294,17 @@ class RAGApplication:
     def _gate_path(self) -> Path:
         return Path(self.config.colbert_index_path) / "fusion_gate.json"
 
+    def _gate_config_fp(self) -> Dict:
+        """Retrieval-relevant config fingerprint the gate measurement
+        depends on: a persisted verdict is only valid for the SAME
+        cascade shape (a different prefilter/candidate depth/rrf_k
+        changes the measured landscape)."""
+        cfg = self.config
+        return {k: getattr(cfg, k) for k in (
+            "dense_prefilter", "bm25_top_k", "colbert_top_k",
+            "fusion_candidates", "final_top_k", "rrf_k",
+            "approx_topk_recall", "bm25_postings_cap", "query_max_terms")}
+
     def resolve_final_fusion(self) -> str:
         """Resolve ``final_fusion="auto"`` via the measured gate
         (retrieval/gate.py): evaluate the (mode, leg-weight) menu on
@@ -315,19 +326,28 @@ class RAGApplication:
         if gp.exists():
             try:
                 saved = json.loads(gp.read_text())
-                pin_ok = (not cfg.fusion_weight_pinned
-                          or saved.get("pinned_weight")
-                          == cfg.fusion_weight_bm25)
-                if saved.get("n_chunks") == n_chunks and pin_ok:
-                    cfg.final_fusion = saved["picked"]
-                    if not cfg.fusion_weight_pinned:
-                        cfg.fusion_weight_bm25 = saved["picked_weight"]
-                    self.fusion_gate = saved["details"]
+                det = saved["details"]
+                mode, weight = det["picked"], det["picked_weight"]
+                if mode not in ("rerank", "rrf") or not (
+                        isinstance(weight, (int, float))
+                        and 0.0 <= weight <= 1.0):
+                    raise ValueError(f"invalid verdict {mode!r}/{weight!r}")
+                # a verdict from a PINNED run (restricted menu) must not
+                # serve an unpinned process (which promises the full
+                # menu), and vice versa
+                pin_now = (cfg.fusion_weight_bm25
+                           if cfg.fusion_weight_pinned else None)
+                same_pin = saved.get("pinned_weight") == pin_now
+                same_cfg = saved.get("config_fp") == self._gate_config_fp()
+                if (saved.get("n_chunks") == n_chunks and same_pin
+                        and same_cfg):
+                    cfg.final_fusion = mode
+                    cfg.fusion_weight_bm25 = weight
+                    self.fusion_gate = det
                     self._gate_resolved = True
                     log.info("final_fusion (%r, w=%s) loaded from "
-                             "persisted gate verdict",
-                             cfg.final_fusion, cfg.fusion_weight_bm25)
-                    return cfg.final_fusion
+                             "persisted gate verdict", mode, weight)
+                    return mode
             except Exception as e:           # corrupt file -> re-measure
                 log.warning("ignoring persisted gate verdict: %s", e)
         from ..retrieval.gate import resolve_final_fusion as _gate
@@ -343,10 +363,9 @@ class RAGApplication:
         try:
             gp.parent.mkdir(parents=True, exist_ok=True)
             gp.write_text(json.dumps({
-                "picked": mode, "picked_weight": weight,
                 "n_chunks": n_chunks,
-                "pinned_weight": (cfg.fusion_weight_bm25
-                                  if cfg.fusion_weight_pinned else None),
+                "pinned_weight": fixed,
+                "config_fp": self._gate_config_fp(),
                 "details": self.fusion_gate}))
         except OSError as e:
             log.warning("could not persist gate verdict: %s", e)

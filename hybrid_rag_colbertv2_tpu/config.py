@@ -209,6 +209,11 @@ class RAGConfig:
         mesh = d.pop("mesh", None)
         cfg = cls(**{k: v for k, v in d.items() if k in _FIELD_NAMES})
         cfg.query_term_buckets = tuple(cfg.query_term_buckets)
+        # an explicit fusion_weight_bm25 in a config FILE is a pin, same
+        # as the CLI flag — the auto gate must not override a value the
+        # user wrote down (it may still pick the ordering mode)
+        if "fusion_weight_bm25" in d and "fusion_weight_pinned" not in d:
+            cfg.fusion_weight_pinned = True
         if mesh:
             if mesh.get("mesh_shape") is not None:
                 mesh["mesh_shape"] = tuple(mesh["mesh_shape"])

@@ -139,7 +139,9 @@ def test_gate_verdict_persists_and_invalidates(tmp_path):
     gp = app._gate_path()
     assert gp.exists()
     saved = __import__("json").loads(gp.read_text())
-    assert saved["picked"] == mode
+    assert saved["details"]["picked"] == mode
+    assert saved["pinned_weight"] is None
+    assert saved["config_fp"]["dense_prefilter"] == cfg.dense_prefilter
 
     # a FRESH process (new config object) loads the verdict — no re-measure
     cfg2 = dataclasses.replace(cfg, final_fusion="auto",
@@ -183,3 +185,28 @@ def test_pinned_weight_survives_gate(tmp_path):
     # the gate only measured the two modes at the pinned weight
     assert set(k for k in app.fusion_gate if k.startswith("hit@10")) == {
         "hit@10_rerank_w0.75", "hit@10_rrf_w0.75"}
+    # a pinned-run verdict must NOT be adopted by an unpinned process
+    # (restricted menu != the full-menu calibration it promises)
+    import dataclasses
+
+    cfg2 = dataclasses.replace(cfg, final_fusion="auto",
+                               fusion_weight_bm25=0.5,
+                               fusion_weight_pinned=False)
+    from hybrid_rag_colbertv2_tpu.app.application import \
+        RAGApplication as _App
+
+    app2 = _App(cfg2, use_ollama=False)
+    app2.initialize_chatbot(use_mesh=False)
+    # full menu re-measured: entries beyond the pinned pair are present
+    assert any(k.startswith("hit@10_rrf_w0.9")
+               for k in app2.fusion_gate), app2.fusion_gate
+
+
+def test_config_file_weight_is_pinned():
+    """An explicit fusion_weight_bm25 in a config FILE pins it, same as
+    the CLI flag; a full round-tripped config (which always carries the
+    field) does not accidentally pin."""
+    cfg = RAGConfig.from_json('{"fusion_weight_bm25": 0.8}')
+    assert cfg.fusion_weight_pinned and cfg.fusion_weight_bm25 == 0.8
+    rt = RAGConfig.from_json(RAGConfig().to_json())
+    assert rt.fusion_weight_pinned is False
