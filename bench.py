@@ -569,7 +569,12 @@ def run_realdata(result, ctx):
 
 def main():
     result = {}
-    ctx = run_headline(result)   # must succeed — carries the contract keys
+    # fail FAST (clear error, nonzero rc) instead of hanging the driver
+    # forever if the tunneled device wedges mid-headline (observed: a
+    # ~40-min period where even tiny matmuls never returned). The
+    # watchdog clears once the contract keys are in hand.
+    with _watchdog(2400):
+        ctx = run_headline(result)   # must succeed — carries contract keys
 
     # realdata has NO outer watchdog: its per-seed watchdogs would clash
     # with a nested alarm (signal.alarm is process-global)

@@ -22,10 +22,9 @@ corpus-position vs 1-based DB-id mismatch (SURVEY.md section 2, latent bugs).
 from __future__ import annotations
 
 import json
-import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

@@ -18,7 +18,6 @@ The only collectives are one all_gather of (B, k) pairs and one psum of
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

@@ -33,7 +33,6 @@ import numpy as np
 
 from ..config import RAGConfig, effective_final_fusion
 from ..index.dense import DenseTokenIndex
-from ..index.lexical import LexicalIndex
 from ..index.manager import IndexManager
 from ..ops.bm25 import bm25_topk_device
 from ..ops.fusion import final_topk_select, rrf_from_topk
