@@ -568,13 +568,24 @@ def run_realdata(result, ctx):
 
 
 def main():
+    import threading
+
     result = {}
     # fail FAST (clear error, nonzero rc) instead of hanging the driver
     # forever if the tunneled device wedges mid-headline (observed: a
-    # ~40-min period where even tiny matmuls never returned). The
-    # watchdog clears once the contract keys are in hand.
-    with _watchdog(2400):
-        ctx = run_headline(result)   # must succeed — carries contract keys
+    # ~40-min period where even tiny matmuls never returned). A SIGALRM
+    # watchdog cannot interrupt a thread blocked inside one C++ device
+    # call, so use a daemon timer that hard-exits the process — the only
+    # mechanism that is guaranteed to fire during a true wedge.
+    def _die():
+        log("headline watchdog: device wedged for 2400 s — aborting")
+        os._exit(3)
+
+    killer = threading.Timer(2400, _die)
+    killer.daemon = True
+    killer.start()
+    ctx = run_headline(result)   # must succeed — carries contract keys
+    killer.cancel()
 
     # realdata has NO outer watchdog: its per-seed watchdogs would clash
     # with a nested alarm (signal.alarm is process-global)

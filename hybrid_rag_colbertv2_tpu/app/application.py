@@ -330,6 +330,7 @@ class RAGApplication:
                 mode, weight = det["picked"], det["picked_weight"]
                 if mode not in ("rerank", "rrf") or not (
                         isinstance(weight, (int, float))
+                        and not isinstance(weight, bool)
                         and 0.0 <= weight <= 1.0):
                     raise ValueError(f"invalid verdict {mode!r}/{weight!r}")
                 # a verdict from a PINNED run (restricted menu) must not

@@ -209,10 +209,15 @@ class RAGConfig:
         mesh = d.pop("mesh", None)
         cfg = cls(**{k: v for k, v in d.items() if k in _FIELD_NAMES})
         cfg.query_term_buckets = tuple(cfg.query_term_buckets)
-        # an explicit fusion_weight_bm25 in a config FILE is a pin, same
+        # a NON-DEFAULT fusion_weight_bm25 in a config FILE is a pin, same
         # as the CLI flag — the auto gate must not override a value the
-        # user wrote down (it may still pick the ordering mode)
-        if "fusion_weight_bm25" in d and "fusion_weight_pinned" not in d:
+        # user chose (it may still pick the ordering mode). The default
+        # 0.5 does NOT pin: full round-tripped dumps (cfg.save()) always
+        # carry the field, and inferring a pin from a machine-serialized
+        # default would silently restrict the gate menu. To pin exactly
+        # 0.5, set "fusion_weight_pinned": true explicitly.
+        if ("fusion_weight_bm25" in d and "fusion_weight_pinned" not in d
+                and d["fusion_weight_bm25"] != 0.5):
             cfg.fusion_weight_pinned = True
         if mesh:
             if mesh.get("mesh_shape") is not None:

@@ -203,10 +203,26 @@ def test_pinned_weight_survives_gate(tmp_path):
 
 
 def test_config_file_weight_is_pinned():
-    """An explicit fusion_weight_bm25 in a config FILE pins it, same as
+    """A non-default fusion_weight_bm25 in a config FILE pins it, same as
     the CLI flag; a full round-tripped config (which always carries the
     field) does not accidentally pin."""
     cfg = RAGConfig.from_json('{"fusion_weight_bm25": 0.8}')
     assert cfg.fusion_weight_pinned and cfg.fusion_weight_bm25 == 0.8
     rt = RAGConfig.from_json(RAGConfig().to_json())
     assert rt.fusion_weight_pinned is False
+
+
+def test_config_pin_inference_ignores_machine_defaults():
+    """A machine-serialized default (0.5) never pins — only a non-default
+    value written in a config file does; corrupt bool weights in a
+    persisted verdict are rejected (isinstance(bool, int) trap)."""
+    # old-build full dump: every field present incl. the 0.5 default
+    assert RAGConfig.from_json(
+        '{"fusion_weight_bm25": 0.5}').fusion_weight_pinned is False
+    # explicit non-default value -> pinned
+    assert RAGConfig.from_json(
+        '{"fusion_weight_bm25": 0.9}').fusion_weight_pinned is True
+    # explicit pin of the default value
+    cfg = RAGConfig.from_json(
+        '{"fusion_weight_bm25": 0.5, "fusion_weight_pinned": true}')
+    assert cfg.fusion_weight_pinned is True
