@@ -177,6 +177,7 @@ class RAGApplication:
         """Process documents then rebuild both indexes from the full store.
 
         Reference: index_documents (local_rag_complete.py:1141-1164)."""
+        n_chunks_before = self.store.stats()["chunks"]
         results = []
         for p in paths:
             chunks, doc_id, ids = self.processor.process_document(p)
@@ -203,12 +204,19 @@ class RAGApplication:
         # the index (and possibly the encoder) changed: a previously
         # measured fusion-gate verdict no longer describes it — drop the
         # persisted verdict and re-arm "auto" IF the gate (not the user)
-        # chose the current mode, so the next bind re-measures
-        self._gate_path().unlink(missing_ok=True)
-        if self._gate_resolved:
-            self.config.final_fusion = "auto"
-            self._gate_resolved = False
-            self.fusion_gate = None
+        # chose the current mode, so the next bind re-measures. A NO-OP
+        # upload (zero new chunks, no retrain — e.g. re-pointing at an
+        # already-ingested directory) leaves the index identical, so the
+        # verdict still describes it; invalidating would re-trigger the
+        # full gate measurement (~5 cascade compiles + ~40 retrieval
+        # dispatches through the tunnel) for nothing (ADVICE r3).
+        index_changed = (len(corpus) != n_chunks_before) or trains
+        if index_changed:
+            self._gate_path().unlink(missing_ok=True)
+            if self._gate_resolved:
+                self.config.final_fusion = "auto"
+                self._gate_resolved = False
+                self.fusion_gate = None
         # a live retriever/chatbot would keep serving the PREVIOUS index —
         # rebind them to the freshly built one (no disk reload; preserves
         # an initialized chat session across re-indexing)

@@ -24,7 +24,14 @@ measured max; inside a one-query noise band around it,
   * otherwise ship the LAST (most BM25-protective) entry in the band —
     the downside is asymmetric: a weak dense leg demoting lexical hits
     costs real accuracy, while a genuinely strong dense leg wins the
-    gate by more than the noise floor anyway.
+    gate by more than the noise floor anyway —
+  * EXCEPT (rrf, 1.0), which must win the band OUTRIGHT (be its only
+    member): at weight 1.0 the dense leg's RRF contribution is exactly
+    zero, so dense-only candidates are dropped from the candidate set
+    entirely (rrf_from_topk masks zero-score ids) — it is lexical-only
+    candidate generation, not a BM25-lean hybrid. On a tie with
+    (rrf, 0.9) the 0.9 entry keeps the dense leg as tie-breaker/rescue
+    at no measured cost, so it wins the tie.
 
 A BM25-lean setting means the hybrid cannot lose to its own lexical leg
 while the dense leg still breaks ties and rescues queries BM25 misses —
@@ -60,6 +67,22 @@ MIN_GATE_CHUNKS = 16   # below this the eval is meaningless; keep parity
 # tried) just inject selection noise.
 GATE_MENU = (("rerank", 0.5), ("rrf", 0.5), ("rrf", 0.75), ("rrf", 0.9),
              ("rrf", 1.0))
+
+
+def select_entry(menu, hits: Dict[Tuple[str, float], float],
+                 n_queries: int) -> Tuple[str, float]:
+    """Apply the band selection rule (module docstring) to measured
+    hit@k values: parity if in band, else the most BM25-protective entry
+    in the band — except (.., 1.0), which must be ALONE in the band to
+    win (lexical-only candidate generation drops dense-only docs; on a
+    tie the next-most-lexical entry keeps the dense leg for free)."""
+    best = max(hits[e] for e in menu)
+    eps = 1.0 / max(1, n_queries) + 1e-9
+    in_band = [e for e in menu if hits[e] >= best - eps]
+    if menu[0] in in_band:
+        return menu[0]
+    non_lexical_only = [e for e in in_band if e[1] < 1.0]
+    return non_lexical_only[-1] if non_lexical_only else in_band[-1]
 
 
 def resolve_final_fusion(
@@ -131,10 +154,7 @@ def resolve_final_fusion(
         hits[(mode, weight)] = n_hit / max(1, len(queries))
 
     # selection rule — see module docstring
-    best = max(hits.values())
-    eps = 1.0 / max(1, len(queries)) + 1e-9
-    in_band = [e for e in menu if hits[e] >= best - eps]
-    picked = menu[0] if menu[0] in in_band else in_band[-1]
+    picked = select_entry(menu, hits, len(queries))
     details = {"picked": picked[0], "picked_weight": picked[1],
                "queries": len(queries), "k": k}
     for (mode, weight), h in hits.items():

@@ -6,12 +6,23 @@ k values would otherwise grow one compiled executable per k forever —
 compile time and device memory leak (VERDICT r2 weak #6). A tiny LRU keeps
 the common ks hot and evicts the rest; eviction drops our reference to the
 jitted callable, letting jax release its executable when unused.
+
+Thread safety (ADVICE r3): module-wide instances (_FUSED_CACHE,
+_SHARDED_CACHE, _FORWARD_CACHE, _STEP_CACHE) are shared across
+retriever/encoder instances and hit from concurrent serving threads. A
+plain dict would double-build (a wasted multi-minute tunnel compile) or
+race the OrderedDict's move_to_end/popitem. ``get_or_build`` holds a lock
+around the map but runs ``build()`` OUTSIDE it, using a per-key in-flight
+event so a second thread asking for the same key waits for the first
+build instead of duplicating it, while builds for different keys proceed
+concurrently.
 """
 
 from __future__ import annotations
 
+import threading
 from collections import OrderedDict
-from typing import Callable, Hashable
+from typing import Callable, Dict, Hashable
 
 
 class JitCache:
@@ -26,21 +37,44 @@ class JitCache:
         assert max_entries >= 1
         self.max_entries = max_entries
         self._d: OrderedDict = OrderedDict()
+        self._lock = threading.Lock()
+        self._inflight: Dict[Hashable, threading.Event] = {}
         self.builds = 0      # observability: how many compiles happened
 
     def get_or_build(self, key: Hashable, build: Callable):
-        if key in self._d:
-            self._d.move_to_end(key)
-            return self._d[key]
-        fn = build()
-        self.builds += 1
-        self._d[key] = fn
-        while len(self._d) > self.max_entries:
-            self._d.popitem(last=False)
+        while True:
+            with self._lock:
+                if key in self._d:
+                    self._d.move_to_end(key)
+                    return self._d[key]
+                ev = self._inflight.get(key)
+                if ev is None:
+                    # we own the build for this key
+                    ev = self._inflight[key] = threading.Event()
+                    break
+            # another thread is building this key — wait, then re-check
+            # (the builder may have failed, in which case we take over)
+            ev.wait()
+        try:
+            fn = build()
+        except BaseException:
+            with self._lock:
+                self._inflight.pop(key, None)
+            ev.set()
+            raise
+        with self._lock:
+            self.builds += 1
+            self._d[key] = fn
+            while len(self._d) > self.max_entries:
+                self._d.popitem(last=False)
+            self._inflight.pop(key, None)
+        ev.set()
         return fn
 
     def __len__(self) -> int:
-        return len(self._d)
+        with self._lock:
+            return len(self._d)
 
     def __contains__(self, key) -> bool:
-        return key in self._d
+        with self._lock:
+            return key in self._d

@@ -226,3 +226,59 @@ def test_config_pin_inference_ignores_machine_defaults():
     cfg = RAGConfig.from_json(
         '{"fusion_weight_bm25": 0.5, "fusion_weight_pinned": true}')
     assert cfg.fusion_weight_pinned is True
+
+
+def test_gate_band_rule_lexical_only_needs_outright_win():
+    """ADVICE r3: (rrf, 1.0) zeroes the dense leg's RRF contribution, so
+    it must win the band OUTRIGHT; on an in-band tie the next-most-
+    lexical entry (which keeps the dense leg as tie-breaker) wins."""
+    from hybrid_rag_colbertv2_tpu.retrieval.gate import (GATE_MENU,
+                                                         select_entry)
+
+    menu = GATE_MENU
+    # exact tie between 0.9 and 1.0 -> 0.9 wins
+    hits = {("rerank", 0.5): 0.3, ("rrf", 0.5): 0.4, ("rrf", 0.75): 0.5,
+            ("rrf", 0.9): 0.7, ("rrf", 1.0): 0.7}
+    assert select_entry(menu, hits, 64) == ("rrf", 0.9)
+    # 1.0 ahead but within the one-query noise band -> still 0.9
+    hits[("rrf", 1.0)] = 0.7 + 1.0 / 64
+    assert select_entry(menu, hits, 64) == ("rrf", 0.9)
+    # 1.0 strictly above the band -> it may ship
+    hits[("rrf", 1.0)] = 0.9
+    assert select_entry(menu, hits, 64) == ("rrf", 1.0)
+    # parity in band always wins
+    hits = {e: 0.5 for e in menu}
+    assert select_entry(menu, hits, 64) == ("rerank", 0.5)
+
+
+def test_noop_upload_keeps_gate_verdict(tmp_path):
+    """ADVICE r3: an upload that adds zero new chunks leaves the index
+    identical — the persisted gate verdict must survive (re-measuring
+    costs ~5 cascade compiles through the tunnel)."""
+    from hybrid_rag_colbertv2_tpu.app.application import RAGApplication
+    from hybrid_rag_colbertv2_tpu.tools.sample_corpus import write_corpus
+
+    paths = write_corpus(tmp_path / "docs", n_docs=6, seed=0)
+    cfg = RAGConfig(
+        db_path=str(tmp_path / "rag.db"),
+        bm25_index_path=str(tmp_path / "idx/bm25"),
+        colbert_index_path=str(tmp_path / "idx/colbert"),
+        tokenizer_path=str(tmp_path / "idx/tok.json"),
+        images_dir=str(tmp_path / "img"),
+        min_chunk_size=48, max_chunk_size=96, doc_max_tokens=96,
+        encoder_preset="tiny", tokenizer_vocab_size=512,
+    )
+    app = RAGApplication(cfg, use_ollama=False)
+    app.index_documents([str(p) for p in paths])
+    mode = app.resolve_final_fusion()
+    gp = app._gate_path()
+    saved = gp.read_text()
+    # no-op upload: zero new chunks -> verdict untouched, auto not re-armed
+    app.index_documents([])
+    assert gp.read_text() == saved
+    assert app.config.final_fusion == mode
+    assert app.fusion_gate is not None
+    # a REAL upload still invalidates + re-arms
+    extra = write_corpus(tmp_path / "docs2", n_docs=2, seed=1)
+    app.index_documents([str(p) for p in extra])
+    assert app.config.final_fusion == "auto"

@@ -153,3 +153,40 @@ def test_sharded_retriever_k_cache_bounded():
     before = r._fns.builds
     r.retrieve_batch(["topic 0"], top_k_final=2)   # hot now
     assert r._fns.builds == before
+
+
+def test_jit_cache_concurrent_single_build():
+    """ADVICE r3: concurrent get_or_build for the SAME key must build
+    once (a duplicate build is a wasted multi-minute tunnel compile);
+    different keys may build concurrently; a failed build releases the
+    key so a waiter can retry."""
+    import threading
+    import time
+
+    c = JitCache(max_entries=8)
+    n_builds = [0]
+    results = []
+
+    def build():
+        n_builds[0] += 1
+        time.sleep(0.05)
+        return "fn"
+
+    threads = [threading.Thread(
+        target=lambda: results.append(c.get_or_build("k", build)))
+        for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert n_builds[0] == 1 and results == ["fn"] * 8
+
+    # failed build doesn't wedge the key
+    def boom():
+        raise RuntimeError("compile failed")
+
+    try:
+        c.get_or_build("bad", boom)
+    except RuntimeError:
+        pass
+    assert c.get_or_build("bad", lambda: "ok") == "ok"
