@@ -51,7 +51,7 @@ from pathlib import Path
 import numpy as np
 
 BASELINE_MS = 321.0     # reference total retrieval (README.md:182)
-CACHE_VERSION = 1       # bump when training/indexing code changes enough
+CACHE_VERSION = 2       # bump when training/indexing code changes enough
 #                         to invalidate cached trained-encoder params
 
 
@@ -440,6 +440,7 @@ def _seed_eval(td, n_docs, steps, seed, prefilter, postings_cap,
     h.update(f"|{steps}|{seed}|{cfg.encoder_preset}|"
              f"{cfg.encoder_hard_negatives}|{cfg.tokenizer_vocab_size}|"
              f"{cfg.encoder_word_dropout}|{cfg.encoder_max_epochs}|"
+             f"{cfg.encoder_synonym_prob}|"
              f"{CACHE_VERSION}".encode())
     cdir = cache_root / h.hexdigest()[:16]
     c_params, c_tok = cdir / "encoder_params.npz", cdir / "tokenizer.json"
@@ -465,6 +466,27 @@ def _seed_eval(td, n_docs, steps, seed, prefilter, postings_cap,
         f"gate={app.fusion_gate}")
 
     out = {"gate": app.fusion_gate, "chunks": None}
+    # gate TRANSFER check (VERDICT r3 next #7): the gate calibrates on
+    # ICT-span queries; validate the picked entry on the generator-
+    # DISJOINT template family (paraphrase + adversarial pairs) — the
+    # verdict must be a property of the index, not of the generator.
+    try:
+        from hybrid_rag_colbertv2_tpu.retrieval.gate import \
+            validate_transfer
+        from hybrid_rag_colbertv2_tpu.tools.eval_recall import (
+            adversarial_eval_pairs, paraphrase_eval_pairs)
+
+        corpus = app.store.all_chunk_texts()
+        fam = paraphrase_eval_pairs(corpus) + adversarial_eval_pairs(corpus)
+        rng = np.random.default_rng(31)
+        rng.shuffle(fam)
+        picked = (app.config.final_fusion, app.config.fusion_weight_bm25)
+        out["gate_transfer"] = validate_transfer(
+            app.config, app.indexes, app.encoder, fam[:64], picked,
+            chunk_store=app.store)
+        log(f"seed {seed} gate transfer: {json.dumps(out['gate_transfer'])}")
+    except Exception as e:       # transfer check must never sink the pass
+        log(f"seed {seed} gate transfer skipped: {type(e).__name__}: {e}")
     # "gated" = whatever (final_fusion, fusion_weight_bm25) the measured
     # gate calibrated; "parity" = the reference's settings; "rrf" = the
     # equal-weight blended final ordering
@@ -473,7 +495,7 @@ def _seed_eval(td, n_docs, steps, seed, prefilter, postings_cap,
         "parity": {"final_fusion": "rerank", "fusion_weight_bm25": 0.5},
         "rrf": {"final_fusion": "rrf", "fusion_weight_bm25": 0.5},
     }
-    for source in ("paraphrase", "ict"):
+    for source in ("paraphrase", "ict", "adversarial"):
         per = {}
         for name, overrides in configs.items():
             r = evaluate(app, n_queries=64, k=10, batch=8,
@@ -527,7 +549,18 @@ def run_realdata(result, ctx):
 
     rd = {"chunks": per_seed[0]["chunks"], "seeds": len(per_seed),
           "train_steps": steps, "gate": per_seed[0]["gate"]}
-    for source in ("paraphrase", "ict"):
+    transfers = [s["gate_transfer"] for s in per_seed
+                 if "gate_transfer" in s]
+    if transfers:
+        rd["gate_transfer"] = {
+            "transfer_hit@10": round(float(np.mean(
+                [t["transfer_hit@10"] for t in transfers])), 3),
+            "transfer_best": round(float(np.mean(
+                [t["transfer_best"] for t in transfers])), 3),
+            "in_band_all_seeds": all(t["in_band"] for t in transfers),
+            "per_entry": transfers[0]["per_entry"],
+        }
+    for source in ("paraphrase", "ict", "adversarial"):
         rows = [s[source] for s in per_seed if source in s]
         if not rows:
             continue
@@ -549,22 +582,36 @@ def run_realdata(result, ctx):
         result["hit10_paraphrase"] = rd["paraphrase"]["hit10"]
         result["hit10_paraphrase_bm25_only"] = \
             rd["paraphrase"]["hit10_bm25_only"]
-    if "paraphrase" in rd and "ict" in rd:
-        dp = rd["paraphrase"]["hit10"] - rd["paraphrase"]["hit10_bm25_only"]
-        di = rd["ict"]["hit10"] - rd["ict"]["hit10_bm25_only"]
-        result["hit10_mean_both"] = round(
-            (rd["paraphrase"]["hit10"] + rd["ict"]["hit10"]) / 2, 3)
-        result["hit10_mean_both_bm25_only"] = round(
-            (rd["paraphrase"]["hit10_bm25_only"]
-             + rd["ict"]["hit10_bm25_only"]) / 2, 3)
+    slices = [s for s in ("paraphrase", "ict", "adversarial") if s in rd]
+    if len(slices) >= 2:
+        deltas = {s: round(rd[s]["hit10"] - rd[s]["hit10_bm25_only"], 3)
+                  for s in slices}
+        result["hit10_mean_all"] = round(
+            float(np.mean([rd[s]["hit10"] for s in slices])), 3)
+        result["hit10_mean_all_bm25_only"] = round(
+            float(np.mean([rd[s]["hit10_bm25_only"] for s in slices])), 3)
+        # kept for cross-round comparability with BENCH_r03
+        if "paraphrase" in rd and "ict" in rd:
+            result["hit10_mean_both"] = round(
+                (rd["paraphrase"]["hit10"] + rd["ict"]["hit10"]) / 2, 3)
+            result["hit10_mean_both_bm25_only"] = round(
+                (rd["paraphrase"]["hit10_bm25_only"]
+                 + rd["ict"]["hit10_bm25_only"]) / 2, 3)
+        if "adversarial" in rd:
+            result["hit10_adversarial_dense_only"] = \
+                rd["adversarial"]["hit10_dense_only"]
+        mean_delta = round(float(np.mean(list(deltas.values()))), 3)
         result["quality_note"] = (
-            f"calibrated hybrid minus bm25-only: paraphrase {dp:+.3f}, "
-            f"verbatim-ict {di:+.3f}, mean "
-            f"{(dp + di) / 2:+.3f}. The (final_fusion, bm25 leg weight) "
-            f"setting is measured per index on held-out queries "
-            f"(retrieval/gate.py); parity (rerank, unweighted) scores "
-            f"{rd['paraphrase']['hit10_parity']}/{rd['ict']['hit10_parity']}"
-            f" on the same evals.")
+            "calibrated hybrid minus bm25-only: "
+            + ", ".join(f"{s} {deltas[s]:+.3f}" for s in slices)
+            + f", mean {mean_delta:+.3f} over {len(slices)} slices "
+            "(paraphrase keeps concrete slot words = BM25's best case; "
+            "adversarial replaces them via the synonym lexicon = only "
+            "semantics works). The (final_fusion, bm25 leg weight) "
+            "setting is measured per index on held-out queries "
+            "(retrieval/gate.py); parity (rerank, unweighted) scores "
+            + "/".join(str(rd[s]["hit10_parity"]) for s in slices)
+            + " on the same evals.")
 
 
 def main():

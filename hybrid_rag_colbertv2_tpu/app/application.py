@@ -105,8 +105,14 @@ class RAGApplication:
             if tok_path.exists():
                 tokenizer = ColBERTTokenizer.load(tok_path)
             else:
+                # extend BPE training with the synonym lexicon so synonym
+                # words ("60", "rapid") get whole tokens instead of byte
+                # fallbacks — queries phrased with synonyms then tokenize
+                # comparably to corpus prose (train/lexicon.py)
+                from ..train.lexicon import lexicon_sentences
                 tokenizer = ColBERTTokenizer.train_bpe(
-                    corpus or ["placeholder corpus"],
+                    (list(corpus) + lexicon_sentences()) if corpus
+                    else ["placeholder corpus"],
                     vocab_size=cfg.tokenizer_vocab_size)
                 if corpus:
                     # never persist a placeholder-trained tokenizer: an
@@ -246,6 +252,23 @@ class RAGApplication:
         pairs_idx = pseudo_query_pairs(corpus, n_pairs_per_doc=6,
                                        seed=self.config.encoder_seed,
                                        word_dropout=dropout)
+        # synonym-augmented share: spans with lexicon-covered words
+        # replaced by synonyms (train/lexicon.py) teach the invariance a
+        # pretrained encoder has built in — queries phrased with "60" /
+        # "rapid" must still rank the chunk saying "sixty" / "fast"
+        # first. This is the training half of VERDICT r3 next #1; the
+        # adversarial eval slice (tools/sample_corpus.adversarial_pairs)
+        # is the measurement half.
+        syn_prob = (self.config.encoder_synonym_prob
+                    if len(corpus) >= 16 else 0.0)
+        if syn_prob > 0.0:
+            pairs_idx += pseudo_query_pairs(
+                corpus, n_pairs_per_doc=4,
+                seed=self.config.encoder_seed + 1,
+                word_dropout=dropout, synonym_prob=syn_prob)
+            import numpy as _np
+            _np.random.default_rng(
+                self.config.encoder_seed).shuffle(pairs_idx)
         n_neg = self.config.encoder_hard_negatives
         if n_neg > 0 and len(corpus) > n_neg + 1:
             mined = mine_hard_negatives(corpus, pairs_idx,

@@ -190,6 +190,13 @@ class RAGConfig:
     # lexical prior is the whole signal and noisy spans destabilize the
     # few-batch training (see encoder_max_epochs note).
     encoder_word_dropout: float = 0.15
+    # Synonym-substitution probability for the synonym-augmented share of
+    # ICT training pairs (train/lexicon.py): the query says "60"/"rapid"
+    # while the chunk says "sixty"/"fast", teaching the encoder the
+    # synonym invariance a pretrained checkpoint has built in — the
+    # regime the lexically-adversarial eval measures. 0 disables the
+    # augmented pairs entirely. Gated on >= 16 chunks like word dropout.
+    encoder_synonym_prob: float = 0.5
     # Epoch ceiling on encoder_train_steps: overtraining tiny corpora
     # collapses the representation into per-batch clusters and destroys
     # the fresh encoder's lexical prior (measured in app/application.py

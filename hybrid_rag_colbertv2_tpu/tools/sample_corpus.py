@@ -455,6 +455,32 @@ def paraphrase_pairs() -> List[Tuple[str, str]]:
     return out
 
 
+def adversarial_pairs() -> List[Tuple[str, str]]:
+    """-> [(adversarial_query, source_sentence)]: lexically-adversarial
+    paraphrases (VERDICT r3 next #1a).
+
+    The plain paraphrase queries reword the template but KEEP the
+    concrete slot words, so BM25 saturates on them (~0.98 hit@10) and
+    the eval has no headroom for the dense leg to demonstrate value.
+    Here every lexicon-covered word of the filled paraphrase query —
+    slot values included — is replaced by its first synonym
+    (train/lexicon.py, deterministic): "sixty" -> "60", "kernel" ->
+    "routine", "benchmark" -> "test suite". The query still uniquely
+    states the same facts (slot-value mapping is injective per slot, so
+    the (a, b, c) identity survives), but shares almost no indexable
+    terms with the source sentence — the regime where only semantic
+    matching works. Callers locate sources exactly like
+    paraphrase_pairs (unique-substring containment)."""
+    from ..train.lexicon import substitute_text
+
+    out: List[Tuple[str, str]] = []
+    for query, sentence in paraphrase_pairs():
+        adv = substitute_text(query, pick="first")
+        if adv != query:
+            out.append((adv, sentence))
+    return out
+
+
 def generate_corpus(n_docs: int = 16, seed: int = 0,
                     sections_per_doc: int = 4,
                     sentences_per_section: int = 4) -> List[str]:
