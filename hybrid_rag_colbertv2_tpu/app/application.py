@@ -193,8 +193,7 @@ class RAGApplication:
         if not corpus:
             raise RuntimeError("no chunks to index")
         self.encoder = self._make_encoder(corpus)
-        trains = (self.config.encoder_train_steps > 0
-                  and not self.config.encoder_checkpoint)
+        trains = self._should_train(corpus)
         if trains:
             self._train_encoder(corpus)
         self.indexes = IndexManager(self.config, self.encoder)
@@ -233,6 +232,29 @@ class RAGApplication:
         return {"documents": results, "total_chunks": len(corpus),
                 "timings": dict(self.indexes.timer.timings)}
 
+    # below this, ICT pairs are too few/noisy for auto-training to help
+    # (config.encoder_word_dropout note; explicit steps > 0 still train)
+    MIN_AUTO_TRAIN_CHUNKS = 16
+    AUTO_TRAIN_STEPS = 300
+
+    def _trained_marker_path(self) -> Path:
+        return Path(self.config.colbert_index_path) / "encoder_trained.json"
+
+    def _should_train(self, corpus) -> bool:
+        """encoder_train_steps semantics: >0 always train, 0 never, -1
+        AUTO — train once per index (marker-gated) on corpora large
+        enough for ICT pairs to carry signal. A checkpoint always wins
+        (its pretrained semantics are strictly better than corpus ICT)."""
+        cfg = self.config
+        if cfg.encoder_checkpoint:
+            return False
+        if cfg.encoder_train_steps > 0:
+            return True
+        if cfg.encoder_train_steps == 0:
+            return False
+        return (len(corpus) >= self.MIN_AUTO_TRAIN_CHUNKS
+                and not self._trained_marker_path().exists())
+
     def _train_encoder(self, corpus) -> None:
         """Self-contained semantic adaptation: contrastive training on ICT
         pseudo-queries from the corpus (new capability vs the reference,
@@ -241,6 +263,8 @@ class RAGApplication:
         from ..train.trainer import ColBERTTrainer, TrainConfig
 
         steps = self.config.encoder_train_steps
+        if steps < 0:
+            steps = self.AUTO_TRAIN_STEPS
         # 6 pairs/doc measured +1.5pp dense hit@10 over 4 at equal wall
         # time (docs/performance.md ablation); 8 adds nothing further.
         # word_dropout makes training queries non-verbatim — the encoder
@@ -295,12 +319,21 @@ class RAGApplication:
                         doc_len=min(self.config.doc_max_tokens, 128)),
         )
         metrics = trainer.train(pairs)
+        if not metrics:
+            log.warning("encoder training produced no batches — skipped")
+            return
         log.info("encoder trained %d steps: loss %.3f -> %.3f", steps,
                  metrics[0]["loss"], metrics[-1]["loss"])
-        # persist the trained weights so query-time encoding matches
+        # persist the trained weights so query-time encoding matches, and
+        # a marker so AUTO mode trains once per index (incremental uploads
+        # reuse the trained weights instead of retraining)
         params_path, _ = self._encoder_paths()
         params_path.parent.mkdir(parents=True, exist_ok=True)
         self.encoder.save_params(str(params_path))
+        self._trained_marker_path().write_text(json.dumps({
+            "steps": steps, "pairs": len(pairs),
+            "final_loss": round(metrics[-1]["loss"], 4),
+            "chunks": len(corpus)}))
 
     # ------------------------------------------------------------------
     def initialize_chatbot(self, use_mesh: Optional[bool] = None) -> None:

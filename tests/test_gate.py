@@ -90,8 +90,11 @@ def test_gate_resolves_auto_and_records_measurement(small_app):
     hits = {(m, w): g[f"hit@10_{m}_w{w}"] for m, w in GATE_MENU}
     assert all(0.0 <= h <= 1.0 for h in hits.values())
     # the winner is within one-query epsilon of the measured max (the
-    # gate prefers the later/more lexical entry inside that band)
-    eps = 1.0 / g["queries"] + 1e-9
+    # gate prefers the later/more lexical entry inside that band). The
+    # recorded hits are rounded to 3 decimals, so allow 2x the rounding
+    # step on top of the one-query band (the gate itself selects on
+    # unrounded values).
+    eps = 1.0 / g["queries"] + 2e-3
     assert hits[(mode, g["picked_weight"])] >= max(hits.values()) - eps
     # idempotent: second call is a no-op returning the same mode
     assert app.resolve_final_fusion() == mode
