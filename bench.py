@@ -498,9 +498,15 @@ def _seed_eval(td, n_docs, steps, seed, prefilter, postings_cap,
     for source in ("paraphrase", "ict", "adversarial"):
         per = {}
         for name, overrides in configs.items():
+            # the exact-cascade comparison and per-leg diagnostics are
+            # index/encoder properties — measure them ONCE per source (on
+            # the gated config); re-measuring per config costs an extra
+            # fused-cascade compile each through the tunnel
             r = evaluate(app, n_queries=64, k=10, batch=8,
                          measure_latency=False, query_source=source,
-                         config_overrides=overrides)
+                         config_overrides=overrides,
+                         measure_exact=(name == "gated"),
+                         measure_legs=(name == "gated"))
             per[name] = r
             log(f"seed {seed} {source} {name}: {json.dumps(r)}")
         conf = per["gated"]
@@ -534,8 +540,10 @@ def run_realdata(result, ctx):
     per_seed = []
     for i, seed in enumerate(seeds):
         # first seed pays the compiles — up to ~8 min under tunnel
-        # contention (observed); later seeds reuse every executable
-        budget = 600 if i == 0 else 300
+        # contention (observed); later seeds reuse every executable.
+        # Budgets cover train(600 steps ~5 min) + gate + transfer + 9
+        # evals over 3 sources (r4 added the adversarial slice).
+        budget = 1200 if i == 0 else 600
         try:
             with _watchdog(budget):
                 with tempfile.TemporaryDirectory() as td:

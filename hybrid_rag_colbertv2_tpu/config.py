@@ -75,6 +75,14 @@ class RAGConfig:
     # (markdown_chunking_strategy.py:142); exposed here so the app-level
     # pipeline applies it by default instead of silently dropping it.
     chunk_level1_standalone: bool = True
+    # Image->chunk association (ingest/processor.py). "page" (default):
+    # images attach to the chunks whose source-page span contains the
+    # image's page — proximity is the signal (SURVEY.md section 7 lists
+    # the reference's all-or-nothing heuristic as implementation to
+    # discard). "document": reference parity — EVERY document image
+    # attaches to every chunk containing a visual keyword
+    # (local_rag_complete.py:558-605), kept for parity audits.
+    image_association: str = "page"
 
     # Retrieval (local_rag_complete.py:68-70; candidate depth of 50 is
     # hard-coded at local_rag_complete.py:916 — here it's a config field)

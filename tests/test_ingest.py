@@ -130,9 +130,9 @@ def test_vision_analysis_pipeline_end_to_end(tmp_path, monkeypatch):
         lambda path, images_dir, doc_id: [
             {"page_number": 1, "image_path": str(tmp_path / "fig1.png")}])
     monkeypatch.setattr(
-        proc_mod, "document_to_markdown",
+        proc_mod, "document_to_markdown_pages",
         lambda path: ("# Arch\n\nSee the figure below for the MXU layout.\n",
-                      1))
+                      [0]))
 
     cfg = RAGConfig(images_dir=str(tmp_path / "imgs"),
                     min_chunk_size=2, max_chunk_size=64)
@@ -162,8 +162,8 @@ def test_vision_failure_degrades_not_blocks(tmp_path, monkeypatch):
         lambda path, images_dir, doc_id: [
             {"page_number": 1, "image_path": "/nope.png"}])
     monkeypatch.setattr(
-        proc_mod, "document_to_markdown",
-        lambda path: ("# T\n\nplain text content\n", 1))
+        proc_mod, "document_to_markdown_pages",
+        lambda path: ("# T\n\nplain text content\n", [0]))
 
     cfg = RAGConfig(images_dir=str(tmp_path / "imgs"),
                     min_chunk_size=2, max_chunk_size=64)
@@ -216,3 +216,92 @@ def test_placeholder_artifacts_not_persisted_before_upload(tmp_path):
     assert (tmp_path / "idx/tokenizer.json").exists()
     app.initialize_chatbot(use_mesh=False)
     assert app.query("real corpus content")
+
+
+def test_document_to_markdown_pages_formfeed(tmp_path):
+    """Form feeds split text/markdown into pages; page_first_line maps
+    lines back to 1-based pages (VERDICT r3 next #5 groundwork)."""
+    from hybrid_rag_colbertv2_tpu.ingest.pdf import \
+        document_to_markdown_pages
+
+    p = tmp_path / "doc.md"
+    p.write_text("# A\n\npage one text\n\f# B\n\npage two text\n")
+    md, page_lines = document_to_markdown_pages(p)
+    assert len(page_lines) == 2 and page_lines[0] == 0
+    lines = md.split("\n")
+    # page 2's heading lands at/after its recorded first line
+    assert lines[page_lines[1]].startswith("# B")
+    # single page: no \f -> [0]
+    q = tmp_path / "one.md"
+    q.write_text("# Only\n\ntext\n")
+    assert document_to_markdown_pages(q)[1] == [0]
+
+
+def test_chunker_line_spans():
+    from hybrid_rag_colbertv2_tpu.ingest.chunker import (ChunkerConfig,
+                                                         MarkdownChunker)
+
+    md = "# A\n\naaa bbb ccc\n\n# B\n\nddd eee fff\n"
+    ch = MarkdownChunker(ChunkerConfig(min_tokens=2, max_tokens=6))
+    chunks = ch.chunk(md)
+    assert all(c["line_start"] >= 0 and c["line_end"] >= c["line_start"]
+               for c in chunks)
+    # section A spans lines 0..3, section B starts at line 4
+    a = next(c for c in chunks if "aaa" in c["text"])
+    b = next(c for c in chunks if "ddd" in c["text"])
+    assert a["line_start"] == 0 and b["line_start"] == 4
+
+
+def test_page_proximity_image_association():
+    """VERDICT r3 next #5: page mode attaches an image only to chunks
+    whose source-page span contains it; reference behavior stays
+    available as mode='document'."""
+    chunks = [
+        {"text": "See the figure on page one.", "page_start": 1,
+         "page_end": 1},
+        {"text": "Second page discussion.", "page_start": 2,
+         "page_end": 2},
+        {"text": "Chunk spanning both pages.", "page_start": 1,
+         "page_end": 2},
+    ]
+    images = [{"image_path": "p2.png", "description": "a scatter plot",
+               "type": "chart", "page_number": 2}]
+    out = DocumentProcessor.enrich_chunks_with_images(
+        [dict(c) for c in chunks], images, mode="page")
+    assert not out[0]["has_images"]          # page-1 chunk: no page-2 image
+    assert out[1]["has_images"] and "scatter plot" in out[1]["text"]
+    assert out[2]["has_images"]              # spans page 2
+    # reference parity mode: keyword-matching chunk gets EVERY image
+    out_doc = DocumentProcessor.enrich_chunks_with_images(
+        [dict(c) for c in chunks], images, mode="document")
+    assert out_doc[0]["has_images"]          # 'figure' keyword
+    assert not out_doc[1]["has_images"]      # no keyword
+
+
+def test_multipage_pipeline_page_association(tmp_path, monkeypatch):
+    """End-to-end: a two-page document with a page-2 image — only the
+    page-2 chunks carry it (VERDICT r3 next #5 done-condition)."""
+    from hybrid_rag_colbertv2_tpu.ingest import processor as proc_mod
+
+    md = ("# Alpha\n\nfirst page words about systolic arrays\n\f"
+          "# Beta\n\nsecond page words about reef ecology\n")
+    p = tmp_path / "doc.md"
+    p.write_text(md)
+    monkeypatch.setattr(
+        proc_mod, "extract_pdf_images",
+        lambda path, images_dir, doc_id: [
+            {"page_number": 2, "image_path": "fig2.png"}])
+    cfg = RAGConfig(images_dir=str(tmp_path / "imgs"),
+                    min_chunk_size=2, max_chunk_size=64)
+    store = ChunkStore(str(tmp_path / "m.db"))
+    proc = DocumentProcessor(cfg, store)
+    chunks, doc_id, ids = proc.process_document(p)
+    page1 = [c for c in chunks if "systolic" in c["text"]]
+    page2 = [c for c in chunks if "reef" in c["text"]]
+    assert page1 and page2
+    assert all(not c["has_images"] for c in page1)
+    assert all(c["has_images"] for c in page2)
+    assert all(c.get("page_start") == 2 for c in page2)
+    # persisted metadata carries the page span
+    meta = store.get_chunk(ids[-1])["metadata"]
+    assert meta.get("page_start") in (1, 2)
