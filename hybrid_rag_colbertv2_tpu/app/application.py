@@ -42,6 +42,7 @@ log = get_logger(__name__)
 _PRESETS = {
     "tiny": ColBERTConfig.tiny,
     "small": ColBERTConfig.small,
+    "base": ColBERTConfig.base,
     "jina-colbert-v2": ColBERTConfig.jina_colbert_v2,
 }
 
@@ -169,8 +170,18 @@ class RAGApplication:
         params_path, cfg_path = self._encoder_paths()
         if params is None and params_path.exists():
             params = ColBERTEncoder.load_params(str(params_path))
+        fresh_init = params is None
         encoder = ColBERTEncoder(enc_cfg, tokenizer, params=params,
                                  seed=cfg.encoder_seed)
+        if fresh_init and not ckpt:
+            # self-contained mode: seed the semantic prior a pretrained
+            # checkpoint carries — synonym token pairs ("sixty"/"60")
+            # start with IDENTICAL embedding rows; ICT training refines
+            # (train/lexicon.py::tie_synonym_embeddings)
+            from ..train.lexicon import tie_synonym_embeddings
+            tied = tie_synonym_embeddings(encoder.params, tokenizer)
+            if tied:
+                log.info("synonym-tied %d embedding rows at init", tied)
         if corpus and not params_path.exists():
             # persist only alongside a real corpus (see tokenizer note)
             params_path.parent.mkdir(parents=True, exist_ok=True)
@@ -286,9 +297,13 @@ class RAGApplication:
         syn_prob = (self.config.encoder_synonym_prob
                     if len(corpus) >= 16 else 0.0)
         if syn_prob > 0.0:
+            # longer spans than the base share: real paraphrase queries
+            # run ~15-20 words, and an encoder trained only on 3-8 word
+            # spans under-ranks them (query-length distribution match)
             pairs_idx += pseudo_query_pairs(
                 corpus, n_pairs_per_doc=4,
                 seed=self.config.encoder_seed + 1,
+                query_words=(4, 14),
                 word_dropout=dropout, synonym_prob=syn_prob)
             import numpy as _np
             _np.random.default_rng(

@@ -170,7 +170,7 @@ class RAGConfig:
     # compile per used width. Empty tuple = always query_max_terms.
     query_term_buckets: Tuple[int, ...] = (8, 16, 32)
 
-    # Encoder selection: "tiny" | "small" | "jina-colbert-v2". With
+    # Encoder selection: "tiny" | "small" | "base" | "jina-colbert-v2". With
     # ``encoder_checkpoint`` pointing at a local HF checkpoint dir, weights
     # are converted (models/convert.py); otherwise deterministic random
     # init (self-contained mode) persisted alongside the index.

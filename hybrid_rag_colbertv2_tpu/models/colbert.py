@@ -98,6 +98,20 @@ class ColBERTConfig:
         base.update(kw)
         return cls(**base)
 
+    @classmethod
+    def base(cls, **kw) -> "ColBERTConfig":
+        """2x-deeper self-contained encoder (VERDICT r3 next #1b: 'try a
+        larger self-contained preset'): 8L x 384H, still corpus-trainable
+        in minutes on one chip. All MXU-friendly multiples (384 = 6 x 64
+        heads, 1536 MLP)."""
+        base = dict(
+            vocab_size=32768, hidden_size=384, num_layers=8, num_heads=6,
+            intermediate_size=1536, max_position_embeddings=1024,
+            colbert_dim=128, position_embedding="rope",
+        )
+        base.update(kw)
+        return cls(**base)
+
 
 def _rope_cache(seq_len: int, head_dim: int, base: float) -> Tuple[jax.Array, jax.Array]:
     inv = 1.0 / (base ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))

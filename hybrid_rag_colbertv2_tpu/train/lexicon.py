@@ -323,6 +323,49 @@ def substitute_text(text: str, *, prob: float = 1.0, rng=None,
                                      pick=pick))
 
 
+def tie_synonym_embeddings(params: dict, tokenizer) -> int:
+    """Initialize synonym token embeddings to their key's embedding row.
+
+    For every lexicon entry whose key and synonym each tokenize to ONE
+    vocabulary id (whole-word tokens — BPE training includes the lexicon,
+    app/application.py), the synonym's ``word_embeddings`` row is set
+    equal to the key's. The encoder then starts from "60" == "sixty" /
+    "rapid" == "fast" EXACTLY — the prior a pretrained checkpoint carries
+    — and contrastive training refines from there instead of having to
+    discover the equivalence from a few hundred augmented pairs.
+    Multi-token synonyms are left to the ICT synonym augmentation
+    (compositional cases can't be tied row-wise).
+
+    Mutates ``params`` in place; returns the number of tied rows.
+    """
+    import numpy as np
+
+    emb_node = params.get("word_embeddings")
+    if emb_node is None or "embedding" not in emb_node:
+        return 0
+    table = np.array(emb_node["embedding"])   # writable copy
+    n_vocab = table.shape[0]
+    tied = 0
+    for key, syns in SYNONYMS.items():
+        kids = tokenizer._ids(key)
+        if len(kids) != 1 or not 0 <= kids[0] < n_vocab:
+            continue
+        for s in syns:
+            if " " in s:
+                continue
+            sids = tokenizer._ids(s)
+            if len(sids) != 1 or not 0 <= sids[0] < n_vocab:
+                continue
+            if sids[0] == kids[0]:
+                continue
+            table[sids[0]] = table[kids[0]]
+            tied += 1
+    if tied:
+        import jax.numpy as jnp
+        emb_node["embedding"] = jnp.asarray(table)
+    return tied
+
+
 def lexicon_sentences() -> List[str]:
     """Synonym vocabulary as text lines for BPE tokenizer training: every
     key and synonym appears, so corpus-trained tokenizers give synonym

@@ -142,3 +142,28 @@ def test_gate_transfer_check(tmp_path):
                              fam[:16], ("rrf", 0.6),
                              chunk_store=app.store)
     assert "rrf_w0.6" in res2["per_entry"]
+
+
+def test_tie_synonym_embeddings():
+    """Single-token synonym pairs start with identical embedding rows —
+    the self-contained stand-in for a pretrained checkpoint's semantic
+    prior (applied at fresh init by app/application._make_encoder)."""
+    from hybrid_rag_colbertv2_tpu.models.colbert import (ColBERTConfig,
+                                                         ColBERTEncoder)
+    from hybrid_rag_colbertv2_tpu.models.tokenizer import ColBERTTokenizer
+    from hybrid_rag_colbertv2_tpu.train.lexicon import (
+        lexicon_sentences, tie_synonym_embeddings)
+
+    corpus = ["the fast kernel moved sixty gigabytes of traffic"] * 8
+    tok = ColBERTTokenizer.train_bpe(corpus + lexicon_sentences(),
+                                     vocab_size=2048)
+    enc = ColBERTEncoder(ColBERTConfig.tiny(vocab_size=tok.vocab_size), tok)
+    n = tie_synonym_embeddings(enc.params, tok)
+    assert n >= 50          # plenty of single-token pairs in a 2048 vocab
+    e = np.asarray(enc.params["word_embeddings"]["embedding"])
+    for a, b in (("sixty", "60"), ("fast", "quick")):
+        ia, ib = tok._ids(a), tok._ids(b)
+        if len(ia) == 1 and len(ib) == 1:
+            np.testing.assert_allclose(e[ia[0]], e[ib[0]])
+    # missing table -> no-op, returns 0
+    assert tie_synonym_embeddings({}, tok) == 0
