@@ -532,7 +532,11 @@ def run_realdata(result, ctx):
     n_docs = 112 if on_tpu else 12
     # ~3 epochs at 491 chunks x 6 pairs / batch 16; tokenized batches are
     # cached (trainer), so steps beyond the first epoch are ~0.1 s each
-    steps = 600 if on_tpu else 8
+    # 1800 steps ≈ 6 epochs over 10 pairs/chunk at 491 chunks (the
+    # encoder_max_epochs ceiling). Measured on the r4 sweep: 600 steps
+    # left dense-only adversarial at 0.17; 1800 with synonym-tied init +
+    # augmentation reached 0.45+ (sweep logs 2026-08-17).
+    steps = 1800 if on_tpu else 8
     seeds = (0, 1, 2) if on_tpu else (0,)
     cache_root = Path(__file__).resolve().parent / ".bench_cache"
     cache_root.mkdir(exist_ok=True)
@@ -541,9 +545,10 @@ def run_realdata(result, ctx):
     for i, seed in enumerate(seeds):
         # first seed pays the compiles — up to ~8 min under tunnel
         # contention (observed); later seeds reuse every executable.
-        # Budgets cover train(600 steps ~5 min) + gate + transfer + 9
-        # evals over 3 sources (r4 added the adversarial slice).
-        budget = 1200 if i == 0 else 600
+        # Budgets cover train(1800 steps ~6-7 min) + gate + transfer + 9
+        # evals over 3 sources (r4 added the adversarial slice); warm
+        # runs (cached encoder) take ~3 min/seed.
+        budget = 1500 if i == 0 else 900
         try:
             with _watchdog(budget):
                 with tempfile.TemporaryDirectory() as td:
