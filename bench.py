@@ -51,7 +51,7 @@ from pathlib import Path
 import numpy as np
 
 BASELINE_MS = 321.0     # reference total retrieval (README.md:182)
-CACHE_VERSION = 3       # bump when training/indexing code changes enough
+CACHE_VERSION = 4       # bump when training/indexing code changes enough
 #                         to invalidate cached trained-encoder params
 
 

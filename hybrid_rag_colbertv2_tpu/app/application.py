@@ -300,11 +300,15 @@ class RAGApplication:
             # longer spans than the base share: real paraphrase queries
             # run ~15-20 words, and an encoder trained only on 3-8 word
             # spans under-ranks them (query-length distribution match)
+            # with_mine_text: hard negatives for substituted queries are
+            # mined on the ORIGINAL span (the substituted text has no
+            # lexical anchors, so mining on it degenerates to random)
             pairs_idx += pseudo_query_pairs(
                 corpus, n_pairs_per_doc=4,
                 seed=self.config.encoder_seed + 1,
                 query_words=(4, 14),
-                word_dropout=dropout, synonym_prob=syn_prob)
+                word_dropout=dropout, synonym_prob=syn_prob,
+                with_mine_text=True)
             import numpy as _np
             _np.random.default_rng(
                 self.config.encoder_seed).shuffle(pairs_idx)
@@ -316,7 +320,7 @@ class RAGApplication:
             pairs = [(q, corpus[i], [corpus[j] for j in negs])
                      for q, i, negs in mined]
         else:
-            pairs = [(q, corpus[i]) for q, i in pairs_idx]
+            pairs = [(p[0], corpus[p[1]]) for p in pairs_idx]
         # batch must not exceed the number of distinct docs — in-batch
         # negatives with duplicated positives make the labels ambiguous
         bs = max(2, min(16, len(corpus)))
@@ -328,9 +332,15 @@ class RAGApplication:
         # at ~6 epochs, 0-1/3 at 30+ epochs)
         max_epochs = self.config.encoder_max_epochs
         steps = min(steps, max(1, -(-max_epochs * len(pairs) // bs)))
+        lr = self.config.encoder_learning_rate
+        if lr <= 0.0:
+            # auto by preset depth: the 8L base preset diverges at small's
+            # 3e-4 (loss flat at ln(batch), acc 0 — r4 sweep), standard
+            # depth-scaled-LR behavior for transformers
+            lr = 1e-4 if self.encoder.cfg.num_layers >= 8 else 3e-4
         trainer = ColBERTTrainer(
             self.encoder,
-            TrainConfig(steps=steps, batch_size=bs,
+            TrainConfig(steps=steps, batch_size=bs, learning_rate=lr,
                         doc_len=min(self.config.doc_max_tokens, 128)),
         )
         metrics = trainer.train(pairs)

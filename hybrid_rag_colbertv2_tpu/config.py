@@ -211,12 +211,19 @@ class RAGConfig:
     # synonym invariance a pretrained checkpoint has built in — the
     # regime the lexically-adversarial eval measures. 0 disables the
     # augmented pairs entirely. Gated on >= 16 chunks like word dropout.
-    encoder_synonym_prob: float = 0.5
+    # 0.7 measured best on the r4 sweep (dense-only adversarial 0.45 vs
+    # 0.42 at 0.5, 491 chunks / 1800 steps).
+    encoder_synonym_prob: float = 0.7
     # Epoch ceiling on encoder_train_steps: overtraining tiny corpora
     # collapses the representation into per-batch clusters and destroys
     # the fresh encoder's lexical prior (measured in app/application.py
     # _train_encoder; 6 is the safe point for in-batch-only training).
     encoder_max_epochs: int = 6
+    # Peak LR for index-time encoder training. 0 = auto by preset depth:
+    # 3e-4 for tiny/small, 1e-4 for base and larger (the 8L base preset
+    # diverges at 3e-4 — loss flat at ln(16) with acc 0, measured on the
+    # r4 sweep — while small trains fine there).
+    encoder_learning_rate: float = 0.0
 
     # TPU mesh / numerics.
     mesh: MeshConfig = field(default_factory=MeshConfig)

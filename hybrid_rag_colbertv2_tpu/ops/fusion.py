@@ -94,7 +94,13 @@ def reciprocal_rank_fusion(
     """Full fused pipeline: per-source top-k -> RRF -> top-k_out.
 
     Matches the reference cascade: bm25 top-100 (local_rag_complete.py:903)
-    + colbert top-100 (:909) -> RRF -> 50 candidates (:916).
+    + colbert top-100 (:909) -> RRF -> 50 candidates (:916). NOTE on
+    parity: like the reference's bm25s-top-k + dict RRF, a leg whose
+    scores are uniformly zero (e.g. BM25 on an all-OOV query) still
+    contributes rank credit for its arbitrary zero-score top-k ids. The
+    production cascade avoids this by masking zero-score BM25 slots to
+    id -1 before fusion (ops/bm25.bm25_topk_device); pass masked id
+    lists to ``rrf_from_topk`` directly for that behavior.
     """
     n = scores_a.shape[-1]
     ke = min(k_each, n)

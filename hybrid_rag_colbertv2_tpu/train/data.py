@@ -22,8 +22,17 @@ def pseudo_query_pairs(
     seed: int = 0,
     word_dropout: float = 0.0,
     synonym_prob: float = 0.0,
+    with_mine_text: bool = False,
 ) -> List[Tuple[str, int]]:
     """-> list of (pseudo_query_text, positive_corpus_index).
+
+    ``with_mine_text=True`` returns (query, idx, mine_text) triples where
+    ``mine_text`` is the span BEFORE synonym substitution. BM25-mined
+    hard negatives for a substituted query must be mined on the original
+    words: the substituted text has no lexical anchors left, so mining on
+    it degenerates to random padding, while the original span surfaces
+    the chunks the cascade actually confuses with the source
+    (mine_hard_negatives consumes the third element when present).
 
     ``word_dropout`` > 0 drops each span word with that probability
     (always keeping at least query_words[0] words): queries stop being
@@ -58,10 +67,14 @@ def pseudo_query_pairs(
                 while keep.sum() < query_words[0]:
                     keep[int(rng.integers(0, len(span)))] = True
                 span = [w for w, k in zip(span, keep) if k]
+            mine_span = span
             if synonym_prob > 0.0:
                 span = substitute_words(span, prob=synonym_prob, rng=rng,
                                         pick="random")
-            pairs.append((" ".join(span), idx))
+            if with_mine_text:
+                pairs.append((" ".join(span), idx, " ".join(mine_span)))
+            else:
+                pairs.append((" ".join(span), idx))
     rng.shuffle(pairs)
     return pairs
 
@@ -84,6 +97,11 @@ def mine_hard_negatives(
     In-batch-only negatives are mostly random chunks and teach topic
     separation but not within-topic ranking.
 
+    ``pairs`` entries may be (query, positive_idx) or (query,
+    positive_idx, mine_text); when mine_text is present BM25 scores IT
+    instead of the query (synonym-substituted queries mine on their
+    pre-substitution span — see pseudo_query_pairs ``with_mine_text``).
+
     ``lexical``: an existing index/lexical.LexicalIndex to reuse; when
     None one is built over ``corpus`` (uncapped postings — mining wants
     exact scores). Scoring runs on host (LexicalIndex.score_host): mining
@@ -103,11 +121,28 @@ def mine_hard_negatives(
     # a corpus of n chunks has only n-1 possible negatives per pair
     target = min(n_negatives, max(n - 1, 0))
     out: List[Tuple[str, int, List[int]]] = []
-    for q, pos in pairs:
-        scores = lexical.score_host(q)
+    for entry in pairs:
+        q, pos = entry[0], entry[1]
+        # (query, pos, mine_text) triples: mine on the pre-substitution
+        # span (see pseudo_query_pairs ``with_mine_text``)
+        mine_q = entry[2] if len(entry) > 2 else q
+        scores = lexical.score_host(mine_q)
         order = np.argsort(-scores)
-        negs = [int(i) for i in order[: target + 1]
-                if int(i) != pos and scores[i] > 0.0][:target]
+        # candidates CONTAINING the original span verbatim are alternative
+        # true positives (the same sentence recurs across chunks), not
+        # negatives — training against them is label noise (measured:
+        # unfiltered span-mined negatives cost ~10pp dense hit@10 on every
+        # eval slice). Only applicable for triples, where mine_q is a
+        # verbatim source span.
+        is_dup = ((lambda i: mine_q in corpus[i])
+                  if len(entry) > 2 else (lambda i: False))
+        negs = []
+        for i in order[: 4 * (target + 1)]:
+            i = int(i)
+            if scores[i] <= 0.0 or len(negs) >= target:
+                break
+            if i != pos and not is_dup(i):
+                negs.append(i)
         if len(negs) < target:
             # pad from a permutation — bounded, unlike rejection sampling
             for cand in rng.permutation(n):

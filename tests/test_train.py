@@ -166,6 +166,44 @@ def test_mine_hard_negatives_tiny_corpus_terminates():
         assert pos not in negs and len(set(negs)) == 2
 
 
+def test_mine_hard_negatives_uses_mine_text():
+    """(query, pos, mine_text) triples mine BM25 negatives on mine_text:
+    a synonym-substituted query has no lexical anchors left, so its
+    negatives must come from the ORIGINAL span's lexical confusers
+    (pseudo_query_pairs ``with_mine_text`` contract)."""
+    from hybrid_rag_colbertv2_tpu.train.data import mine_hard_negatives
+
+    # query text is gibberish (zero BM25 anchors); mine_text targets the
+    # hardware chunk's vocabulary
+    triples = [("zzq xxv qqw", 0, "systolic array matrix multiply")]
+    mined = mine_hard_negatives(CORPUS, triples, n_negatives=1, seed=0)
+    assert len(mined) == 1
+    q, pos, negs = mined[0]
+    assert q == "zzq xxv qqw" and pos == 0
+    assert negs == [2]  # the hardware chunk — mine_text's top BM25 hit
+    # same gibberish query WITHOUT mine_text: nothing scores > 0, so the
+    # negative is random padding (can be anything but the positive)
+    mined2 = mine_hard_negatives(CORPUS, [("zzq xxv qqw", 0)],
+                                 n_negatives=1, seed=0)
+    assert mined2[0][2][0] != 0
+
+
+def test_pseudo_query_pairs_with_mine_text():
+    """with_mine_text returns triples whose third element is the span
+    BEFORE synonym substitution (and equals the query when no
+    substitution happened)."""
+    corpus = ["the fast bread rose sixty percent in the oven chamber"] * 4
+    triples = pseudo_query_pairs(corpus, n_pairs_per_doc=4, seed=3,
+                                 synonym_prob=1.0, with_mine_text=True)
+    assert triples and all(len(t) == 3 for t in triples)
+    changed = 0
+    for q, idx, mine in triples:
+        assert mine in " ".join(corpus[idx].split())  # verbatim span
+        if q != mine:
+            changed += 1
+    assert changed > 0  # prob=1.0 over lexicon-covered words must fire
+
+
 def test_small_pair_set_trains_without_duplicated_positives():
     """Fewer distinct positives than batch_size: train on the smaller
     batch (duplicating pairs floors the loss at log(#dups) and pushes
