@@ -75,9 +75,13 @@ MIN_GATE_CHUNKS = 16   # below this the eval is meaningless; keep parity
 # (final_fusion, fusion_weight_bm25) menu, parity first, ascending
 # lexical protection. Menu spacing is deliberately coarse: entries the
 # 64-query validation cannot statistically separate (a 0.95 step was
-# tried) just inject selection noise.
-GATE_MENU = (("rerank", 0.5), ("rrf", 0.5), ("rrf", 0.75), ("rrf", 0.9),
-             ("rrf", 1.0))
+# tried) just inject selection noise. (rrf, 0.25) is the dense-lean
+# entry for indexes whose dense leg demonstrably wins (e.g. a strong
+# pretrained checkpoint, or synonym-heavy query traffic): the band rule
+# below only ships it on an OUTRIGHT win, since every in-band tie goes
+# to the more lexical-protective entry.
+GATE_MENU = (("rerank", 0.5), ("rrf", 0.25), ("rrf", 0.5), ("rrf", 0.75),
+             ("rrf", 0.9), ("rrf", 1.0))
 
 
 def measure_menu(config, indexes, encoder, menu, queries, sources,

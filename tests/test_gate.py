@@ -240,8 +240,8 @@ def test_gate_band_rule_lexical_only_needs_outright_win():
 
     menu = GATE_MENU
     # exact tie between 0.9 and 1.0 -> 0.9 wins
-    hits = {("rerank", 0.5): 0.3, ("rrf", 0.5): 0.4, ("rrf", 0.75): 0.5,
-            ("rrf", 0.9): 0.7, ("rrf", 1.0): 0.7}
+    hits = {("rerank", 0.5): 0.3, ("rrf", 0.25): 0.35, ("rrf", 0.5): 0.4,
+            ("rrf", 0.75): 0.5, ("rrf", 0.9): 0.7, ("rrf", 1.0): 0.7}
     assert select_entry(menu, hits, 64) == ("rrf", 0.9)
     # 1.0 ahead but within the one-query noise band -> still 0.9
     hits[("rrf", 1.0)] = 0.7 + 1.0 / 64
@@ -252,6 +252,13 @@ def test_gate_band_rule_lexical_only_needs_outright_win():
     # parity in band always wins
     hits = {e: 0.5 for e in menu}
     assert select_entry(menu, hits, 64) == ("rerank", 0.5)
+    # the dense-lean entry ties the band -> the more lexical entry wins
+    hits = {e: 0.5 for e in menu}
+    hits[("rerank", 0.5)] = 0.3
+    assert select_entry(menu, hits, 64) == ("rrf", 0.9)
+    # dense-lean wins OUTRIGHT (> one-query eps above everything) -> ships
+    hits[("rrf", 0.25)] = 0.6
+    assert select_entry(menu, hits, 64) == ("rrf", 0.25)
 
 
 def test_noop_upload_keeps_gate_verdict(tmp_path):
