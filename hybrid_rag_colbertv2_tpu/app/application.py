@@ -338,10 +338,19 @@ class RAGApplication:
             # 3e-4 (loss flat at ln(batch), acc 0 — r4 sweep), standard
             # depth-scaled-LR behavior for transformers
             lr = 1e-4 if self.encoder.cfg.num_layers >= 8 else 3e-4
+        tie_weight = self.config.encoder_tie_weight
+        tie_pairs = None
+        if tie_weight > 0.0 and syn_prob > 0.0:
+            from ..train.lexicon import synonym_tie_pairs
+            tp = synonym_tie_pairs(self.encoder.tokenizer,
+                                   self.encoder.cfg.vocab_size)
+            tie_pairs = tuple(tp) if tp else None
         trainer = ColBERTTrainer(
             self.encoder,
             TrainConfig(steps=steps, batch_size=bs, learning_rate=lr,
-                        doc_len=min(self.config.doc_max_tokens, 128)),
+                        doc_len=min(self.config.doc_max_tokens, 128),
+                        tie_weight=tie_weight if tie_pairs else 0.0,
+                        tie_pairs=tie_pairs),
         )
         metrics = trainer.train(pairs)
         if not metrics:

@@ -224,6 +224,13 @@ class RAGConfig:
     # diverges at 3e-4 — loss flat at ln(16) with acc 0, measured on the
     # r4 sweep — while small trains fine there).
     encoder_learning_rate: float = 0.0
+    # Synonym-embedding tie regularizer weight (train/trainer.py
+    # TrainConfig.tie_weight). The synonym-tied init makes lexicon
+    # (key, synonym) embedding rows EQUAL at step 0, but contrastive
+    # updates drift them apart (each row only sees gradient from batches
+    # its own word appears in); this keeps them close for the whole run.
+    # 0 disables. Only meaningful with encoder_synonym_prob > 0.
+    encoder_tie_weight: float = 0.0
 
     # TPU mesh / numerics.
     mesh: MeshConfig = field(default_factory=MeshConfig)

@@ -366,6 +366,33 @@ def tie_synonym_embeddings(params: dict, tokenizer) -> int:
     return tied
 
 
+def synonym_tie_pairs(tokenizer, n_vocab: int) -> List[Tuple[int, int]]:
+    """Single-token (key_id, synonym_id) vocabulary pairs for the
+    embedding-tie regularizer (train/trainer.py ``tie_weight``).
+
+    ``tie_synonym_embeddings`` makes these rows EQUAL at init, but
+    contrastive updates drift them apart over training (each row only
+    receives gradient from the batches its word appears in). The
+    regularizer keeps them close for the whole run — the training-time
+    half of the same prior. Same eligibility rule as the init tie:
+    key and synonym must each tokenize to one vocabulary id.
+    """
+    pairs: List[Tuple[int, int]] = []
+    for key, syns in SYNONYMS.items():
+        kids = tokenizer._ids(key)
+        if len(kids) != 1 or not 0 <= kids[0] < n_vocab:
+            continue
+        for s in syns:
+            if " " in s:
+                continue
+            sids = tokenizer._ids(s)
+            if len(sids) != 1 or not 0 <= sids[0] < n_vocab:
+                continue
+            if sids[0] != kids[0]:
+                pairs.append((int(kids[0]), int(sids[0])))
+    return pairs
+
+
 def lexicon_sentences() -> List[str]:
     """Synonym vocabulary as text lines for BPE tokenizer training: every
     key and synonym appears, so corpus-trained tokenizers give synonym

@@ -43,14 +43,16 @@ _STEP_CACHE = JitCache(max_entries=8)
 
 def _shared_step(model: "ColBERTModel", cfg: "TrainConfig"):
     key = (model, cfg.learning_rate, cfg.weight_decay, cfg.steps,
-           cfg.warmup_steps, cfg.temperature)
+           cfg.warmup_steps, cfg.temperature, cfg.tie_weight,
+           cfg.tie_pairs)
 
     def build():
         sched = optax.warmup_cosine_decay_schedule(
             0.0, cfg.learning_rate, cfg.warmup_steps,
             max(cfg.steps, cfg.warmup_steps + 1))
         tx = optax.adamw(sched, weight_decay=cfg.weight_decay)
-        return tx, make_train_step(model, tx, cfg.temperature)
+        return tx, make_train_step(model, tx, cfg.temperature,
+                                   cfg.tie_weight, cfg.tie_pairs)
 
     return _STEP_CACHE.get_or_build(key, build)
 
@@ -70,6 +72,15 @@ class TrainConfig:
     steps: int = 100
     warmup_steps: int = 10
     seed: int = 0
+    # synonym-embedding tie regularizer: mean squared distance between
+    # lexicon (key, synonym) embedding rows (train/lexicon.py
+    # ``synonym_tie_pairs``), scaled by ``tie_weight``. The rows start
+    # EQUAL (tie_synonym_embeddings init), so this costs nothing at step
+    # 0 and only resists contrastive drift — the training-time half of
+    # the pretrained-thesaurus prior. ``tie_pairs`` must be a hashable
+    # tuple of (key_id, syn_id) int tuples (it keys the jit cache).
+    tie_weight: float = 0.0
+    tie_pairs: Optional[Tuple[Tuple[int, int], ...]] = None
 
 
 def _maxsim_matrix(q_emb: jax.Array, d_emb: jax.Array,
@@ -82,11 +93,16 @@ def _maxsim_matrix(q_emb: jax.Array, d_emb: jax.Array,
 
 
 def make_train_step(model: ColBERTModel, tx: optax.GradientTransformation,
-                    temperature: float):
+                    temperature: float, tie_weight: float = 0.0,
+                    tie_pairs: Optional[Tuple[Tuple[int, int], ...]] = None):
     """Returns step(params, opt_state, batch) -> (params, opt_state, metrics).
 
     batch: dict of q_ids/q_mask/d_ids/d_mask, batch axis shardable.
     """
+    use_tie = tie_weight > 0.0 and tie_pairs
+    if use_tie:
+        tie_a = jnp.asarray([p[0] for p in tie_pairs], dtype=jnp.int32)
+        tie_b = jnp.asarray([p[1] for p in tie_pairs], dtype=jnp.int32)
 
     def loss_fn(params, batch):
         q_emb = model.apply({"params": params}, batch["q_ids"],
@@ -98,6 +114,13 @@ def make_train_step(model: ColBERTModel, tx: optax.GradientTransformation,
         loss = optax.softmax_cross_entropy_with_integer_labels(
             scores, labels).mean()
         acc = jnp.mean(jnp.argmax(scores, axis=-1) == labels)
+        if use_tie:
+            # keep lexicon synonym rows near their key rows (equal at
+            # init — see TrainConfig.tie_weight)
+            table = params["word_embeddings"]["embedding"]
+            diff = table[tie_a] - table[tie_b]
+            loss = loss + tie_weight * jnp.mean(
+                jnp.sum(diff * diff, axis=-1))
         return loss, acc
 
     @jax.jit

@@ -223,3 +223,42 @@ def test_small_pair_set_trains_without_duplicated_positives():
     # duplicated-positive floor log(16/3) can NOT be beaten by tiling;
     # just assert the step ran on the 3-wide batch (acc over 3 classes)
     assert metrics[-1]["accuracy"] <= 1.0
+
+
+def test_tie_regularizer_limits_synonym_drift():
+    """TrainConfig.tie_weight keeps lexicon (key, synonym) embedding rows
+    close through training. Rows start EQUAL (tie_synonym_embeddings) but
+    contrastive updates drift them apart; the regularizer bounds that
+    drift without breaking the contrastive loss."""
+    from hybrid_rag_colbertv2_tpu.train.lexicon import (
+        lexicon_sentences, synonym_tie_pairs, tie_synonym_embeddings)
+
+    corpus = [
+        f"chunk {i} about {name}: the fast kernel moved sixty " + words
+        for i, (name, words) in enumerate(TOPICS)
+    ]
+    tok = ColBERTTokenizer.train_bpe(corpus + lexicon_sentences(),
+                                     vocab_size=1024)
+    tie_pairs = tuple(synonym_tie_pairs(tok, tok.vocab_size))
+    assert len(tie_pairs) >= 20
+    pairs_idx = pseudo_query_pairs(corpus, n_pairs_per_doc=8, seed=0)
+    pairs = [(q, corpus[i]) for q, i in pairs_idx]
+
+    def drift(tie_weight):
+        cfg = ColBERTConfig.tiny(vocab_size=tok.vocab_size)
+        enc = ColBERTEncoder(cfg, tok, seed=0)
+        tie_synonym_embeddings(enc.params, tok)
+        trainer = ColBERTTrainer(
+            enc, TrainConfig(batch_size=8, doc_len=64, steps=60,
+                             learning_rate=3e-3, tie_weight=tie_weight,
+                             tie_pairs=tie_pairs if tie_weight else None))
+        metrics = trainer.train(pairs)
+        assert all(np.isfinite(m["loss"]) for m in metrics)
+        e = np.asarray(enc.params["word_embeddings"]["embedding"])
+        a = np.array([p[0] for p in tie_pairs])
+        b = np.array([p[1] for p in tie_pairs])
+        return float(np.mean(np.sum((e[a] - e[b]) ** 2, axis=-1)))
+
+    d_free, d_tied = drift(0.0), drift(1.0)
+    assert d_free > 0.0          # contrastive updates do drift tied rows
+    assert d_tied < d_free * 0.5  # the regularizer bounds the drift
