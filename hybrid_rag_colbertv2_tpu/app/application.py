@@ -114,7 +114,8 @@ class RAGApplication:
                 tokenizer = ColBERTTokenizer.train_bpe(
                     (list(corpus) + lexicon_sentences()) if corpus
                     else ["placeholder corpus"],
-                    vocab_size=cfg.tokenizer_vocab_size)
+                    vocab_size=cfg.tokenizer_vocab_size,
+                    fold_numeric=cfg.tokenizer_fold_numeric)
                 if corpus:
                     # never persist a placeholder-trained tokenizer: an
                     # indexes dir seeded by a pre-upload --query/--chat

@@ -231,6 +231,13 @@ class RAGConfig:
     # its own word appears in); this keeps them close for the whole run.
     # 0 disables. Only meaningful with encoder_synonym_prob > 0.
     encoder_tie_weight: float = 0.0
+    # Numeric/unit canonicalization in the corpus-trained dense tokenizer
+    # (utils/textfold.py): "sixty"->"60", "gigabytes"->"gb" on BOTH doc
+    # and query side, so slot values match across surface forms — the
+    # dense analyzer's counterpart of the lexical side's stemmer.
+    # Persisted inside tokenizer.json; ignored for pretrained-checkpoint
+    # tokenizers (their embeddings already carry the equivalence).
+    tokenizer_fold_numeric: bool = True
 
     # TPU mesh / numerics.
     mesh: MeshConfig = field(default_factory=MeshConfig)

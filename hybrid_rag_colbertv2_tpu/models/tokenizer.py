@@ -39,9 +39,15 @@ BOS, PAD, EOS, UNK, MASK, QMARK, DMARK = range(7)
 class ColBERTTokenizer:
     """Thin wrapper with the encoder's query/doc protocols baked in."""
 
-    def __init__(self, tok=None, vocab_size: int = 0):
+    def __init__(self, tok=None, vocab_size: int = 0,
+                 fold_numeric: bool = False):
         self._tok = tok
         self.vocab_size = vocab_size
+        # numeric/unit canonicalization (utils/textfold.py): ON for
+        # corpus-trained tokenizers (the self-contained encoder needs
+        # slot values to match across surface forms), OFF for pretrained
+        # checkpoints (their vocab/embeddings already carry it)
+        self.fold_numeric = fold_numeric
         if tok is not None:
             # special ids as actually assigned by the loaded/trained model
             self.bos = tok.token_to_id("<s>")
@@ -80,11 +86,19 @@ class ColBERTTokenizer:
 
     # ------------------------------------------------------------------
     @classmethod
-    def train_bpe(cls, corpus: Sequence[str], vocab_size: int = 8192
-                  ) -> "ColBERTTokenizer":
-        """Train a byte-level BPE on the corpus (fully offline)."""
+    def train_bpe(cls, corpus: Sequence[str], vocab_size: int = 8192,
+                  fold_numeric: bool = False) -> "ColBERTTokenizer":
+        """Train a byte-level BPE on the corpus (fully offline).
+
+        ``fold_numeric``: canonicalize number words / unit variants
+        (utils/textfold.py) in the training corpus AND at every later
+        encode — persisted with the tokenizer so doc and query sides
+        always agree."""
         if not HAVE_TOKENIZERS:
             return HashTokenizer(vocab_size)
+        if fold_numeric:
+            from ..utils.textfold import fold_text
+            corpus = [fold_text(t) for t in corpus]
         tok = Tokenizer(models.BPE(unk_token="<unk>"))
         tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=True)
         tok.decoder = decoders.ByteLevel()
@@ -95,7 +109,7 @@ class ColBERTTokenizer:
             show_progress=False,
         )
         tok.train_from_iterator(iter(corpus), trainer=trainer)
-        return cls(tok, tok.get_vocab_size())
+        return cls(tok, tok.get_vocab_size(), fold_numeric=fold_numeric)
 
     @classmethod
     def load(cls, path: str | Path) -> "ColBERTTokenizer":
@@ -109,6 +123,18 @@ class ColBERTTokenizer:
             head = _json.loads(Path(path).read_text())
             if isinstance(head, dict) and head.get("type") == "hash":
                 return HashTokenizer(head.get("vocab_size", 8192))
+            # fold-flag wrapper around a standard HF tokenizer.json (the
+            # HF loader rejects unknown top-level keys, so the flag rides
+            # in a wrapper; bare pretrained tokenizer.json files load
+            # below with folding OFF)
+            if isinstance(head, dict) and head.get("type") == "folded_bpe":
+                if not HAVE_TOKENIZERS:
+                    raise RuntimeError("tokenizers wheel unavailable")
+                tok = Tokenizer.from_str(_json.dumps(head["hf"]))
+                return cls(tok, tok.get_vocab_size(),
+                           fold_numeric=bool(head.get("fold_numeric", True)))
+        except (KeyError, RuntimeError):
+            raise
         except Exception:
             pass
         if not HAVE_TOKENIZERS:
@@ -118,10 +144,20 @@ class ColBERTTokenizer:
 
     def save(self, path: str | Path) -> None:
         Path(path).parent.mkdir(parents=True, exist_ok=True)
-        self._tok.save(str(path))
+        if self.fold_numeric:
+            import json as _json
+
+            Path(path).write_text(_json.dumps({
+                "type": "folded_bpe", "fold_numeric": True,
+                "hf": _json.loads(self._tok.to_str())}))
+        else:
+            self._tok.save(str(path))
 
     # ------------------------------------------------------------------
     def _ids(self, text: str) -> List[int]:
+        if self.fold_numeric:
+            from ..utils.textfold import fold_text
+            text = fold_text(text)
         return self._tok.encode(text).ids
 
     def count_tokens(self, text: str) -> int:
@@ -155,6 +191,9 @@ class ColBERTTokenizer:
         """
         import os
 
+        if self.fold_numeric:
+            from ..utils.textfold import fold_text
+            texts = [fold_text(t) for t in texts]
         if self._tok is not None and (os.cpu_count() or 1) >= 4:
             id_lists = [e.ids for e in self._tok.encode_batch(list(texts))]
         else:

@@ -194,7 +194,13 @@ def resolve_final_fusion(
     menu = (GATE_MENU if fixed_weight is None
             else (("rerank", fixed_weight), ("rrf", fixed_weight)))
     if len(corpus) < MIN_GATE_CHUNKS:
-        picked = menu[0]
+        # too small to measure — ship the robust lexical-lean entry, not
+        # parity: below the gate floor the corpus-trained dense leg is
+        # statistically unreliable (few chunks, few training batches,
+        # tokenization-sensitive), while BM25 on a tiny corpus is nearly
+        # exact matching. Weighted RRF keeps dense as tie-breaker only;
+        # parity ordering stays available by pinning final_fusion.
+        picked = ("rrf", fixed_weight if fixed_weight is not None else 0.9)
         return picked, {
             "picked": picked[0], "picked_weight": picked[1],
             "reason": f"corpus < {MIN_GATE_CHUNKS} chunks"}

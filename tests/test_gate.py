@@ -103,9 +103,16 @@ def test_gate_resolves_auto_and_records_measurement(small_app):
 def test_gate_skips_tiny_corpora():
     from hybrid_rag_colbertv2_tpu.retrieval.gate import resolve_final_fusion
 
+    # below the measurement floor the gate ships the robust lexical-lean
+    # entry (dense as tie-breaker only) — on tiny corpora the corpus-
+    # trained dense leg is unreliable and BM25 is near-exact matching
     (mode, weight), details = resolve_final_fusion(
         RAGConfig(), None, None, ["just one chunk"])
-    assert mode == "rerank" and weight == 0.5 and "reason" in details
+    assert mode == "rrf" and weight == 0.9 and "reason" in details
+    # a user-pinned weight survives the fallback
+    (mode, weight), _ = resolve_final_fusion(
+        RAGConfig(), None, None, ["just one chunk"], fixed_weight=0.6)
+    assert mode == "rrf" and weight == 0.6
 
 
 def test_bind_retriever_resolves_gate(small_app):

@@ -109,3 +109,47 @@ def test_hash_tokenizer_stub_roundtrip(tmp_path):
     assert back.vocab_size == 256
     np.testing.assert_array_equal(back.encode_query("hello world", 16),
                                   ht.encode_query("hello world", 16))
+
+
+def test_fold_text_canonicalizes_numbers_and_units():
+    from hybrid_rag_colbertv2_tpu.utils.textfold import fold_text
+
+    assert fold_text("sixty gigabytes in twelve hours") == "60 gb in 12 hr"
+    assert fold_text("seventy percent busy, (two hundred) lanes!") == \
+        "70 pct busy, (2 100) lanes!"
+    # idempotent: canonical forms are fixed points
+    assert fold_text(fold_text("ninety metres per second")) == \
+        fold_text("ninety metres per second")
+    # non-lexicon words and compositional forms pass through
+    assert fold_text("twenty-one flavors") == "twenty-one flavors"
+
+
+def test_fold_numeric_tokenizer_matches_surface_variants(tmp_path):
+    """With fold_numeric on, 'sixty gigabytes' and '60 gb' tokenize
+    identically (doc and query side), and the flag survives save/load.
+    A bare (pretrained-style) tokenizer.json loads with folding OFF."""
+    corpus = ["the transfer took sixty gigabytes over twelve hours"] * 4
+    tok = ColBERTTokenizer.train_bpe(corpus, vocab_size=512,
+                                     fold_numeric=True)
+    assert tok.fold_numeric
+    a = tok.encode_query("sixty gigabytes", 16)
+    b = tok.encode_query("60 gb", 16)
+    np.testing.assert_array_equal(a, b)
+    ids_d, n_d = tok.encode_doc("took sixty gigabytes", 16)
+    ids_e, n_e = tok.encode_doc("took 60 gb", 16)
+    np.testing.assert_array_equal(ids_d, ids_e)
+    assert n_d == n_e
+    # batch path folds too
+    batch, lens = tok.encode_docs(["sixty gigabytes", "60 gb"], 16)
+    np.testing.assert_array_equal(batch[0], batch[1])
+
+    tok.save(tmp_path / "tok.json")
+    back = ColBERTTokenizer.load(tmp_path / "tok.json")
+    assert back.fold_numeric
+    np.testing.assert_array_equal(back.encode_query("sixty gigabytes", 16), a)
+
+    # unfolded tokenizer: same save path stays a bare HF file, loads OFF
+    plain = ColBERTTokenizer.train_bpe(corpus, vocab_size=512)
+    plain.save(tmp_path / "plain.json")
+    back2 = ColBERTTokenizer.load(tmp_path / "plain.json")
+    assert not back2.fold_numeric
