@@ -74,6 +74,18 @@ class ChunkStore:
         if conn is None:
             conn = sqlite3.connect(self.db_path)
             conn.row_factory = sqlite3.Row
+            # WAL + NORMAL: one fsync per checkpoint instead of per
+            # commit. The ingest pipeline commits several times per
+            # document (doc row, images, chunks, status); with FULL
+            # sync each commit costs ~1 s on slow-fsync filesystems,
+            # dominating ingest wall-clock (~4 s/doc measured). WAL is
+            # process-crash-safe; the store is rebuildable from source
+            # documents in the power-loss window (SURVEY §5 recovery
+            # model: indexes rebuild from the store, the store from
+            # the PDFs).
+            if self.db_path != ":memory:":
+                conn.execute("PRAGMA journal_mode=WAL")
+                conn.execute("PRAGMA synchronous=NORMAL")
             self._local.conn = conn
         return conn
 

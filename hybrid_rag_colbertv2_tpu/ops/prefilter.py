@@ -107,6 +107,73 @@ def approx_or_exact_topk(scores: jax.Array, k: int,
     return jax.lax.top_k(scores, k)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("n_docs", "c", "approx_recall"))
+def pooled_proxy_topk(
+    queries: jax.Array,              # (B, Lq, D) — padded query rows zero
+    pooled: jax.Array,               # (N_pad, D) from pooled_doc_embeddings
+    doc_lengths: jax.Array,          # (N_pad,) int32
+    *,
+    n_docs: int,
+    c: int,
+    approx_recall: float = 0.95,
+) -> jax.Array:                      # (B, C) candidate ids int32
+    """Stage A of the pruned search: pooled-cosine proxy matmul over the
+    whole corpus + candidate top-C. O(B*N) but matmul-shaped — amortizes
+    across the batch (exposed separately so stage_probe can attribute
+    batch-scaling cost, VERDICT r3 next #8)."""
+    n_pad = doc_lengths.shape[0]
+    qbar = jnp.sum(queries.astype(jnp.float32), axis=1)      # (B, D)
+    proxy = jnp.einsum("bd,nd->bn", qbar.astype(jnp.bfloat16), pooled,
+                       preferred_element_type=jnp.float32)   # (B, N_pad)
+    col = jnp.arange(n_pad, dtype=jnp.int32)
+    proxy = jnp.where((col[None, :] < n_docs) & (doc_lengths[None, :] > 0),
+                      proxy, NEG_INF)
+    _, cand = approx_or_exact_topk(proxy, c, approx_recall)  # (B, C)
+    return cand.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("doc_len", "block"))
+def exact_maxsim_on_candidates(
+    queries: jax.Array,              # (B, Lq, D)
+    emb_flat: jax.Array,             # (N_pad * L, D) int8/bf16/f32
+    scales: Optional[jax.Array],     # (N_pad * L,) f32 when int8
+    doc_lengths: jax.Array,          # (N_pad,) int32
+    cand: jax.Array,                 # (B, C) candidate ids (>= 0)
+    doc_scales: Optional[jax.Array] = None,
+    *,
+    doc_len: int,
+    block: int = 256,
+) -> jax.Array:                      # (B, C) exact fp32 MaxSim scores
+    """Stage B of the pruned search: gather candidate token embeddings,
+    dequantize, exact fp32 MaxSim. O(B*C*L*D) gather bytes — the dominant
+    non-amortizing stage at large batch."""
+    n_pad = doc_lengths.shape[0]
+    d = emb_flat.shape[-1]
+    c = cand.shape[1]
+    cb = min(block, c)
+    while c % cb != 0:               # c is a multiple of 128
+        cb //= 2
+
+    q32 = queries.astype(jnp.float32)
+    embs3 = emb_flat.reshape(n_pad, doc_len, d)
+    scs2 = scales.reshape(n_pad, doc_len) if scales is not None else None
+
+    def exact_one(q, ids):
+        def score_block(ib):
+            docs = embs3[ib].astype(jnp.float32)             # (cb, L, D)
+            if scs2 is not None:
+                docs = docs * scs2[ib][..., None]
+            elif doc_scales is not None:
+                # "int8-doc": duplicated padding rows are masked by the
+                # lengths inside maxsim_scores_exact
+                docs = docs * doc_scales[ib][:, None, None]
+            return maxsim_scores_exact(q[None], docs, doc_lengths[ib])[0]
+        return jax.lax.map(score_block, ids.reshape(c // cb, cb)).reshape(c)
+
+    return jax.vmap(exact_one)(q32, cand)                    # (B, C)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("doc_len", "n_docs", "n_candidates", "k", "block",
@@ -139,38 +206,13 @@ def maxsim_topk_pruned(
     bench.py measures recall@10 = 1.000 on device). Degenerate exactness
     (C >= N -> identical to the brute scan) is preserved because the gate
     falls back to exact top_k."""
-    b, lq, d = queries.shape
     n_pad = doc_lengths.shape[0]
     c = min(_round_up(n_candidates, 128), n_pad)
-    cb = min(block, c)
-    while c % cb != 0:               # c and n_pad are multiples of 128
-        cb //= 2
-
-    q32 = queries.astype(jnp.float32)
-    qbar = jnp.sum(q32, axis=1)                              # (B, D)
-    proxy = jnp.einsum("bd,nd->bn", qbar.astype(jnp.bfloat16), pooled,
-                       preferred_element_type=jnp.float32)   # (B, N_pad)
-    col = jnp.arange(n_pad, dtype=jnp.int32)
-    proxy = jnp.where((col[None, :] < n_docs) & (doc_lengths[None, :] > 0),
-                      proxy, NEG_INF)
-    _, cand = approx_or_exact_topk(proxy, c, approx_recall)  # (B, C)
-
-    embs3 = emb_flat.reshape(n_pad, doc_len, d)
-    scs2 = scales.reshape(n_pad, doc_len) if scales is not None else None
-
-    def exact_one(q, ids):
-        def score_block(ib):
-            docs = embs3[ib].astype(jnp.float32)             # (cb, L, D)
-            if scs2 is not None:
-                docs = docs * scs2[ib][..., None]
-            elif doc_scales is not None:
-                # "int8-doc": duplicated padding rows are masked by the
-                # lengths inside maxsim_scores_exact
-                docs = docs * doc_scales[ib][:, None, None]
-            return maxsim_scores_exact(q[None], docs, doc_lengths[ib])[0]
-        return jax.lax.map(score_block, ids.reshape(c // cb, cb)).reshape(c)
-
-    exact = jax.vmap(exact_one)(q32, cand)                   # (B, C)
+    cand = pooled_proxy_topk(queries, pooled, doc_lengths, n_docs=n_docs,
+                             c=c, approx_recall=approx_recall)
+    exact = exact_maxsim_on_candidates(
+        queries, emb_flat, scales, doc_lengths, cand,
+        doc_scales=doc_scales, doc_len=doc_len, block=block)  # (B, C)
     kk = min(k, c)
     vals, pos = jax.lax.top_k(exact, kk)
     ids = jnp.take_along_axis(cand, pos, axis=1)

@@ -263,6 +263,30 @@ def main(argv=None) -> int:
             n_docs=n_docs, n_candidates=args.prefilter, k=100)[0],
         args.iters))
 
+    # pruned-path sub-stages + final-rerank geometry, isolated so batch
+    # scaling can be attributed stage-by-stage (VERDICT r3 next #8):
+    # stage A amortizes across the batch (matmul over N), stage B and the
+    # rerank gather are O(batch) with no cross-query reuse.
+    from hybrid_rag_colbertv2_tpu.ops.prefilter import (
+        exact_maxsim_on_candidates, pooled_proxy_topk)
+
+    c_pad = min(((args.prefilter + 127) // 128) * 128, n_pad)
+    emit(f"pruned_A_proxy_topk_C{args.prefilter}", *_timeit(
+        lambda: pooled_proxy_topk(q_emb, pooled, lens_dev, n_docs=n_docs,
+                                  c=c_pad, approx_recall=0.95),
+        args.iters))
+    cand = jax.block_until_ready(pooled_proxy_topk(
+        q_emb, pooled, lens_dev, n_docs=n_docs, c=c_pad,
+        approx_recall=0.95))
+    emit(f"pruned_B_exact_C{args.prefilter}", *_timeit(
+        lambda: exact_maxsim_on_candidates(
+            q_emb, q8, scales, lens_dev, cand, doc_len=doc_len),
+        args.iters))
+    emit("rerank_exact_64cand", *_timeit(
+        lambda: exact_maxsim_on_candidates(
+            q_emb, q8, scales, lens_dev, cand[:, :64], doc_len=doc_len),
+        args.iters))
+
     # --- isolated suspects: top-k over N and RRF fusion ---------------------
     from hybrid_rag_colbertv2_tpu.ops.fusion import rrf_from_topk
 
