@@ -343,3 +343,39 @@ def test_noop_upload_keeps_gate_verdict(tmp_path):
     extra = write_corpus(tmp_path / "docs2", n_docs=2, seed=1)
     app.index_documents([str(p) for p in extra])
     assert app.config.final_fusion == "auto"
+
+
+def test_paired_transfer_band():
+    """The transfer check is a PAIRED test: an entry whose wins over the
+    picked one are spread thinly across queries (high paired variance)
+    stays in band, while a consistent 3-query sweep at n=24 does not;
+    identical vectors always pass. Regression for the unpaired 1-SE band
+    vs the post-hoc max, which rejected a fine verdict ~1/3 of the time
+    (winner's curse over 6 same-mean entries)."""
+    import numpy as np
+
+    from hybrid_rag_colbertv2_tpu.retrieval.gate import paired_in_band
+
+    n = 24
+    base = np.zeros(n)
+    base[: n // 2] = 1.0
+    picked = ("rrf", 0.75)
+
+    # identical outcomes -> in band regardless of entry count
+    vecs = {picked: base, ("rerank", 0.5): base.copy(),
+            ("rrf", 0.5): base.copy()}
+    assert paired_in_band(vecs, picked)
+
+    # one entry consistently wins 3 extra queries (mean +0.125 > 1/24,
+    # paired sd small) -> out of band
+    better = base.copy()
+    better[n // 2: n // 2 + 3] = 1.0
+    assert not paired_in_band({picked: base, ("rrf", 0.5): better}, picked)
+
+    # same +1-query net gain but as 5 wins / 4 losses: paired variance
+    # covers it -> stays in band (an unpaired band on means could not
+    # tell these two cases apart)
+    noisy = base.copy()
+    noisy[n // 2: n // 2 + 5] = 1.0     # 5 queries flip to wins
+    noisy[: 4] = 0.0                    # 4 flip to losses
+    assert paired_in_band({picked: base, ("rrf", 0.5): noisy}, picked)
