@@ -181,19 +181,27 @@ def hybrid_cascade(
         bm25_ids, ms_ids, k=min(k_fuse, n_docs), rrf_k=rrf_k,
         weights=(2.0 * w, 2.0 * (1.0 - w)))
 
-    # Stage 3: exact fp32 rerank over gathered candidate embeddings
+    # Stage 3: exact fp32 rerank over gathered candidate embeddings.
+    # Dequantization applies to the (Lq, L) sims AFTER the fp32 matmul
+    # (sim(q, s*e) = s * (q . e) exactly) so the gather stays int8 and no
+    # scaled-fp32 copy of the candidate embeddings is materialized — the
+    # same traffic fix as ops/prefilter.exact_maxsim_on_candidates.
     safe = jnp.where(fused_ids >= 0, fused_ids, n_pad - 1)
     embs3 = emb_flat.reshape(n_pad, doc_len, -1)
+    tok = jnp.arange(doc_len, dtype=jnp.int32)
 
     def rerank_one(q, cand, live):
-        docs = embs3[cand].astype(jnp.float32)          # (k_fuse, L, D)
+        docs = embs3[cand]                              # (k_fuse, L, D) raw
+        sims = jnp.einsum("qd,cld->cql", q, docs.astype(jnp.float32),
+                          preferred_element_type=jnp.float32)
         if is_int8:
-            sc = scales.reshape(n_pad, doc_len)[cand]
-            docs = docs * sc[..., None]
+            sims = sims * scales.reshape(n_pad, doc_len)[cand][:, None, :]
         elif doc_scales is not None:
-            docs = docs * doc_scales[cand][..., None, None]
+            sims = sims * doc_scales[cand][:, None, None]
         lens = jnp.where(live, doc_lengths[cand], 0)
-        return maxsim_scores_exact(q[None], docs, lens)[0]
+        valid = tok[None, :] < lens[:, None]            # (k_fuse, L)
+        sims = jnp.where(valid[:, None, :], sims, -1e30)
+        return jnp.sum(jnp.max(sims, axis=-1), axis=-1)  # (k_fuse,)
 
     rerank = jax.vmap(rerank_one)(q_emb.astype(jnp.float32), safe,
                                   fused_ids >= 0)       # (B, k_fuse)

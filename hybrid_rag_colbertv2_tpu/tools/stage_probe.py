@@ -245,6 +245,16 @@ def main(argv=None) -> int:
         lambda: bm25_scores_device(
             q_terms, *lexd, n_docs=n_docs, max_postings=lex.max_postings),
         args.iters))
+    # the kernel the production cascade actually uses (sort-based top-k,
+    # ops/bm25.bm25_topk_device) — the dense-scatter scorer above is the
+    # comparison baseline, not the served path
+    from hybrid_rag_colbertv2_tpu.ops.bm25 import bm25_topk_device
+
+    emit("bm25_topk", *_timeit(
+        lambda: bm25_topk_device(
+            q_terms, *lexd, n_docs=n_docs, max_postings=lex.max_postings,
+            k=100)[0],
+        args.iters))
     if not args.skip_brute:
         emit("dense_scan_brute_int8", *_timeit(
             lambda: maxsim_scores_int8(
