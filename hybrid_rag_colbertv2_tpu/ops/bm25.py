@@ -43,11 +43,18 @@ def bm25_scores_device(
         start = indptr[t]                                  # (Q,)
         length = indptr[t + 1] - start                     # (Q,)
         offs = jnp.arange(max_postings, dtype=jnp.int32)   # (P,)
-        idx = start[:, None] + offs[None, :]               # (Q, P)
-        valid = (offs[None, :] < length[:, None]) & (terms >= 0)[:, None]
-        idx = jnp.clip(idx, 0, nnz - 1)
-        docs = jnp.where(valid, post_docs[idx], n_docs)    # dump slot
-        w = jnp.where(valid, post_weights[idx], 0.0)
+        # contiguous-window slice gather (see bm25_topk_device)
+        start_c = jnp.clip(jnp.minimum(start, nnz - max_postings), 0, None)
+        shift = start - start_c
+        docs_w = jax.vmap(lambda s: jax.lax.dynamic_slice(
+            post_docs, (s,), (max_postings,)))(start_c)    # (Q, P)
+        w_w = jax.vmap(lambda s: jax.lax.dynamic_slice(
+            post_weights, (s,), (max_postings,)))(start_c)
+        valid = ((offs[None, :] >= shift[:, None])
+                 & (offs[None, :] < (shift + length)[:, None])
+                 & (terms >= 0)[:, None])
+        docs = jnp.where(valid, docs_w, n_docs)            # dump slot
+        w = jnp.where(valid, w_w, 0.0)
         dense = jnp.zeros((n_docs + 1,), jnp.float32)
         dense = dense.at[docs.reshape(-1)].add(w.reshape(-1))
         return dense[:n_docs]
@@ -78,7 +85,8 @@ def bm25_topk_device(
     matching the dense scorer's downstream convention.
     """
     nnz = post_docs.shape[0]
-    qp = query_terms.shape[1] * max_postings
+    q_width = query_terms.shape[1]
+    qp = q_width * max_postings
     kk = min(k, qp)  # padded back to k below so the (B, k) contract holds
 
     def one(terms):
@@ -86,27 +94,50 @@ def bm25_topk_device(
         start = indptr[t]
         length = indptr[t + 1] - start
         offs = jnp.arange(max_postings, dtype=jnp.int32)
-        idx = jnp.clip(start[:, None] + offs[None, :], 0, nnz - 1)
-        valid = (offs[None, :] < length[:, None]) & (terms >= 0)[:, None]
+        # postings windows are CONTIGUOUS, so fetch them with vmapped
+        # dynamic_slice (lowers to a gather of P-wide slices — DMA-sized
+        # reads) instead of an element-wise post_docs[idx] gather, which
+        # the TPU executes element-by-element (measured 3.9 ms of the
+        # old kernel's 11 ms at batch 64). Slices that would run past
+        # nnz are shifted left by `shift`; the validity window shifts
+        # with them (valid postings always fit: length <= nnz - start).
+        start_c = jnp.clip(jnp.minimum(start, nnz - max_postings), 0, None)
+        shift = start - start_c                               # (Q,) >= 0
+        docs_w = jax.vmap(lambda s: jax.lax.dynamic_slice(
+            post_docs, (s,), (max_postings,)))(start_c)       # (Q, P)
+        w_w = jax.vmap(lambda s: jax.lax.dynamic_slice(
+            post_weights, (s,), (max_postings,)))(start_c)
+        valid = ((offs[None, :] >= shift[:, None])
+                 & (offs[None, :] < (shift + length)[:, None])
+                 & (terms >= 0)[:, None])
         big = jnp.int32(2**30)                    # sentinel sorts last
-        docs = jnp.where(valid, post_docs[idx], big).reshape(-1)
-        w = jnp.where(valid, post_weights[idx], 0.0).reshape(-1)
+        docs = jnp.where(valid, docs_w, big).reshape(-1)
+        w = jnp.where(valid, w_w, 0.0).reshape(-1)
 
         docs_s, w_s = jax.lax.sort_key_val(docs, w)          # (QP,)
-        run_start = jnp.concatenate(
-            [jnp.ones((1,), bool), docs_s[1:] != docs_s[:-1]])
-        run_end = jnp.concatenate(
-            [docs_s[1:] != docs_s[:-1], jnp.ones((1,), bool)])
-        # per-run totals via segment_sum: each doc's total adds ONLY its
-        # own weights, in (term-major) gather order. A cumsum-difference
-        # would be cheaper-looking but accumulates unrelated weights and
-        # cancels them — ULP noise that depends on what else is in the
-        # array, so a doc's score would differ between the replicated and
-        # doc-sharded lexical layouts and reorder near-ties (observed);
-        # segment_sum makes the two layouts produce bit-equal scores.
-        seg = jnp.cumsum(run_start) - 1                      # (QP,)
-        sums = jax.ops.segment_sum(w_s, seg, num_segments=qp)
-        totals = jnp.where(run_end & (docs_s < big), sums[seg], 0.0)
+        boundary = docs_s[1:] != docs_s[:-1]
+        run_start = jnp.concatenate([jnp.ones((1,), bool), boundary])
+        run_end = jnp.concatenate([boundary, jnp.ones((1,), bool)])
+        # Per-run totals via a BOUNDED segmented scan: a doc appears at
+        # most once per query term occurrence, so no run is longer than
+        # Q — ceil(log2(Q)) masked shift-add passes reach every run
+        # total, vs a segment_sum scatter-add the TPU serializes
+        # (measured 5.0 ms of the old kernel's 11 ms at batch 64). Each
+        # element combines only weights from its OWN run in a tree fixed
+        # by run-RELATIVE offsets, so (like the scatter-add it replaces,
+        # and unlike a cumsum-difference) totals are identical across
+        # the replicated and doc-sharded lexical layouts, whose sorted
+        # arrays differ only in what surrounds each run.
+        acc, flag, step = w_s, run_start, 1
+        while step < q_width:
+            prev_acc = jnp.concatenate(
+                [jnp.zeros((step,), acc.dtype), acc[:-step]])
+            prev_flag = jnp.concatenate(
+                [jnp.ones((step,), bool), flag[:-step]])
+            acc = acc + jnp.where(flag, 0.0, prev_acc)
+            flag = flag | prev_flag
+            step *= 2
+        totals = jnp.where(run_end & (docs_s < big), acc, 0.0)
 
         vals, pos = jax.lax.top_k(totals, kk)
         ids = docs_s[pos]
