@@ -36,8 +36,8 @@ from ..index.dense import DenseTokenIndex
 from ..index.manager import IndexManager
 from ..ops.bm25 import bm25_topk_device
 from ..ops.fusion import final_topk_select, rrf_from_topk
-from ..ops.maxsim import (maxsim_scores, maxsim_scores_exact,
-                          maxsim_scores_int8, maxsim_scores_int8_doc)
+from ..ops.maxsim import (maxsim_scores, maxsim_scores_int8,
+                          maxsim_scores_int8_doc)
 from ..ops.prefilter import approx_or_exact_topk, maxsim_topk_pruned
 from ..utils.logging import StageTimer, get_logger
 
@@ -287,7 +287,6 @@ def fused_bucketed_cascade_fn(model, query_len: int, bucket_geoms,
         w = sd["fusion_weight_bm25"]
         geoms = [dict(n_pad=g[0], doc_len=g[1], quant=g[2])
                  for g in bucket_geoms]
-        l_max = max(g["doc_len"] for g in geoms)
 
         @jax.jit
         def fused(params, packed, indptr, post_docs, post_weights,
@@ -342,14 +341,20 @@ def fused_bucketed_cascade_fn(model, query_len: int, bucket_geoms,
                 bm25_ids, ms_ids, k=kf, rrf_k=rrf_k,
                 weights=(2.0 * w, 2.0 * (1.0 - w)))
 
-            # exact fp32 rerank: route each candidate to its home bucket
+            # exact fp32 rerank: route each candidate to its home bucket.
+            # Per-bucket sims with dequant applied AFTER the fp32 matmul
+            # (sim(q, s*e) = s * (q . e) exactly — the same traffic fix
+            # as the flat path / ops/prefilter): the gather stays in the
+            # stored dtype, nothing is padded to l_max, and only the
+            # (kf,) per-bucket scores are select-merged. Non-live
+            # candidates keep the init value; final_topk_select masks
+            # them to -inf before ordering, as before.
             safe_c = jnp.clip(fused_ids, 0, n_docs - 1)
             cand_bucket = bucket_of[safe_c]
             cand_row = row_of[safe_c]
 
             def rerank_one(q, cand, cbucket, crow, live):
-                docs = jnp.zeros((kf, l_max, q.shape[-1]), jnp.float32)
-                lens_out = jnp.zeros((kf,), jnp.int32)
+                acc = jnp.zeros((kf,), jnp.float32)
                 for bi, geom in enumerate(geoms):
                     emb, sc, lens, _, dsc, _ = flat[6 * bi: 6 * bi + 6]
                     n_b = geom["n_pad"]
@@ -357,18 +362,21 @@ def fused_bucketed_cascade_fn(model, query_len: int, bucket_geoms,
                     quant = geom["quant"]
                     own = live & (cbucket == bi)
                     rows = jnp.clip(crow, 0, n_b - 1)
-                    embs3 = emb.reshape(n_b, dl, -1)
-                    gdocs = embs3[rows].astype(jnp.float32)
+                    docs = emb.reshape(n_b, dl, -1)[rows]   # (kf, dl, D)
+                    sims = jnp.einsum(
+                        "qd,cld->cql", q, docs.astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
                     if quant == "int8":
-                        gdocs = gdocs * sc.reshape(n_b, dl)[rows][..., None]
+                        sims = sims * sc.reshape(n_b, dl)[rows][:, None, :]
                     elif quant == "int8-doc":
-                        gdocs = gdocs * dsc[rows][:, None, None]
-                    if dl < l_max:
-                        gdocs = jnp.pad(
-                            gdocs, ((0, 0), (0, l_max - dl), (0, 0)))
-                    docs = jnp.where(own[:, None, None], gdocs, docs)
-                    lens_out = jnp.where(own, lens[rows], lens_out)
-                return maxsim_scores_exact(q[None], docs, lens_out)[0]
+                        sims = sims * dsc[rows][:, None, None]
+                    lb = jnp.where(own, lens[rows], 0)
+                    tokb = jnp.arange(dl, dtype=jnp.int32)
+                    valid = tokb[None, :] < lb[:, None]     # (kf, dl)
+                    sims = jnp.where(valid[:, None, :], sims, -1e30)
+                    score_b = jnp.sum(jnp.max(sims, axis=-1), axis=-1)
+                    acc = jnp.where(own, score_b, acc)
+                return acc
 
             rerank = jax.vmap(rerank_one)(
                 q_emb.astype(jnp.float32), safe_c, cand_bucket, cand_row,

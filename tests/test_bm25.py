@@ -239,3 +239,31 @@ def test_contraction_tokenization_matches_reference_behavior():
     assert toks == ["know", "hurt", "stop"]
     # single letters never become terms
     assert tokenize_lexical("a b c x1 t s") == ["x1"]
+
+
+def test_topk_window_at_postings_array_end():
+    """The slice-window gather shifts a term's read window left when its
+    postings run to the very end of the array (start > nnz - P); the
+    validity mask shifts with it. Craft a CSR whose LAST term has fewer
+    postings than max_postings and sits flush against the array end, and
+    check device top-k totals equal a host-side accumulation."""
+    import jax
+
+    from hybrid_rag_colbertv2_tpu.ops.bm25 import bm25_topk_device
+
+    # postings: term 0 -> 6 entries, term 1 -> 2 entries (flush at end)
+    indptr = jnp.asarray(np.array([0, 6, 8], np.int32))
+    post_docs = jnp.asarray(np.array([0, 2, 4, 5, 7, 9, 2, 7], np.int32))
+    post_w = jnp.asarray(
+        np.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 10.0, 20.0], np.float32))
+    q = jnp.asarray(np.array([[1, 0, -1, -1]], np.int32))  # both terms
+    max_postings = 6                   # > term 1's 2 entries; 8-6 < start=6
+    vals, ids = bm25_topk_device(
+        q, indptr, post_docs, post_w, n_docs=10, max_postings=max_postings,
+        k=4)
+    vals, ids = np.asarray(vals)[0], np.asarray(ids)[0]
+    # host truth: doc totals = term0 + term1 contributions
+    want = {0: 1.0, 2: 2.0 + 10.0, 4: 3.0, 5: 4.0, 7: 5.0 + 20.0, 9: 6.0}
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    assert [i for i, _ in top] == ids.tolist()
+    np.testing.assert_allclose([v for _, v in top], vals, rtol=1e-6)
