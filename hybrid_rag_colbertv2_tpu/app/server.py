@@ -246,17 +246,31 @@ def make_handler(app, batcher: Optional[MicroBatcher] = None,
     return Handler
 
 
-def serve(app, host: str = "127.0.0.1", port: int = 8080,
-          max_batch: int = 8, batch_window_s: float = 0.002) -> None:
-    """Blocking server loop. ``app`` must have initialize_chatbot() done."""
+def make_server(app, host: str = "127.0.0.1", port: int = 8080,
+                max_batch: int = 8, batch_window_s: float = 0.002):
+    """-> (httpd, batcher), warmed and ready to ``serve_forever()``.
+
+    Split out of ``serve`` so embedders (tools/serve_probe.py, tests) can
+    own the server lifecycle: run ``httpd.serve_forever()`` on a thread,
+    stop with ``httpd.shutdown(); batcher.close(); httpd.server_close()``.
+    Binding ``port=0`` lets the OS pick (read ``httpd.server_address``).
+    """
     # warm the fused cascade BEFORE accepting traffic: the first compile
     # costs 30-130 s on a tunneled TPU and would otherwise be paid by (and
-    # possibly time out) the first live requests
+    # possibly time out) the first live requests. The micro-batcher pads
+    # to power-of-two sizes and each size is its own executable, so warm
+    # EVERY size it can dispatch — otherwise the first request arriving
+    # at a quiet moment (batch 1) still pays a compile.
     t0 = time.perf_counter()
     try:
-        app.query_batch(["warmup"] * min(max_batch, 8),
-                        app.config.final_top_k)
-        log.info("cascade warmed in %.1fs", time.perf_counter() - t0)
+        size = 1
+        while True:
+            app.query_batch(["warmup"] * size, app.config.final_top_k)
+            if size >= max_batch:
+                break
+            size = min(2 * size, max_batch)
+        log.info("cascade warmed (batch sizes up to %d) in %.1fs",
+                 max_batch, time.perf_counter() - t0)
     except Exception as e:  # an empty index raises — serve /health anyway
         log.warning("warmup skipped: %s", e)
     batcher = MicroBatcher(app.query_batch, max_batch=max_batch,
@@ -266,7 +280,14 @@ def serve(app, host: str = "127.0.0.1", port: int = 8080,
         (host, port), make_handler(app, batcher, ChatSessions(app)))
     log.info("serving on http://%s:%d (endpoints: /health /stats /query "
              "/chat; micro-batch window %.1fms, max %d)",
-             host, port, batch_window_s * 1e3, max_batch)
+             host, httpd.server_address[1], batch_window_s * 1e3, max_batch)
+    return httpd, batcher
+
+
+def serve(app, host: str = "127.0.0.1", port: int = 8080,
+          max_batch: int = 8, batch_window_s: float = 0.002) -> None:
+    """Blocking server loop. ``app`` must have initialize_chatbot() done."""
+    httpd, batcher = make_server(app, host, port, max_batch, batch_window_s)
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:

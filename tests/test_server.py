@@ -238,3 +238,43 @@ def test_chat_sessions_concurrent_generation(tmp_path):
     for i in range(6):
         sessions.get(f"s{i}")
     assert len(sessions) == 4
+
+
+def test_make_server_and_probe_levels(tmp_path):
+    """make_server (app/server.py) warms every batcher shape and returns a
+    live (httpd, batcher); tools/serve_probe.run_level drives it over a
+    real socket and reports sane QPS/latency/merge stats."""
+    from hybrid_rag_colbertv2_tpu.app.server import make_server
+    from hybrid_rag_colbertv2_tpu.tools.serve_probe import run_level
+
+    (tmp_path / "doc.md").write_text(
+        "# TPU\n\nsystolic array multiplies matrices fast\n\n"
+        "# Pasta\n\nboil noodles in salted water\n")
+    cfg = RAGConfig(
+        db_path=str(tmp_path / "s.db"),
+        bm25_index_path=str(tmp_path / "idx/bm25"),
+        colbert_index_path=str(tmp_path / "idx/colbert"),
+        images_dir=str(tmp_path / "imgs"),
+        tokenizer_path=str(tmp_path / "idx/tok.json"),
+        min_chunk_size=4, max_chunk_size=64,
+        encoder_preset="tiny", tokenizer_vocab_size=256,
+    )
+    app = RAGApplication(cfg, use_ollama=False)
+    app.index_documents([str(tmp_path / "doc.md")])
+    app.initialize_chatbot(use_mesh=False)
+    httpd, batcher = make_server(app, port=0, max_batch=4,
+                                 batch_window_s=0.005)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{httpd.server_address[1]}/query"
+        row = run_level(url, ["systolic array", "salted water"],
+                        concurrency=3, n_requests=2)
+        assert row["requests"] == 6 and row["errors"] == 0
+        assert row["qps"] > 0 and row["p50_ms"] > 0
+        assert row["p95_ms"] >= row["p50_ms"]
+        assert batcher.requests_served >= 6
+    finally:
+        httpd.shutdown()
+        batcher.close()
+        httpd.server_close()
