@@ -23,14 +23,20 @@ word-dropout spans, synonym-substituted spans); an entry's *regret* in a
 regime is the gap to that regime's best entry, and its score is its
 WORST regret over regimes. Then, within a one-query noise band of the
 smallest worst-regret:
-  * if PARITY (rerank, 0.5) is in the band (its worst regret is within
-    noise of the best achievable), ship parity — the measurement cannot
-    distinguish the settings, so keep the reference behavior (this also
-    covers saturated validations where everything scores 1.0);
-  * otherwise ship the LAST (most BM25-protective) entry in the band —
-    the downside is asymmetric: a weak dense leg demoting lexical hits
+  * ship the LAST (most BM25-protective) entry in the band — the
+    downside is asymmetric: a weak dense leg demoting lexical hits
     costs real accuracy, while a genuinely strong dense leg wins the
-    gate by more than the noise floor anyway —
+    gate by more than the noise floor anyway. PARITY (rerank, 0.5) gets
+    NO priority: it is the LEAST lexical-protective entry (a pure dense
+    final ordering), so an in-band tie must not ship it (measured on an
+    organic 267-chunk docs corpus: parity squeaked into the 1/16 band on
+    the calibration regimes yet cost 9-20pp hit@10 vs the in-band
+    (rrf, 0.9) on every held-out slice — an earlier rule that preferred
+    in-band parity "to keep reference behavior" shipped exactly that
+    loss). Parity ships from auto only by winning the band OUTRIGHT
+    (e.g. a strong pretrained dense leg); pinning
+    ``final_fusion="rerank"`` keeps it always available for parity
+    audits;
   * EXCEPT (rrf, 1.0), which must win the band OUTRIGHT (be its only
     member): at weight 1.0 the dense leg's RRF contribution is exactly
     zero, so dense-only candidates are dropped from the candidate set
@@ -84,7 +90,8 @@ log = get_logger(__name__)
 # and from tools/eval_recall's default eval seed (101).
 _GATE_SEED_OFFSET = 7919
 
-MIN_GATE_CHUNKS = 16   # below this the eval is meaningless; keep parity
+MIN_GATE_CHUNKS = 16   # below this the eval is meaningless; ship the
+                       # robust lexical-lean fallback (resolve_final_fusion)
 
 # (final_fusion, fusion_weight_bm25) menu, parity first, ascending
 # lexical protection. Menu spacing is deliberately coarse: entries the
@@ -205,18 +212,17 @@ def select_entry_regimes(
     """Minimax-regret selection over query regimes (module docstring).
 
     An entry's regret in a regime is the gap to that regime's best menu
-    entry; its score is its WORST regret across regimes. Parity ships if
-    its worst regret is within the one-query noise band of zero; else
-    the most BM25-protective entry whose worst regret is within the band
-    of the minimum — except (.., 1.0), which must hold the band alone."""
+    entry; its score is its WORST regret across regimes. Ships the most
+    BM25-protective entry whose worst regret is within the one-query
+    band of the minimum — except (.., 1.0), which must hold the band
+    alone. No entry gets priority: parity (menu[0], the least
+    protective) ships only by winning the band outright."""
     eps = 1.0 / max(1, n_per_regime) + 1e-9
     regret = {e: 0.0 for e in menu}
     for hits in hits_by_regime.values():
         best = max(hits[e] for e in menu)
         for e in menu:
             regret[e] = max(regret[e], best - hits[e])
-    if regret[menu[0]] <= eps:
-        return menu[0]
     floor = min(regret[e] for e in menu)
     in_band = [e for e in menu if regret[e] <= floor + eps]
     non_lexical_only = [e for e in in_band if e[1] < 1.0]
@@ -226,11 +232,10 @@ def select_entry_regimes(
 def select_entry(menu, hits: Dict[Tuple[str, float], float],
                  n_queries: int) -> Tuple[str, float]:
     """Single-regime degenerate case of ``select_entry_regimes`` (regret
-    = gap to the measured max): parity if in band, else the most BM25-
-    protective entry in the band — except (.., 1.0), which must be ALONE
-    in the band to win (lexical-only candidate generation drops
-    dense-only docs; on a tie the next-most-lexical entry keeps the
-    dense leg for free)."""
+    = gap to the measured max): the most BM25-protective entry in the
+    band — except (.., 1.0), which must be ALONE in the band to win
+    (lexical-only candidate generation drops dense-only docs; on a tie
+    the next-most-lexical entry keeps the dense leg for free)."""
     return select_entry_regimes(menu, {"all": hits}, n_queries)
 
 

@@ -264,8 +264,15 @@ def test_gate_band_rule_lexical_only_needs_outright_win():
     # 1.0 strictly above the band -> it may ship
     hits[("rrf", 1.0)] = 0.9
     assert select_entry(menu, hits, 64) == ("rrf", 1.0)
-    # parity in band always wins
+    # parity gets NO in-band priority (it is the LEAST lexical-protective
+    # entry; measured on an organic docs corpus, in-band parity cost
+    # 9-20pp vs the in-band (rrf, 0.9)): a flat tie ships the most
+    # protective sub-1.0 entry
     hits = {e: 0.5 for e in menu}
+    assert select_entry(menu, hits, 64) == ("rrf", 0.9)
+    # parity wins the band OUTRIGHT -> it ships
+    hits = {e: 0.5 for e in menu}
+    hits[("rerank", 0.5)] = 0.8
     assert select_entry(menu, hits, 64) == ("rerank", 0.5)
     # the dense-lean entry ties the band -> the more lexical entry wins
     hits = {e: 0.5 for e in menu}
@@ -304,9 +311,10 @@ def test_gate_minimax_regret_catches_regime_collapse():
     # worst regrets: parity 0.50 (long_verbatim), 0.25: 0.36, 0.5: 0.10,
     # 0.75: 0.07, 0.9: 0.15, 1.0: 0.21 -> 0.75 wins, no band ties at 1/16
     assert select_entry_regimes(GATE_MENU, hits, 16) == ("rrf", 0.75)
-    # saturated regimes (everything ~equal) keep parity
+    # saturated regimes (everything ~equal): all in band, most protective
+    # sub-1.0 entry ships (parity gets no priority — see band-rule test)
     flat = {r: {e: 1.0 for e in GATE_MENU} for r in hits}
-    assert select_entry_regimes(GATE_MENU, flat, 16) == ("rerank", 0.5)
+    assert select_entry_regimes(GATE_MENU, flat, 16) == ("rrf", 0.9)
     # single-regime degenerate case must match the documented band rule
     one = {"all": hits["long_verbatim"]}
     assert select_entry_regimes(GATE_MENU, one, 64) == ("rrf", 0.9)
