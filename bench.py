@@ -627,6 +627,85 @@ def run_realdata(result, ctx):
             + " on the same evals.")
 
 
+def run_organic(result, ctx):
+    """ORGANIC-corpus quality: the repo's own documentation (genuine
+    technical prose, not template-generated) through the DEFAULT config
+    (auto-train, auto gate). Guards the quality claim against "the
+    corpus generator flatters the system" — and it earns its keep: this
+    measurement caught the round-4 gate parity-priority bug
+    (docs/performance.md, 'organic corpus' section). Slices: verbatim
+    ICT spans, 30% word-dropout, full synonym substitution (the
+    template paraphrase/adversarial slices don't exist off the sample
+    corpus; these three are corpus-agnostic)."""
+    from hybrid_rag_colbertv2_tpu.app.application import RAGApplication
+    from hybrid_rag_colbertv2_tpu.config import RAGConfig
+    from hybrid_rag_colbertv2_tpu.retrieval.gate import measure_menu
+    from hybrid_rag_colbertv2_tpu.tools.eval_recall import evaluate
+    from hybrid_rag_colbertv2_tpu.train.data import pseudo_query_pairs
+
+    root = Path(__file__).resolve().parent
+    docs = [p for p in (
+        root / "README.md", root / "SURVEY.md", root / "PARITY.md",
+        root / "BASELINE.md", root / "docs" / "architecture.md",
+        root / "docs" / "performance.md", root / "docs" / "scaling.md",
+    ) if p.exists()]
+    if len(docs) < 3:
+        log("organic pass skipped: repo docs not found")
+        return
+    with tempfile.TemporaryDirectory() as td:
+        cfg = RAGConfig(
+            db_path=f"{td}/rag.db", bm25_index_path=f"{td}/idx/bm25",
+            colbert_index_path=f"{td}/idx/colbert",
+            tokenizer_path=f"{td}/idx/tok.json", images_dir=f"{td}/img",
+            min_chunk_size=48, max_chunk_size=96, doc_max_tokens=128,
+        )
+        t0 = time.perf_counter()
+        app = RAGApplication(cfg, use_ollama=False)
+        app.index_documents([str(p) for p in docs])
+        app.resolve_final_fusion()
+        corpus = app.store.all_chunk_texts()
+        log(f"organic: {len(corpus)} chunks indexed+gated in "
+            f"{time.perf_counter() - t0:.0f}s, gate="
+            f"({app.config.final_fusion}, w={app.config.fusion_weight_bm25})")
+        org = {"chunks": len(corpus),
+               "gate_picked": app.config.final_fusion,
+               "gate_weight": app.config.fusion_weight_bm25}
+        n_eval = 64 if ctx["on_tpu"] else 16
+        r = evaluate(app, n_queries=n_eval, k=10, batch=8,
+                     measure_latency=False, query_source="ict",
+                     measure_exact=False, measure_legs=True)
+        org["ict"] = {"hit10": r["hit@10_configured"],
+                      "hit10_bm25_only": r["hit@10_bm25_only"],
+                      "hit10_dense_only": r["hit@10_dense_only"]}
+        log(f"organic ict: {json.dumps(org['ict'])}")
+        picked = (app.config.final_fusion, app.config.fusion_weight_bm25)
+        lex = app.indexes.lexical
+        for name, kw in (("dropout", dict(word_dropout=0.3, seed=211)),
+                         ("synonym", dict(synonym_prob=1.0, seed=313))):
+            pairs = pseudo_query_pairs(corpus, n_pairs_per_doc=1, **kw)
+            rng = np.random.default_rng(kw["seed"])
+            rng.shuffle(pairs)
+            pairs = pairs[:n_eval]
+            queries = [q for q, _ in pairs]
+            sources = np.array([i for _, i in pairs])
+            hits = measure_menu(app.config, app.indexes, app.encoder,
+                                [picked], queries, sources,
+                                chunk_store=app.store)
+            bm = np.stack([np.argsort(-lex.score_host(q))[:10]
+                           for q in queries])
+            bm_hit = float(np.mean([sources[i] in set(bm[i].tolist())
+                                    for i in range(len(pairs))]))
+            org[name] = {"hit10": round(float(hits[tuple(picked)]), 3),
+                         "hit10_bm25_only": round(bm_hit, 3)}
+            log(f"organic {name}: {json.dumps(org[name])}")
+        slices = ("ict", "dropout", "synonym")
+        org["hit10_mean"] = round(float(np.mean(
+            [org[s]["hit10"] for s in slices])), 3)
+        org["hit10_mean_bm25_only"] = round(float(np.mean(
+            [org[s]["hit10_bm25_only"] for s in slices])), 3)
+        result["organic"] = org
+
+
 def main():
     import threading
 
@@ -653,6 +732,7 @@ def main():
         ("HRAG_BENCH_RECALL", 150, run_recall, "recall"),
         ("HRAG_BENCH_1M", 420, run_1m, "1M"),
         ("HRAG_BENCH_REALDATA", None, run_realdata, "realdata"),
+        ("HRAG_BENCH_ORGANIC", 900, run_organic, "organic"),
     ]
     try:
         for env, budget, fn, name in passes:
