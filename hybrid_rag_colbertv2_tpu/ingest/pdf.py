@@ -131,13 +131,227 @@ def minimal_pdf_to_text(path: str | Path) -> Tuple[str, int]:
     return "\n\n".join(texts), max(pages, 1)
 
 
+# ---------------------------------------------------------------------------
+# Minimal PDF object graph: page-ordered text + image->page mapping.
+#
+# The stream-order heuristics above assume one text-bearing content stream
+# per page and cannot tell which page an image XObject belongs to. Machine-
+# generated PDFs carry the real structure in the object graph (trailer
+# /Root -> catalog /Pages -> /Kids tree -> per-page /Contents and
+# /Resources /XObject), which a few hundred bytes of parsing recovers —
+# giving the fallback reader true page numbering (image-only pages keep
+# their slot) and per-page image association, matching what the PyMuPDF
+# path provides. When the graph cannot be resolved (exotic layouts,
+# cross-reference object streams) the callers fall back to the heuristics
+# and the processor degrades image association to the reference's
+# document-wide keyword mode instead of trusting wrong page numbers.
+# ---------------------------------------------------------------------------
+
+_OBJ_HEAD_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+_REF_RE = re.compile(rb"(\d+)\s+0\s+R\b")
+_STREAM_START_RE = re.compile(rb"stream\r?\n")
+
+
+def _parse_pdf_objects(data: bytes) -> Dict[int, bytes]:
+    """object number -> raw body (dict + optional stream), document order.
+    Stream payloads are skipped when hunting for ``endobj`` so binary
+    image data containing those bytes cannot truncate an object."""
+    objects: Dict[int, bytes] = {}
+    pos = 0
+    while True:
+        m = _OBJ_HEAD_RE.search(data, pos)
+        if m is None:
+            break
+        start = m.end()
+        sm = _STREAM_START_RE.search(data, start)
+        eo = data.find(b"endobj", start)
+        if sm is not None and (eo < 0 or sm.start() < eo):
+            es = data.find(b"endstream", sm.end())
+            eo = data.find(b"endobj", es if es >= 0 else sm.end())
+        if eo < 0:
+            eo = len(data)
+        num = int(m.group(1))
+        objects.setdefault(num, data[start:eo])  # first wins (updates
+        pos = eo + len(b"endobj")                 # appear later; minimal)
+    return objects
+
+
+def _obj_dict(body: bytes) -> bytes:
+    """The dictionary part of an object body (bytes before its stream)."""
+    m = _STREAM_START_RE.search(body)
+    return body[: m.start()] if m else body
+
+
+def _obj_stream(body: bytes) -> Optional[bytes]:
+    """An object's stream payload, Flate-decompressed when tagged (or when
+    plain decompression succeeds); raw bytes otherwise (e.g. DCT JPEG)."""
+    m = _STREAM_START_RE.search(body)
+    if m is None:
+        return None
+    end = body.find(b"endstream", m.end())
+    raw = body[m.end(): end if end >= 0 else len(body)].rstrip(b"\r\n")
+    if b"FlateDecode" in _obj_dict(body):
+        try:
+            return zlib.decompress(raw)
+        except Exception:
+            return raw
+    return raw
+
+
+def _balanced_dict(d: bytes, start: int) -> int:
+    """``d[start:]`` begins at ``<<``; index just past the matching
+    ``>>`` (or -1)."""
+    depth = 0
+    i = start
+    while i < len(d) - 1:
+        pair = d[i: i + 2]
+        if pair == b"<<":
+            depth += 1
+            i += 2
+        elif pair == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return i
+        else:
+            i += 1
+    return -1
+
+
+def _dict_value(d: bytes, key: bytes) -> Optional[bytes]:
+    """Raw value bytes following ``/key`` in dict bytes: an inline
+    ``<<..>>`` dict, a ``[..]`` array, or scalar bytes (ref/name/number)."""
+    m = re.search(rb"/" + key + rb"(?![A-Za-z])\s*", d)
+    if m is None:
+        return None
+    i = m.end()
+    if d[i: i + 2] == b"<<":
+        j = _balanced_dict(d, i)
+        return d[i:j] if j > 0 else None
+    if d[i: i + 1] == b"[":
+        j = d.find(b"]", i)
+        return d[i: j + 1] if j > 0 else None
+    m2 = re.match(rb"[^/\[\]<>\r\n]*", d[i:])
+    return m2.group(0) if m2 else None
+
+
+def _resolve_dict(objects: Dict[int, bytes],
+                  value: Optional[bytes]) -> Optional[bytes]:
+    """A dict-valued entry is either inline ``<<..>>`` or a reference to
+    an object whose body is the dict; return the dict bytes."""
+    if value is None:
+        return None
+    if value.lstrip().startswith(b"<<"):
+        return value
+    r = _REF_RE.search(value)
+    if r is None:
+        return None
+    body = objects.get(int(r.group(1)))
+    return _obj_dict(body) if body is not None else None
+
+
+def _pdf_page_objects(objects: Dict[int, bytes], data: bytes) -> List[int]:
+    """Page object numbers in logical order: walk trailer /Root ->
+    /Pages -> /Kids; fall back to document order of /Type /Page objects."""
+    pages: List[int] = []
+    seen: set = set()
+
+    def walk(num: int) -> None:
+        if num in seen or num not in objects:
+            return
+        seen.add(num)
+        d = _obj_dict(objects[num])
+        kids = _dict_value(d, b"Kids")
+        if kids is not None:
+            for r in _REF_RE.finditer(kids):
+                walk(int(r.group(1)))
+        elif re.search(rb"/Type\s*/Page(?![A-Za-z])", d):
+            pages.append(num)
+
+    root_m = re.search(rb"/Root\s+(\d+)\s+0\s+R", data)
+    if root_m is not None:
+        catalog = objects.get(int(root_m.group(1)))
+        if catalog is not None:
+            pv = _dict_value(_obj_dict(catalog), b"Pages")
+            if pv is not None:
+                r = _REF_RE.search(pv)
+                if r is not None:
+                    walk(int(r.group(1)))
+    if not pages:
+        pages = [n for n, b in objects.items()
+                 if re.search(rb"/Type\s*/Page(?![A-Za-z])", _obj_dict(b))]
+    return pages
+
+
+def pdf_page_graph(data: bytes) -> Optional[List[Dict]]:
+    """-> ordered per-page records ``{"text": str, "images": [(obj_num,
+    jpeg_bytes)]}``, or None when the object graph cannot be resolved.
+    Image-only pages keep their slot with empty text (the property the
+    stream-order heuristic loses — a text-less page used to shift every
+    later page's number)."""
+    objects = _parse_pdf_objects(data)
+    page_nums = _pdf_page_objects(objects, data)
+    if not page_nums:
+        return None
+    pages: List[Dict] = []
+    for num in page_nums:
+        d = _obj_dict(objects[num])
+        texts: List[str] = []
+        cv = _dict_value(d, b"Contents")
+        if cv is not None:
+            for r in _REF_RE.finditer(cv):
+                body = objects.get(int(r.group(1)))
+                s = _obj_stream(body) if body is not None else None
+                if s and (b"Tj" in s or b"TJ" in s or b"'" in s):
+                    t = _extract_stream_text(s)
+                    if t.strip():
+                        texts.append(t)
+        images: List[Tuple[int, bytes]] = []
+        res = _resolve_dict(objects, _dict_value(d, b"Resources"))
+        xobj = _resolve_dict(objects, _dict_value(res or b"", b"XObject"))
+        if xobj is not None:
+            for r in _REF_RE.finditer(xobj):
+                on = int(r.group(1))
+                body = objects.get(on)
+                if body is None:
+                    continue
+                od = _obj_dict(body)
+                if not re.search(rb"/Subtype\s*/Image(?![A-Za-z])", od):
+                    continue
+                if b"DCT" not in od:   # only JPEG passthrough is minimal
+                    continue
+                s = _obj_stream(body)
+                if s:
+                    images.append((on, s))
+        pages.append({"text": "".join(texts), "images": images})
+    if not any(p["text"].strip() or p["images"] for p in pages):
+        return None
+    return pages
+
+
 def minimal_pdf_images(path: str | Path, out_dir: str | Path,
                        document_id: int) -> List[Dict]:
-    """Extract DCTDecode (JPEG) image XObjects byte-for-byte."""
+    """Extract DCTDecode (JPEG) image XObjects byte-for-byte, with TRUE
+    page numbers when the object graph resolves (page /Resources
+    /XObject membership). When it does not, images carry
+    ``page_number=0`` (= unknown) and the processor degrades to the
+    reference's document-wide keyword association rather than
+    mis-attaching everything to page 1."""
     data = Path(path).read_bytes()
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     images: List[Dict] = []
+    graph = pdf_page_graph(data)
+    if graph is not None:
+        for page_i, page in enumerate(graph):
+            for img_index, (_, img_bytes) in enumerate(page["images"]):
+                p = (out_dir / f"doc{document_id}_page{page_i + 1}"
+                               f"_img{img_index + 1}.jpg")
+                p.write_bytes(img_bytes)
+                images.append({"page_number": page_i + 1,
+                               "image_path": str(p),
+                               "image_index": img_index})
+        return images
     obj_re = re.compile(
         rb"/Subtype\s*/Image(.{0,400}?)stream\r?\n", re.DOTALL)
     for i, m in enumerate(obj_re.finditer(data)):
@@ -151,7 +365,7 @@ def minimal_pdf_images(path: str | Path, out_dir: str | Path,
         img_bytes = data[start:end].rstrip(b"\r\n")
         p = out_dir / f"doc{document_id}_img{i + 1}.jpg"
         p.write_bytes(img_bytes)
-        images.append({"page_number": 1, "image_path": str(p),
+        images.append({"page_number": 0, "image_path": str(p),
                        "image_index": i})
     return images
 
@@ -207,20 +421,28 @@ def document_to_markdown_pages(path: str | Path) -> Tuple[str, List[int]]:
             return _page_texts_to_markdown(
                 [p.get("text", "") for p in pages])
         log.info("PyMuPDF unavailable — using built-in minimal PDF reader")
-        text, n_pages = minimal_pdf_to_text(path)
         pages = minimal_pdf_page_texts(path)
         if len(pages) > 1:
             return _page_texts_to_markdown(pages)
+        if pages:
+            return pages[0], [0]
+        text, _ = minimal_pdf_to_text(path)
         return text, [0]
     raise ValueError(f"unsupported document type: {path.suffix}")
 
 
 def minimal_pdf_page_texts(path: str | Path) -> List[str]:
-    """Built-in extractor, per-page: each text-bearing FlateDecode content
-    stream is one page's text (machine-generated PDFs keep one content
-    stream per page; when that assumption fails the caller falls back to
-    single-page association)."""
+    """Built-in extractor, per-page. Primary path: the object graph
+    (``pdf_page_graph``) — pages come from the catalog's /Kids tree in
+    logical order and text from each page's own /Contents streams, so
+    image-only pages keep their (empty-text) slot and page numbering
+    stays aligned with the true document. Fallback when the graph cannot
+    be resolved: each text-bearing FlateDecode content stream is one
+    page's text (the one-stream-per-page heuristic)."""
     data = Path(path).read_bytes()
+    graph = pdf_page_graph(data)
+    if graph is not None:
+        return [p["text"] for p in graph]
     out: List[str] = []
     for stream in _iter_flate_streams(data):
         if b"Tj" in stream or b"TJ" in stream:

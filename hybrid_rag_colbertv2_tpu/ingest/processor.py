@@ -193,6 +193,12 @@ class DocumentProcessor:
                 # a single-page source has no proximity signal — the
                 # keyword heuristic is strictly more informative there
                 mode = "document"
+            elif any(im.get("page_number", 0) < 1 for im in images):
+                # the extractor could not resolve which page an image
+                # lives on (minimal reader, unresolvable object graph):
+                # proximity association would mis-attach, so degrade to
+                # the reference's document-wide keyword mode
+                mode = "document"
             chunks = self.enrich_chunks_with_images(chunks, images, mode)
 
         with self.timer.stage("persist"):

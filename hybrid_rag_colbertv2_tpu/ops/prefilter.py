@@ -31,7 +31,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .maxsim import NEG_INF, maxsim_scores_exact
+from .maxsim import NEG_INF
 
 
 def _round_up(x: int, m: int) -> int:

@@ -207,17 +207,33 @@ def validate_transfer(config, indexes, encoder, pairs, picked,
 def select_entry_regimes(
     menu,
     hits_by_regime: Dict[str, Dict[Tuple[str, float], float]],
-    n_per_regime: int,
+    n_per_regime,
 ) -> Tuple[str, float]:
     """Minimax-regret selection over query regimes (module docstring).
 
     An entry's regret in a regime is the gap to that regime's best menu
     entry; its score is its WORST regret across regimes. Ships the most
-    BM25-protective entry whose worst regret is within the one-query
-    band of the minimum — except (.., 1.0), which must hold the band
-    alone. No entry gets priority: parity (menu[0], the least
-    protective) ships only by winning the band outright."""
-    eps = 1.0 / max(1, n_per_regime) + 1e-9
+    BM25-protective blended entry whose worst regret is within the
+    one-query band of the minimum. Two entry classes must win the band
+    OUTRIGHT (be its only member): (.., 1.0) (lexical-only candidate
+    generation drops dense-only docs) and parity ``("rerank", ..)`` (a
+    pure dense final ordering — the least lexical-protective entry; an
+    in-band tie must not ship it, measured at 9-20pp held-out cost on an
+    organic corpus). If the band degenerates to exactly those two
+    classes tied together (neither may win a tie), the smallest-regret
+    blended entry ships instead.
+
+    ``n_per_regime``: queries measured per regime — an int when all
+    regimes are equal-sized, or a {regime: n} dict. The band width is
+    one query of the SMALLEST regime (1/min_n): regret is a max over
+    regimes, so a single-query flip in the smallest regime moves an
+    entry's regret by that regime's quantum, and a narrower band would
+    flip the shipped verdict on one-query noise."""
+    if isinstance(n_per_regime, dict):
+        sizes = [n_per_regime.get(r, 1) for r in hits_by_regime] or [1]
+    else:
+        sizes = [n_per_regime]
+    eps = 1.0 / max(1, min(sizes)) + 1e-9
     regret = {e: 0.0 for e in menu}
     for hits in hits_by_regime.values():
         best = max(hits[e] for e in menu)
@@ -225,8 +241,19 @@ def select_entry_regimes(
             regret[e] = max(regret[e], best - hits[e])
     floor = min(regret[e] for e in menu)
     in_band = [e for e in menu if regret[e] <= floor + eps]
-    non_lexical_only = [e for e in in_band if e[1] < 1.0]
-    return non_lexical_only[-1] if non_lexical_only else in_band[-1]
+    if len(in_band) == 1:           # outright win — any entry may ship
+        return in_band[0]
+    blended_in_band = [e for e in in_band if e[0] == "rrf" and e[1] < 1.0]
+    if blended_in_band:
+        return blended_in_band[-1]
+    # degenerate band: only parity and/or (.., 1.0) tied — neither may
+    # win a tie, so ship the smallest-regret blended entry (most
+    # protective on equal regret)
+    blended = [e for e in menu if e[0] == "rrf" and e[1] < 1.0]
+    if blended:
+        best = min(regret[e] for e in blended)
+        return [e for e in blended if regret[e] <= best + 1e-12][-1]
+    return in_band[-1]
 
 
 def select_entry(menu, hits: Dict[Tuple[str, float], float],
@@ -271,16 +298,28 @@ def resolve_final_fusion(
     menu = (GATE_MENU if fixed_weight is None
             else (("rerank", fixed_weight), ("rrf", fixed_weight)))
     if len(corpus) < MIN_GATE_CHUNKS:
-        # too small to measure — ship the robust lexical-lean entry, not
-        # parity: below the gate floor the corpus-trained dense leg is
-        # statistically unreliable (few chunks, few training batches,
-        # tokenization-sensitive), while BM25 on a tiny corpus is nearly
-        # exact matching. Weighted RRF keeps dense as tie-breaker only;
-        # parity ordering stays available by pinning final_fusion.
-        picked = ("rrf", fixed_weight if fixed_weight is not None else 0.9)
+        # too small to measure. With a CORPUS-TRAINED dense leg, ship the
+        # robust lexical-lean entry, not parity: below the gate floor the
+        # corpus-trained encoder is statistically unreliable (few chunks,
+        # few training batches, tokenization-sensitive), while BM25 on a
+        # tiny corpus is nearly exact matching — weighted RRF keeps dense
+        # as tie-breaker only. With a PRETRAINED CHECKPOINT configured the
+        # rationale inverts: the dense leg's semantics do not depend on
+        # corpus size, so the unmeasurable default is reference parity
+        # (the pure dense final ordering the checkpoint was built for).
+        # Either ordering stays available by pinning final_fusion.
+        if (getattr(config, "encoder_checkpoint", None)
+                and fixed_weight is None):
+            picked = ("rerank", 0.5)
+            reason = (f"corpus < {MIN_GATE_CHUNKS} chunks; pretrained "
+                      "checkpoint configured -> parity ordering")
+        else:
+            picked = ("rrf",
+                      fixed_weight if fixed_weight is not None else 0.9)
+            reason = f"corpus < {MIN_GATE_CHUNKS} chunks"
         return picked, {
             "picked": picked[0], "picked_weight": picked[1],
-            "reason": f"corpus < {MIN_GATE_CHUNKS} chunks"}
+            "reason": reason}
 
     # FOUR query regimes, each measured SEPARATELY (module docstring):
     # short verbatim spans, long verbatim spans (BM25's best case — the
@@ -301,6 +340,7 @@ def resolve_final_fusion(
     n_per = max(1, n_queries // len(regimes))
     rng = np.random.default_rng(seed)
     hits_by_regime: Dict[str, Dict[Tuple[str, float], float]] = {}
+    n_by_regime: Dict[str, int] = {}
     total_queries = 0
     for name, kw in regimes.items():
         pairs = pseudo_query_pairs(corpus, n_pairs_per_doc=1, **kw)
@@ -313,6 +353,7 @@ def resolve_final_fusion(
         hits_by_regime[name] = measure_menu(
             config, indexes, encoder, menu, queries, sources,
             chunk_store=chunk_store, k=k, batch=batch)
+        n_by_regime[name] = len(pairs)
         total_queries += len(pairs)
     if not hits_by_regime:
         picked = ("rrf", fixed_weight if fixed_weight is not None else 0.9)
@@ -320,8 +361,10 @@ def resolve_final_fusion(
             "picked": picked[0], "picked_weight": picked[1],
             "reason": "no measurable gate queries"}
 
-    # selection rule — minimax regret, see module docstring
-    picked = select_entry_regimes(menu, hits_by_regime, n_per)
+    # selection rule — minimax regret, see module docstring. The band is
+    # sized by the SMALLEST regime actually measured (a regime can yield
+    # fewer than n_per pairs, e.g. long spans over short chunks).
+    picked = select_entry_regimes(menu, hits_by_regime, n_by_regime)
     details = {"picked": picked[0], "picked_weight": picked[1],
                "queries": total_queries, "n_per_regime": n_per, "k": k}
     for mode, weight in menu:

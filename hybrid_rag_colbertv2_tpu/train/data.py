@@ -61,13 +61,20 @@ def pseudo_query_pairs(
                                  min(query_words[1], len(words)) + 1))
             start = int(rng.integers(0, max(len(words) - n, 0) + 1))
             span = words[start: start + n]
+            # mine_span is the VERBATIM source span, captured BEFORE any
+            # perturbation: mine_hard_negatives' duplicate-positive
+            # filter tests `mine_q in corpus[i]`, which is only
+            # meaningful for a verbatim substring (a post-dropout span
+            # is no longer a substring of anything, silently disabling
+            # the filter and re-admitting the ~10pp-label-noise
+            # alternative-positive negatives it exists to block).
+            mine_span = list(span)
             if word_dropout > 0.0 and len(span) > query_words[0]:
                 keep = rng.random(len(span)) >= word_dropout
                 # never drop below the minimum query length
                 while keep.sum() < query_words[0]:
                     keep[int(rng.integers(0, len(span)))] = True
                 span = [w for w, k in zip(span, keep) if k]
-            mine_span = span
             if synonym_prob > 0.0:
                 span = substitute_words(span, prob=synonym_prob, rng=rng,
                                         pick="random")

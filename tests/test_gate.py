@@ -387,3 +387,63 @@ def test_paired_transfer_band():
     noisy[n // 2: n // 2 + 5] = 1.0     # 5 queries flip to wins
     noisy[: 4] = 0.0                    # 4 flip to losses
     assert paired_in_band({picked: base, ("rrf", 0.5): noisy}, picked)
+
+
+def test_gate_degenerate_band_parity_plus_lexical_only():
+    """Band = {parity, (rrf, 1.0)} only: NEITHER may win a tie (parity
+    needs an outright win; 1.0 must hold the band alone) — the gate ships
+    the smallest-regret BLENDED entry instead."""
+    from hybrid_rag_colbertv2_tpu.retrieval.gate import (
+        GATE_MENU, select_entry_regimes)
+
+    base = {("rerank", 0.5): 0.70, ("rrf", 0.25): 0.55, ("rrf", 0.5): 0.58,
+            ("rrf", 0.75): 0.60, ("rrf", 0.9): 0.62,
+            ("rrf", 1.0): 0.70 - 1.0 / 32}
+    picked = select_entry_regimes(GATE_MENU, {"all": base}, 16)
+    # blended entries are 8pp+ out of band; the best of them ships
+    assert picked == ("rrf", 0.9)
+
+
+def test_gate_band_width_uses_smallest_regime():
+    """A regime that yielded fewer pairs than n_per has a coarser
+    measurement quantum; the band must absorb a one-query flip in THAT
+    regime (dict-valued n_per_regime)."""
+    from hybrid_rag_colbertv2_tpu.retrieval.gate import (
+        GATE_MENU, select_entry_regimes)
+
+    # long_verbatim produced only 5 pairs -> quantum 0.2. (rrf, 0.9)
+    # trails the regime best by exactly one query there.
+    hits = {
+        "verbatim": {e: 0.9 for e in GATE_MENU},
+        "long_verbatim": {e: (0.8 if e == ("rrf", 0.9) else 1.0)
+                          for e in GATE_MENU},
+    }
+    sizes = {"verbatim": 16, "long_verbatim": 5}
+    # with the one-query band of the SMALLEST regime (1/5), 0.9 stays in
+    # band and ships (most protective blended in-band entry)
+    assert select_entry_regimes(GATE_MENU, hits, sizes) == ("rrf", 0.9)
+    # an int n_per of 16 (the old behavior) would have kicked it out
+    assert select_entry_regimes(GATE_MENU, hits, 16) != ("rrf", 0.9)
+
+
+def test_gate_tiny_corpus_fallback_respects_checkpoint():
+    """Below MIN_GATE_CHUNKS the unmeasurable default is lexical-lean RRF
+    for a corpus-trained leg but reference PARITY when a pretrained
+    checkpoint is configured (its semantics don't depend on corpus
+    size)."""
+    from hybrid_rag_colbertv2_tpu.retrieval.gate import resolve_final_fusion
+
+    corpus = ["alpha beta", "gamma delta"]          # < MIN_GATE_CHUNKS
+    cfg = RAGConfig()
+    picked, details = resolve_final_fusion(cfg, None, None, corpus)
+    assert picked == ("rrf", 0.9)
+
+    cfg2 = RAGConfig(encoder_checkpoint="/some/ckpt")
+    picked2, details2 = resolve_final_fusion(cfg2, None, None, corpus)
+    assert picked2 == ("rerank", 0.5)
+    assert "checkpoint" in details2["reason"]
+
+    # pinned weight wins over the checkpoint default either way
+    picked3, _ = resolve_final_fusion(cfg2, None, None, corpus,
+                                      fixed_weight=0.75)
+    assert picked3 == ("rrf", 0.75)

@@ -305,3 +305,124 @@ def test_multipage_pipeline_page_association(tmp_path, monkeypatch):
     # persisted metadata carries the page span
     meta = store.get_chunk(ids[-1])["metadata"]
     assert meta.get("page_start") in (1, 2)
+
+
+# ---------------------------------------------------------------------------
+# Multi-page minimal-reader object graph (page-true text + image pages)
+# ---------------------------------------------------------------------------
+
+_FAKE_JPEG = b"\xff\xd8\xff\xe0" + b"J" * 64 + b"\xff\xd9"
+
+
+def make_multipage_pdf(path: Path, page_texts, image_pages=()):
+    """Hand-built multi-page PDF with a real object graph: catalog ->
+    pages tree -> per-page /Contents; pages in ``image_pages`` (1-based)
+    also carry a DCTDecode image XObject in their /Resources. A page
+    whose text is None is image-only (no /Contents)."""
+    objs = {}
+    next_num = 3  # 1 = catalog, 2 = pages node
+    page_nums = []
+    for i, text in enumerate(page_texts):
+        page_num = next_num
+        next_num += 1
+        entries = [b"/Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"]
+        if text is not None:
+            content = (b"BT /F1 12 Tf 72 720 Td (%s) Tj ET"
+                       % text.encode())
+            stream = zlib.compress(content)
+            objs[next_num] = (
+                b"<< /Length %d /Filter /FlateDecode >>\nstream\n"
+                % len(stream) + stream + b"\nendstream\n")
+            entries.append(b"/Contents %d 0 R" % next_num)
+            next_num += 1
+        if (i + 1) in image_pages:
+            objs[next_num] = (
+                b"<< /Type /XObject /Subtype /Image /Width 8 /Height 8 "
+                b"/Filter /DCTDecode /Length %d >>\nstream\n"
+                % len(_FAKE_JPEG) + _FAKE_JPEG + b"\nendstream\n")
+            entries.append(
+                b"/Resources << /XObject << /Im1 %d 0 R >> >>" % next_num)
+            next_num += 1
+        objs[page_num] = b"<< " + b" ".join(entries) + b" >>\n"
+        page_nums.append(page_num)
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>\n"
+    objs[2] = (b"<< /Type /Pages /Kids [" +
+               b" ".join(b"%d 0 R" % n for n in page_nums) +
+               b"] /Count %d >>\n" % len(page_nums))
+    body = b"%PDF-1.4\n"
+    for num in sorted(objs):
+        body += b"%d 0 obj\n" % num + objs[num] + b"endobj\n"
+    body += b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    path.write_bytes(body)
+
+
+def test_minimal_reader_page_graph_text_order(tmp_path):
+    from hybrid_rag_colbertv2_tpu.ingest.pdf import minimal_pdf_page_texts
+
+    p = tmp_path / "three.pdf"
+    make_multipage_pdf(p, ["Alpha systolic arrays",
+                           "Beta memory bandwidth",
+                           "Gamma interconnect mesh"])
+    pages = minimal_pdf_page_texts(p)
+    assert len(pages) == 3
+    assert "Alpha systolic arrays" in pages[0]
+    assert "Beta memory bandwidth" in pages[1]
+    assert "Gamma interconnect mesh" in pages[2]
+
+
+def test_minimal_reader_image_only_page_keeps_slot(tmp_path):
+    """A full-page-image page (no text stream) must keep its page slot:
+    the one-stream-per-page heuristic used to collapse it, shifting every
+    later page's number (and thus chunk page spans) off by one."""
+    from hybrid_rag_colbertv2_tpu.ingest.pdf import minimal_pdf_page_texts
+
+    p = tmp_path / "imgonly.pdf"
+    make_multipage_pdf(p, ["Page one text", None, "Page three text"],
+                       image_pages={2})
+    pages = minimal_pdf_page_texts(p)
+    assert len(pages) == 3
+    assert "Page one text" in pages[0]
+    assert pages[1].strip() == ""
+    assert "Page three text" in pages[2]
+
+
+def test_minimal_reader_image_true_page_number(tmp_path):
+    from hybrid_rag_colbertv2_tpu.ingest.pdf import minimal_pdf_images
+
+    p = tmp_path / "fig.pdf"
+    make_multipage_pdf(p, ["First page", "Second page with figure",
+                           "Third page"], image_pages={2})
+    images = minimal_pdf_images(p, tmp_path / "imgs", document_id=7)
+    assert len(images) == 1
+    assert images[0]["page_number"] == 2
+    assert Path(images[0]["image_path"]).read_bytes() == _FAKE_JPEG
+
+
+def test_unknown_image_pages_degrade_to_document_mode(tmp_path, monkeypatch):
+    """Images with page_number=0 (graph unresolvable) must NOT be
+    proximity-attached to page 1 — the processor degrades to the
+    reference's document-wide keyword association."""
+    from hybrid_rag_colbertv2_tpu.ingest import processor as proc_mod
+
+    md = ("# One\n\n" + "first page words here. " * 12 +
+          "\n\n# Two\n\nsee the figure below for details. " +
+          "second page words here. " * 12)
+    # two pages, image page unknown (0)
+    monkeypatch.setattr(
+        proc_mod, "extract_pdf_images",
+        lambda path, images_dir, doc_id: [
+            {"page_number": 0, "image_path": str(tmp_path / "f.jpg")}])
+    monkeypatch.setattr(
+        proc_mod, "document_to_markdown_pages",
+        lambda path: (md, [0, md.split("\n").index("# Two")]))
+
+    cfg = RAGConfig(images_dir=str(tmp_path / "imgs"),
+                    min_chunk_size=2, max_chunk_size=48)
+    store = ChunkStore(str(tmp_path / "u.db"))
+    proc = DocumentProcessor(cfg, store)
+    chunks, doc_id, ids = proc.process_document(tmp_path / "u.pdf")
+    # keyword mode: only the 'figure'-mentioning chunk is enriched,
+    # nothing is page-attached to page-1 chunks
+    enriched = [c for c in chunks if c["has_images"]]
+    assert enriched
+    assert all("figure" in c["text"].lower() for c in enriched)

@@ -262,3 +262,17 @@ def test_tie_regularizer_limits_synonym_drift():
     d_free, d_tied = drift(0.0), drift(1.0)
     assert d_free > 0.0          # contrastive updates do drift tied rows
     assert d_tied < d_free * 0.5  # the regularizer bounds the drift
+
+
+def test_mine_text_verbatim_under_word_dropout():
+    """mine_text is captured BEFORE word dropout: the duplicate-positive
+    filter in mine_hard_negatives tests `mine_q in corpus[i]`, which is
+    only meaningful for a verbatim substring — a post-dropout span
+    silently disabled it (code-review r4)."""
+    corpus = ["the fast bread rose sixty percent in the oven today"] * 4
+    triples = pseudo_query_pairs(corpus, n_pairs_per_doc=6, seed=3,
+                                 synonym_prob=1.0, word_dropout=0.4,
+                                 with_mine_text=True)
+    assert triples and all(m in corpus[i] for _, i, m in triples)
+    # dropout actually fired on some queries (shorter than their span)
+    assert any(len(q.split()) < len(m.split()) for q, _, m in triples)
