@@ -35,7 +35,10 @@ class MeshConfig:
     # Numerics for the dense index + scoring kernels.
     # "int8": per-token-row scales (default). "int8-doc": per-document
     # scales — ~2x faster exact scan, slightly coarser quantization
-    # (ops/maxsim.py). Also "bfloat16" | "float32".
+    # (ops/maxsim.py). "int4-doc": nibble-packed 4-bit + per-document
+    # scales — HALF the HBM of int8 (2x chunks per chip) and half the
+    # candidate-gather bytes; coarsest quantization, measured recall in
+    # docs/performance.md. Also "bfloat16" | "float32".
     index_dtype: str = "int8"
     compute_dtype: str = "bfloat16"    # kernel accumulate is always fp32
     # Padding buckets for document token counts (static XLA shapes).
@@ -294,6 +297,11 @@ class RAGConfig:
         for b in self.mesh.doc_token_buckets:
             if b % 32 != 0:
                 raise ValueError("doc token buckets must be multiples of 32")
+        if self.mesh.index_dtype not in ("int8", "int8-doc", "int4-doc",
+                                         "bfloat16", "float32"):
+            raise ValueError(
+                "index_dtype must be one of int8 | int8-doc | int4-doc | "
+                "bfloat16 | float32")
 
 
 _FIELD_NAMES = {f.name for f in dataclasses.fields(RAGConfig)}

@@ -221,8 +221,14 @@ class BucketedDenseIndex:
         lens = jnp.zeros((k,), jnp.int32)
         for bi, sub in enumerate(self.buckets):
             rows = jnp.clip(my_row, 0, sub.n_pad - 1)
-            embs3 = sub.emb_flat.reshape(sub.n_pad, sub.doc_len, d)
-            g = embs3[rows].astype(jnp.float32)         # (K, L_b, D)
+            embs3 = sub.emb_flat.reshape(sub.n_pad, sub.doc_len, -1)
+            g = embs3[rows]                             # (K, L_b, D) raw
+            if sub.is_int4:                             # nibble-packed
+                from ..ops.quant import unpack_int4
+
+                g_lo, g_hi = unpack_int4(g)
+                g = jnp.concatenate([g_lo, g_hi], axis=-1)
+            g = g.astype(jnp.float32)
             if sub.is_int8:
                 sc = sub.scales.reshape(sub.n_pad, sub.doc_len)[rows]
                 g = g * sc[..., None]

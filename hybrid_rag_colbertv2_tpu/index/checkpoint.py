@@ -49,6 +49,8 @@ def save_sharded(dense: DenseTokenIndex, path) -> None:
         "has_scales": dense.scales is not None,
         "has_pooled": dense.pooled is not None,
         "has_doc_scales": dense.doc_scales is not None,
+        # nibble-packed "int4-doc" stores dim/2 bytes per token row
+        "emb_width": int(dense.emb_flat.shape[-1]),
     }
     # orbax coordinates the array writes across processes; the metadata
     # file is ours — only one process may write it on shared storage
@@ -79,7 +81,10 @@ def load_sharded(path, mesh=None, axis: str = "data") -> DenseTokenIndex:
                                     sharding=sharding)
 
     target = {
-        "emb_flat": abs_arr((n_pad * doc_len, dim), meta["dtype"], row_s),
+        # "emb_width" < dim for the nibble-packed int4-doc layout;
+        # checkpoints predating it stored full-width rows
+        "emb_flat": abs_arr((n_pad * doc_len, meta.get("emb_width", dim)),
+                            meta["dtype"], row_s),
         "doc_lengths": abs_arr((n_pad,), "int32", vec_s),
     }
     if meta["has_scales"]:

@@ -29,9 +29,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.maxsim import (maxsim_scores, maxsim_scores_exact,
-                          maxsim_scores_int8, maxsim_scores_int8_doc)
+                          maxsim_scores_int4_doc, maxsim_scores_int8,
+                          maxsim_scores_int8_doc)
 from ..ops.prefilter import maxsim_topk_pruned, pooled_doc_embeddings
-from ..ops.quant import quantize_int8_docs, quantize_int8_rows
+from ..ops.quant import (quantize_int4_docs, quantize_int8_docs,
+                         quantize_int8_rows, unpack_int4)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -100,12 +102,17 @@ class DenseTokenIndex:
                 token_embs.reshape(n_pad * doc_len, d))
         elif dtype == "int8-doc":
             flat, doc_scales = quantize_int8_docs(token_embs, lengths)
+        elif dtype == "int4-doc":
+            # nibble-packed: (n_pad * L, D/2) int8, per-doc scales — half
+            # the HBM of int8 (ops/quant.py::quantize_int4_docs)
+            flat, doc_scales = quantize_int4_docs(token_embs, lengths)
         else:
             flat = token_embs.reshape(n_pad * doc_len, d).astype(
                 jnp.dtype(dtype))
         pooled = pooled_doc_embeddings(flat, scales, lengths,
                                        doc_len=doc_len,
-                                       doc_scales=doc_scales)
+                                       doc_scales=doc_scales,
+                                       packed_int4=(dtype == "int4-doc"))
         return cls(
             emb_flat=flat,
             doc_lengths=lengths,
@@ -123,13 +130,21 @@ class DenseTokenIndex:
         return self.scales is not None
 
     @property
+    def is_int4(self) -> bool:
+        """True for the nibble-packed "int4-doc" layout (emb_flat carries
+        D/2 bytes per token row)."""
+        return (self.doc_scales is not None
+                and self.emb_flat.shape[-1] * 2 == self.dim)
+
+    @property
     def quant(self) -> str:
         """Index numeric layout: "int8" (per-token-row scales), "int8-doc"
-        (per-document scales, fast exact scan), or the float dtype name."""
+        (per-document scales, fast exact scan), "int4-doc" (nibble-packed,
+        per-document scales, half the HBM), or the float dtype name."""
         if self.scales is not None:
             return "int8"
         if self.doc_scales is not None:
-            return "int8-doc"
+            return "int4-doc" if self.is_int4 else "int8-doc"
         return str(self.emb_flat.dtype)
 
     @property
@@ -190,7 +205,8 @@ class DenseTokenIndex:
         if self.pooled is None:
             self.pooled = pooled_doc_embeddings(
                 self.emb_flat, self.scales, self.doc_lengths,
-                doc_len=self.doc_len, doc_scales=self.doc_scales)
+                doc_len=self.doc_len, doc_scales=self.doc_scales,
+                packed_int4=self.is_int4)
         return self.pooled
 
     # ------------------------------------------------------------------
@@ -217,7 +233,12 @@ class DenseTokenIndex:
     # ------------------------------------------------------------------
     def search_scores(self, queries: jax.Array) -> jax.Array:
         """(B, Lq, D) query token embeddings -> (B, n_docs) MaxSim scores."""
-        if self.doc_scales is not None:
+        if self.is_int4:
+            s = maxsim_scores_int4_doc(
+                queries, self.emb_flat, self.doc_scales,
+                self.doc_lengths, doc_len=self.doc_len,
+            )
+        elif self.doc_scales is not None:
             s = maxsim_scores_int8_doc(
                 queries, self.emb_flat, self.doc_scales,
                 self.doc_lengths, doc_len=self.doc_len,
@@ -241,8 +262,12 @@ class DenseTokenIndex:
         (zero-length -> scores NEG_INF in the rerank, so they never surface).
         """
         safe = jnp.where(ids >= 0, ids, self.n_pad - 1)
-        embs3 = self.emb_flat.reshape(self.n_pad, self.doc_len, self.dim)
-        gathered = embs3[safe].astype(jnp.float32)
+        embs3 = self.emb_flat.reshape(self.n_pad, self.doc_len, -1)
+        gathered = embs3[safe]              # packed stays packed here —
+        if self.is_int4:                    # gather moves HALF the bytes
+            lo, hi = unpack_int4(gathered)
+            gathered = jnp.concatenate([lo, hi], axis=-1)
+        gathered = gathered.astype(jnp.float32)
         if self.is_int8:
             sc = self.scales.reshape(self.n_pad, self.doc_len)[safe]
             gathered = gathered * sc[..., None]

@@ -286,6 +286,117 @@ def _maxsim_int8_doc_kernel(q_ref, emb_ref, dscale_ref, sel_ref, out_ref, *,
     )
 
 
+def _maxsim_int4_doc_kernel(q_ref, emb_ref, dscale_ref, sel_ref, out_ref, *,
+                            docs_per_tile, doc_len):
+    """Per-document-scale int4 variant of ``_maxsim_int8_doc_kernel``.
+
+    emb_ref holds nibble-PACKED rows (rows, D/2): low nibble = feature j,
+    high nibble = feature j + D/2 (ops/quant.py::quantize_int4_docs). The
+    halves layout means NO lane interleave — unpack is two arithmetic
+    shifts and the (rows, D) matmul becomes two (rows, D/2) matmuls
+    against the matching query-feature halves, summed. Same storage
+    contract as int8-doc otherwise: padded token rows duplicate the doc's
+    first row, dequant (per-doc scale) happens AFTER the max.
+    """
+    p = emb_ref[:].astype(jnp.int32)                  # (rows, D/2) packed
+    lo = jnp.right_shift(jnp.left_shift(p, 28), 28)   # features [0, D/2)
+    hi = jnp.right_shift(p, 4)                        # features [D/2, D)
+    d_half = p.shape[-1]
+    q = q_ref[:]                                      # (B*Lq, D) bf16
+    sims = jax.lax.dot_general(
+        lo.astype(jnp.bfloat16), q[:, :d_half],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        hi.astype(jnp.bfloat16), q[:, d_half:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                 # (rows, B*Lq)
+    blq = sims.shape[-1]
+    sims3 = sims.reshape(docs_per_tile, doc_len, blq)
+    per_q = jnp.max(sims3, axis=1)                    # (docs_per_tile, B*Lq)
+    per_q = per_q * dscale_ref[:]                     # dequant AFTER the max
+    out_ref[:, :] = jax.lax.dot_general(
+        per_q, sel_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("doc_len", "docs_per_tile", "interpret"),
+)
+def maxsim_scores_int4_doc(
+    queries: jax.Array,       # (B, Lq, D) bf16/f32
+    emb_flat: jax.Array,      # (N * L, D // 2) int8 nibble-packed int4
+    doc_scales: jax.Array,    # (N,) float32 per-document dequant scale
+    doc_lengths: jax.Array,   # (N,) int32 (layout contract only; unused)
+    *,
+    doc_len: int,
+    docs_per_tile: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:               # (B, N) float32
+    """int4-doc full scan: half the HBM traffic of the int8-doc kernel at
+    the same FLOPs (the scan is bandwidth-bound, so ~2x on big indexes)."""
+    del doc_lengths  # masking is baked into the index layout (dup rows)
+    if interpret is None:
+        interpret = _default_interpret()
+    b, lq, d = queries.shape
+    n = doc_scales.shape[0]
+    assert emb_flat.shape[-1] * 2 == d, (emb_flat.shape, d)
+    t = docs_per_tile or _fit_tile(
+        _pick_docs_per_tile(doc_len, b * lq), n)
+    if n % t != 0:
+        n_pad = t - n % t
+        emb_flat = jnp.pad(emb_flat, ((0, n_pad * doc_len), (0, 0)))
+        doc_scales = jnp.pad(doc_scales, (0, n_pad))
+        n_full = n + n_pad
+    else:
+        n_full = n
+    num_tiles = n_full // t
+    rows = t * doc_len
+    q_flat = queries.reshape(b * lq, d).astype(jnp.bfloat16)
+    sel = jnp.kron(jnp.eye(b, dtype=jnp.float32),
+                   jnp.ones((lq, 1), jnp.float32))      # (B*Lq, B)
+
+    out = pl.pallas_call(
+        functools.partial(_maxsim_int4_doc_kernel, docs_per_tile=t,
+                          doc_len=doc_len),
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((b * lq, d), lambda ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, d // 2), lambda ti: (ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, 1), lambda ti: (ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b * lq, b), lambda ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((t, b), lambda ti: (ti, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_full, b), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(100 * 1024 * 1024),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n_full * doc_len * d * lq,
+            bytes_accessed=emb_flat.size + doc_scales.size * 4
+            + b * lq * d * 2 + b * n_full * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        q_flat,
+        emb_flat,
+        doc_scales.reshape(n_full, 1),
+        sel,
+    )
+    return out.T[:, :n]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("doc_len", "docs_per_tile", "interpret"),

@@ -32,13 +32,40 @@ import jax
 import jax.numpy as jnp
 
 from .maxsim import NEG_INF
+from .quant import unpack_int4
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("doc_len",))
+def candidate_sims(q: jax.Array,     # (Lq, D) f32 query token embeddings
+                   docs: jax.Array,  # (C, L, D) raw — or (C, L, D/2) packed
+                   ) -> jax.Array:   # (C, Lq, L) f32, BEFORE dequant/mask
+    """Per-candidate token similarity block from RAW gathered index rows.
+
+    Shared by every exact-on-candidates site (pruned stage B, the fused
+    cascade reranks): the gather stays in the stored dtype and the
+    convert is fused into the dot operand. Nibble-packed int4 rows
+    (ops/quant.py::quantize_int4_docs — detected by width: packed rows
+    carry D/2 bytes for D query features) are consumed as two half-K
+    einsums against the matching query-feature halves, so the gather
+    traffic is HALF the int8 path's and no unpacked copy of the
+    candidates is materialized."""
+    d = q.shape[-1]
+    if docs.shape[-1] * 2 == d:                       # nibble-packed int4
+        lo, hi = unpack_int4(docs)
+        dh = docs.shape[-1]
+        kw = dict(preferred_element_type=jnp.float32)
+        return (jnp.einsum("qd,cld->cql", q[:, :dh],
+                           lo.astype(jnp.float32), **kw)
+                + jnp.einsum("qd,cld->cql", q[:, dh:],
+                             hi.astype(jnp.float32), **kw))
+    return jnp.einsum("qd,cld->cql", q, docs.astype(jnp.float32),
+                      preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("doc_len", "packed_int4"))
 def pooled_doc_embeddings(
     emb_flat: jax.Array,             # (N_pad * L, D) int8/bf16/f32
     scales: Optional[jax.Array],     # (N_pad * L,) f32 when int8, else None
@@ -46,6 +73,7 @@ def pooled_doc_embeddings(
     *,
     doc_len: int,
     doc_scales: Optional[jax.Array] = None,  # (N_pad,) f32 for "int8-doc"
+    packed_int4: bool = False,       # emb_flat is (N_pad * L, D/2) packed
 ) -> jax.Array:                      # (N_pad, D) bf16, L2-normalized
     """Per-document L2-normalized mean token embedding (the proxy vectors).
 
@@ -71,6 +99,9 @@ def pooled_doc_embeddings(
 
         def fd(c):
             e, s, ln = c
+            if packed_int4:
+                lo, hi = unpack_int4(e)
+                e = jnp.concatenate([lo, hi], axis=-1)
             valid = (tok[None, :] < ln[:, None]).astype(jnp.float32)
             summed = jnp.sum(e.astype(jnp.float32) * valid[..., None],
                              axis=1)
@@ -88,7 +119,7 @@ def pooled_doc_embeddings(
     else:
         summed = jax.lax.map(
             lambda e: jnp.sum(e.astype(jnp.float32), axis=1), embs)
-    summed = summed.reshape(n_pad, d)
+    summed = summed.reshape(n_pad, d * 2 if packed_int4 else d)
     denom = jnp.maximum(doc_lengths.astype(jnp.float32), 1.0)[:, None]
     mean = summed / denom
     norm = jnp.linalg.norm(mean, axis=-1, keepdims=True)
@@ -176,14 +207,13 @@ def exact_maxsim_on_candidates(
 
     def exact_one(q, ids):
         def score_block(ib):
-            docs = embs3[ib]                                 # (cb, L, D) raw
-            sims = jnp.einsum("qd,cld->cql", q, docs.astype(jnp.float32),
-                              preferred_element_type=jnp.float32)
+            docs = embs3[ib]              # (cb, L, D) raw — or packed int4
+            sims = candidate_sims(q, docs)
             if scs2 is not None:
                 sims = sims * scs2[ib][:, None, :]           # dequant on sims
             elif doc_scales is not None:
-                # "int8-doc": duplicated padding rows are masked by the
-                # lengths below
+                # "int8-doc"/"int4-doc": duplicated padding rows are
+                # masked by the lengths below
                 sims = sims * doc_scales[ib][:, None, None]
             valid = tok[None, :] < doc_lengths[ib][:, None]  # (cb, L)
             sims = jnp.where(valid[:, None, :], sims, NEG_INF)

@@ -64,3 +64,74 @@ def quantize_int8_docs(
     valid = tok[None, :, None] < lengths[:, None, None]
     q = jnp.where(valid, q, q[:, 0:1, :])                      # dup row 0
     return q.astype(jnp.int8).reshape(n * l, d), scale
+
+
+@jax.jit
+def quantize_int4_docs(
+    embs3: jax.Array,          # (N, L, D) fp — padded token rows zero
+    lengths: jax.Array,        # (N,) int32
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-document absmax int4 quantization, nibble-PACKED (index dtype
+    ``int4-doc``): HALF the HBM residency and half the candidate-gather
+    bytes of int8 — the measured floor of the pruned cascade's stage B is
+    XLA's scattered-row gather rate (docs/architecture.md), so packing
+    directly buys latency there, and doubles the chunks-per-chip ceiling.
+
+    Packing layout — feature HALVES, not adjacent pairs: byte ``j`` of a
+    row stores feature ``j`` in its LOW nibble and feature ``j + D/2`` in
+    its HIGH nibble, both as signed 4-bit values in [-7, 7]
+    (scale = absmax / 7). Consumers therefore never interleave lanes:
+    ``sims = lo @ q[:, :D/2]^T + hi @ q[:, D/2:]^T`` — two half-K
+    matmuls, no shuffle (ops/maxsim.py::maxsim_scores_int4_doc,
+    ops/prefilter.py). Sign recovery is two arithmetic shifts
+    (``unpack_int4``).
+
+    Same layout contract as quantize_int8_docs: one fp32 scale per doc
+    (dequant commutes with the max, applied after it), padded token rows
+    duplicate the doc's first row, zero-length docs stay all-zero with
+    scale 0.
+
+    -> packed (N * L, D // 2) int8, (N,) f32 per-doc scales.
+    """
+    x = embs3.astype(jnp.float32)
+    n, l, d = x.shape
+    assert d % 2 == 0, d
+    absmax = jnp.max(jnp.abs(x), axis=(1, 2))                  # (N,)
+    scale = absmax / 7.0
+    safe = jnp.where(scale > 0, scale, 1.0)
+    q = jnp.clip(jnp.round(x / safe[:, None, None]), -7, 7)
+    tok = jnp.arange(l, dtype=jnp.int32)
+    valid = tok[None, :, None] < lengths[:, None, None]
+    q = jnp.where(valid, q, q[:, 0:1, :]).astype(jnp.int32)    # dup row 0
+    lo = q[..., : d // 2]
+    hi = q[..., d // 2:]
+    packed = jnp.bitwise_or(jnp.bitwise_and(lo, 0xF),
+                            jnp.left_shift(hi, 4))
+    # values fit int8 exactly: hi<<4 in [-112, 112], low nibble adds < 16
+    return (packed.astype(jnp.int8).reshape(n * l, d // 2), scale)
+
+
+@jax.jit
+def unpack_int4(packed: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Packed int4 bytes -> (lo, hi) sign-extended values (same shape as
+    ``packed``, int32 in [-8, 7]; quantize_int4_docs only emits [-7, 7]).
+    lo is features [0, D/2), hi is [D/2, D) of the original rows."""
+    p = packed.astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(p, 28), 28)   # arithmetic shifts
+    hi = jnp.right_shift(p, 4)                        # sign-extends nibble
+    return lo, hi
+
+
+@jax.jit
+def dequantize_int4_docs(packed_flat: jax.Array,   # (N * L, D // 2) int8
+                         doc_scales: jax.Array,    # (N,) f32
+                         ) -> jax.Array:           # (N * L, D) f32
+    """Test/oracle helper: full fp32 reconstruction of an int4-doc index
+    (production kernels never materialize this — they consume the packed
+    halves directly)."""
+    rows = packed_flat.shape[0]
+    n = doc_scales.shape[0]
+    l = rows // n
+    lo, hi = unpack_int4(packed_flat)
+    full = jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
+    return full * jnp.repeat(doc_scales, l)[:, None]

@@ -32,8 +32,10 @@ from ..index.lexical import LexicalIndex
 from ..ops.bm25 import bm25_topk_device
 from ..ops.fusion import final_topk_select, rrf_from_topk
 from ..ops.maxsim import (maxsim_scores, maxsim_scores_exact,
-                          maxsim_scores_int8, maxsim_scores_int8_doc)
+                          maxsim_scores_int4_doc, maxsim_scores_int8,
+                          maxsim_scores_int8_doc)
 from ..ops.prefilter import approx_or_exact_topk, maxsim_topk_pruned
+from ..ops.quant import unpack_int4
 from ..retrieval.cascade import (encode_query_terms,
                                  pack_query_batch)
 from ..utils.cache import JitCache
@@ -145,7 +147,13 @@ def _make_sharded_cascade_impl(
             gi = jnp.where(li >= 0, li + offset, -1).astype(jnp.int32)
             lv = jnp.where(li >= 0, lv, NEG_INF)
         else:
-            if has_doc_scales:
+            if (has_doc_scales
+                    and emb_flat_local.shape[-1] * 2 == q_emb.shape[-1]):
+                # nibble-packed int4-doc (shape-static detection)
+                ms_local = maxsim_scores_int4_doc(
+                    q_emb, emb_flat_local, doc_scales_local,
+                    doc_lengths_local, doc_len=doc_len, interpret=interpret)
+            elif has_doc_scales:
                 ms_local = maxsim_scores_int8_doc(
                     q_emb, emb_flat_local, doc_scales_local,
                     doc_lengths_local, doc_len=doc_len, interpret=interpret)
@@ -205,7 +213,11 @@ def _make_sharded_cascade_impl(
         embs3 = emb_flat_local.reshape(n_local, doc_len, -1)
 
         def rerank_one(q, cand, own):
-            docs = embs3[cand].astype(jnp.float32)          # (kf, L, D)
+            docs = embs3[cand]                              # (kf, L, D) raw
+            if has_doc_scales and embs3.shape[-1] * 2 == q.shape[-1]:
+                lo, hi = unpack_int4(docs)                  # int4-doc
+                docs = jnp.concatenate([lo, hi], axis=-1)
+            docs = docs.astype(jnp.float32)
             if is_int8:
                 sc = scales_local.reshape(n_local, doc_len)[cand]
                 docs = docs * sc[..., None]
@@ -306,12 +318,17 @@ def _make_sharded_bucketed_cascade_impl(
                     q_emb, emb,
                     sc if quant == "int8" else None,
                     lens, pooled,
-                    doc_scales=dsc if quant == "int8-doc" else None,
+                    doc_scales=(dsc if quant in ("int8-doc", "int4-doc")
+                                else None),
                     doc_len=dl, n_docs=n_local,
                     n_candidates=prefilter, k=keb,
                     approx_recall=approx_recall)
             else:
-                if quant == "int8-doc":
+                if quant == "int4-doc":
+                    ms = maxsim_scores_int4_doc(
+                        q_emb, emb, dsc, lens, doc_len=dl,
+                        interpret=interpret)
+                elif quant == "int8-doc":
                     ms = maxsim_scores_int8_doc(
                         q_emb, emb, dsc, lens, doc_len=dl,
                         interpret=interpret)
@@ -370,10 +387,14 @@ def _make_sharded_bucketed_cascade_impl(
                        & (local_row >= 0) & (local_row < n_local))
                 rows = jnp.clip(local_row, 0, n_local - 1)
                 embs3 = emb.reshape(n_local, dl, -1)
-                gdocs = embs3[rows].astype(jnp.float32)   # (kf, dl, D)
+                gdocs = embs3[rows]                       # (kf, dl, D) raw
+                if quant == "int4-doc":
+                    g_lo, g_hi = unpack_int4(gdocs)
+                    gdocs = jnp.concatenate([g_lo, g_hi], axis=-1)
+                gdocs = gdocs.astype(jnp.float32)
                 if quant == "int8":
                     gdocs = gdocs * sc.reshape(n_local, dl)[rows][..., None]
-                elif quant == "int8-doc":
+                elif quant in ("int8-doc", "int4-doc"):
                     gdocs = gdocs * dsc[rows][:, None, None]
                 if dl < l_max:
                     gdocs = jnp.pad(gdocs,
@@ -401,7 +422,8 @@ def _make_sharded_bucketed_cascade_impl(
             P(axis) if g["quant"] == "int8" else rep,        # scales
             P(axis),                                         # doc_lengths
             P(axis, None),                                   # pooled
-            P(axis) if g["quant"] == "int8-doc" else rep,    # doc_scales
+            P(axis) if g["quant"] in ("int8-doc", "int4-doc")
+            else rep,                                        # doc_scales
             P(axis),                                         # global_ids
         ])
     sharded = shard_map(

@@ -36,9 +36,10 @@ from ..index.dense import DenseTokenIndex
 from ..index.manager import IndexManager
 from ..ops.bm25 import bm25_topk_device
 from ..ops.fusion import final_topk_select, rrf_from_topk
-from ..ops.maxsim import (maxsim_scores, maxsim_scores_int8,
-                          maxsim_scores_int8_doc)
-from ..ops.prefilter import approx_or_exact_topk, maxsim_topk_pruned
+from ..ops.maxsim import (maxsim_scores, maxsim_scores_int4_doc,
+                          maxsim_scores_int8, maxsim_scores_int8_doc)
+from ..ops.prefilter import (approx_or_exact_topk, candidate_sims,
+                             maxsim_topk_pruned)
 from ..utils.logging import StageTimer, get_logger
 
 log = get_logger(__name__)
@@ -157,7 +158,12 @@ def hybrid_cascade(
             pooled, doc_scales=doc_scales, doc_len=doc_len, n_docs=n_docs,
             n_candidates=prefilter, k=ke, approx_recall=approx_recall)
     else:
-        if doc_scales is not None:
+        if (doc_scales is not None
+                and emb_flat.shape[-1] * 2 == q_emb.shape[-1]):
+            # nibble-packed int4-doc (shape-static detection under jit)
+            ms = maxsim_scores_int4_doc(q_emb, emb_flat, doc_scales,
+                                        doc_lengths, doc_len=doc_len)
+        elif doc_scales is not None:
             ms = maxsim_scores_int8_doc(q_emb, emb_flat, doc_scales,
                                         doc_lengths, doc_len=doc_len)
         elif is_int8:
@@ -191,9 +197,8 @@ def hybrid_cascade(
     tok = jnp.arange(doc_len, dtype=jnp.int32)
 
     def rerank_one(q, cand, live):
-        docs = embs3[cand]                              # (k_fuse, L, D) raw
-        sims = jnp.einsum("qd,cld->cql", q, docs.astype(jnp.float32),
-                          preferred_element_type=jnp.float32)
+        docs = embs3[cand]            # (k_fuse, L, D) raw (packed if int4)
+        sims = candidate_sims(q, docs)
         if is_int8:
             sims = sims * scales.reshape(n_pad, doc_len)[cand][:, None, :]
         elif doc_scales is not None:
@@ -309,11 +314,15 @@ def fused_bucketed_cascade_fn(model, query_len: int, bucket_geoms,
                     lv, li = maxsim_topk_pruned(
                         q_emb, emb, sc if quant == "int8" else None,
                         lens, pooled,
-                        doc_scales=dsc if quant == "int8-doc" else None,
+                        doc_scales=(dsc if quant in ("int8-doc",
+                                                     "int4-doc") else None),
                         doc_len=dl, n_docs=n_b, n_candidates=prefilter,
                         k=keb, approx_recall=approx_recall)
                 else:
-                    if quant == "int8-doc":
+                    if quant == "int4-doc":
+                        ms = maxsim_scores_int4_doc(q_emb, emb, dsc, lens,
+                                                    doc_len=dl)
+                    elif quant == "int8-doc":
                         ms = maxsim_scores_int8_doc(q_emb, emb, dsc, lens,
                                                     doc_len=dl)
                     elif quant == "int8":
@@ -363,12 +372,10 @@ def fused_bucketed_cascade_fn(model, query_len: int, bucket_geoms,
                     own = live & (cbucket == bi)
                     rows = jnp.clip(crow, 0, n_b - 1)
                     docs = emb.reshape(n_b, dl, -1)[rows]   # (kf, dl, D)
-                    sims = jnp.einsum(
-                        "qd,cld->cql", q, docs.astype(jnp.float32),
-                        preferred_element_type=jnp.float32)
+                    sims = candidate_sims(q, docs)
                     if quant == "int8":
                         sims = sims * sc.reshape(n_b, dl)[rows][:, None, :]
-                    elif quant == "int8-doc":
+                    elif quant in ("int8-doc", "int4-doc"):
                         sims = sims * dsc[rows][:, None, None]
                     lb = jnp.where(own, lens[rows], 0)
                     tokb = jnp.arange(dl, dtype=jnp.int32)

@@ -267,6 +267,21 @@ def main(argv=None) -> int:
             lambda: maxsim_scores_int8_doc(
                 q_emb, q8, dscales, lens_dev, doc_len=doc_len),
             args.iters))
+    # nibble-packed "int4-doc" layout: HALF the embedding bytes. For a
+    # latency probe only the byte layout matters, not the values — any
+    # int8 array is a valid packed-nibble array, so generate an
+    # independent (rows, D/2) one (kernel traffic = the real thing).
+    from hybrid_rag_colbertv2_tpu.ops.maxsim import maxsim_scores_int4_doc
+
+    dscales4 = jnp.max(scales.reshape(n_pad, doc_len), axis=1)
+    q4 = jax.block_until_ready(jax.random.randint(
+        jax.random.PRNGKey(7), (n_pad * doc_len, dim // 2), -128, 128,
+        jnp.int8))
+    if not args.skip_brute:
+        emit("dense_scan_brute_int4doc", *_timeit(
+            lambda: maxsim_scores_int4_doc(
+                q_emb, q4, dscales4, lens_dev, doc_len=doc_len),
+            args.iters))
     emit(f"dense_pruned_C{args.prefilter}", *_timeit(
         lambda: maxsim_topk_pruned(
             q_emb, q8, scales, lens_dev, pooled, doc_len=doc_len,
@@ -291,6 +306,14 @@ def main(argv=None) -> int:
     emit(f"pruned_B_exact_C{args.prefilter}", *_timeit(
         lambda: exact_maxsim_on_candidates(
             q_emb, q8, scales, lens_dev, cand, doc_len=doc_len),
+        args.iters))
+    # stage B on the packed int4 layout: the stage is gather-bound
+    # (docs/architecture.md — XLA's scattered-row rate is the floor), so
+    # halving the gathered bytes is the one lever that moves it
+    emit(f"pruned_B_exact_int4_C{args.prefilter}", *_timeit(
+        lambda: exact_maxsim_on_candidates(
+            q_emb, q4, None, lens_dev, cand, doc_scales=dscales4,
+            doc_len=doc_len),
         args.iters))
     emit("rerank_exact_64cand", *_timeit(
         lambda: exact_maxsim_on_candidates(

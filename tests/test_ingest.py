@@ -426,3 +426,27 @@ def test_unknown_image_pages_degrade_to_document_mode(tmp_path, monkeypatch):
     enriched = [c for c in chunks if c["has_images"]]
     assert enriched
     assert all("figure" in c["text"].lower() for c in enriched)
+
+
+def test_minimal_reader_fuzz_no_crash(tmp_path):
+    """The object-graph parser must never raise on arbitrary bytes —
+    malformed uploads degrade (empty text / no images), not abort."""
+    import random
+
+    from hybrid_rag_colbertv2_tpu.ingest.pdf import (
+        minimal_pdf_images, minimal_pdf_page_texts, pdf_page_graph)
+
+    rng = random.Random(0)
+    tokens = [b"%PDF-1.4", b"obj", b"endobj", b"stream\n", b"endstream",
+              b"<<", b">>", b"[", b"]", b"/Type", b"/Page", b"/Pages",
+              b"/Kids", b"/Contents", b"/Root", b"/Resources", b"/XObject",
+              b"/Subtype", b"/Image", b"/DCTDecode", b"0 R", b"1 0 obj",
+              b"trailer", bytes(rng.randbytes(40))]
+    for trial in range(25):
+        n = rng.randrange(3, 60)
+        blob = b" ".join(rng.choice(tokens) for _ in range(n))
+        p = tmp_path / f"fuzz{trial}.pdf"
+        p.write_bytes(blob)
+        pdf_page_graph(blob)                      # must not raise
+        minimal_pdf_page_texts(p)                 # must not raise
+        minimal_pdf_images(p, tmp_path / "o", 1)  # must not raise

@@ -1,0 +1,236 @@
+""""int4-doc" index layout (nibble-packed 4-bit, per-document scales).
+
+Round-4 scaling option: HALF the HBM residency and half the candidate-
+gather bytes of int8 (ops/quant.py::quantize_int4_docs — the pruned
+cascade's stage B floor is XLA's scattered-row gather rate, so packing
+buys latency there and doubles the chunks-per-chip ceiling). These tests
+pin the packing algebra (exact roundtrip bounds, halves layout, dup-row
+contract), kernel-vs-oracle numerics, the index surface
+(build/search/pruned/rerank/persistence/append), cascade integration,
+and sharded-vs-single-device equality on the virtual 8-device mesh.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from hybrid_rag_colbertv2_tpu.index.dense import DenseTokenIndex
+from hybrid_rag_colbertv2_tpu.ops.maxsim import (maxsim_scores_exact,
+                                                 maxsim_scores_int4_doc)
+from hybrid_rag_colbertv2_tpu.ops.quant import (dequantize_int4_docs,
+                                                quantize_int4_docs,
+                                                unpack_int4)
+
+
+def _mk(rng, n=96, l=32, d=128):
+    docs = rng.standard_normal((n, l, d)).astype(np.float32)
+    docs /= np.linalg.norm(docs, axis=-1, keepdims=True)
+    lengths = rng.integers(1, l + 1, size=(n,)).astype(np.int32)
+    tok = np.arange(l)
+    docs = docs * (tok[None, :, None] < lengths[:, None, None])
+    q = rng.standard_normal((2, 16, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    q[:, 12:, :] = 0.0
+    return jnp.asarray(q), jnp.asarray(docs), jnp.asarray(lengths)
+
+
+def _dequant_fp32(idx):
+    """Exact fp32 reconstruction of an int4-doc index (the oracle input)."""
+    return np.asarray(dequantize_int4_docs(
+        idx.emb_flat, idx.doc_scales)).reshape(idx.n_pad, idx.doc_len,
+                                               idx.dim)
+
+
+# ---------------------------------------------------------------------------
+# packing algebra
+# ---------------------------------------------------------------------------
+
+def test_pack_unpack_exact(rng):
+    vals = rng.integers(-7, 8, size=(40, 128)).astype(np.float32)
+    lens = np.full((10,), 4, np.int32)
+    # feed values already on the int4 grid scaled by a known absmax
+    packed, sc = quantize_int4_docs(jnp.asarray(vals.reshape(10, 4, 128)),
+                                    jnp.asarray(lens))
+    lo, hi = unpack_int4(packed)
+    rebuilt = np.concatenate([np.asarray(lo), np.asarray(hi)], axis=-1)
+    want = np.round(vals / np.asarray(sc).repeat(4)[:, None]).clip(-7, 7)
+    np.testing.assert_array_equal(rebuilt, want)
+
+
+def test_roundtrip_error_bounded_by_half_scale(rng):
+    q, docs, lengths = _mk(rng, n=16, l=8)
+    packed, sc = quantize_int4_docs(docs, lengths)
+    deq = np.asarray(dequantize_int4_docs(packed, sc)).reshape(16, 8, 128)
+    tok = np.arange(8)[None, :, None] < np.asarray(lengths)[:, None, None]
+    err = np.abs(deq - np.asarray(docs))[np.broadcast_to(tok, deq.shape)]
+    assert err.max() <= float(np.asarray(sc).max()) / 2 + 1e-6
+
+
+def test_dup_row_and_zero_doc_contract(rng):
+    q, docs, lengths = _mk(rng, n=8, l=4)
+    lengths = jnp.asarray([4, 2, 0, 1, 4, 3, 0, 4], jnp.int32)
+    tok = np.arange(4)[None, :, None] < np.asarray(lengths)[:, None, None]
+    docs = docs * tok
+    packed, sc = quantize_int4_docs(docs, lengths)
+    p3 = np.asarray(packed).reshape(8, 4, 64)
+    for i, ln in enumerate(np.asarray(lengths)):
+        for j in range(int(ln), 4):
+            np.testing.assert_array_equal(p3[i, j], p3[i, 0])
+    # zero-length docs: all-zero rows, scale 0
+    assert (p3[2] == 0).all() and (p3[6] == 0).all()
+    assert float(np.asarray(sc)[2]) == 0.0
+
+
+def test_kernel_matches_dequantized_oracle(rng):
+    q, docs, lengths = _mk(rng, n=32, l=8)
+    packed, sc = quantize_int4_docs(docs, lengths)
+    got = np.asarray(maxsim_scores_int4_doc(q, packed, sc, lengths,
+                                            doc_len=8))
+    deq = np.asarray(dequantize_int4_docs(packed, sc)).reshape(32, 8, 128)
+    truth = np.asarray(maxsim_scores_exact(q, jnp.asarray(deq), lengths))
+    live = np.asarray(lengths) > 0
+    np.testing.assert_allclose(got[:, live], truth[:, live],
+                               rtol=2e-3, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# index surface
+# ---------------------------------------------------------------------------
+
+def test_build_and_search_close_to_fp32(rng):
+    q, docs, lengths = _mk(rng)
+    idx = DenseTokenIndex.build(docs, lengths, doc_len=32, dtype="int4-doc")
+    assert idx.quant == "int4-doc" and idx.is_int4
+    assert idx.emb_flat.shape[-1] == 64          # nibble-packed halves
+    assert idx.scales is None and idx.doc_scales is not None
+    got = np.asarray(idx.search_scores(q))
+    truth = np.asarray(maxsim_scores_exact(q, docs, lengths))
+    # 4-bit per-doc absmax is coarse; ranking is what matters
+    np.testing.assert_allclose(got, truth, rtol=0.25, atol=0.6)
+    top_t = set(np.argsort(-truth[0])[:10].tolist())
+    top_g = set(np.argsort(-got[0])[:10].tolist())
+    assert len(top_t & top_g) >= 8
+
+
+def test_memory_halves_vs_int8(rng):
+    q, docs, lengths = _mk(rng)
+    i4 = DenseTokenIndex.build(docs, lengths, doc_len=32, dtype="int4-doc")
+    i8 = DenseTokenIndex.build(docs, lengths, doc_len=32, dtype="int8-doc")
+    assert i4.emb_flat.size * 2 == i8.emb_flat.size
+
+
+def test_pruned_degenerate_equals_brute(rng):
+    q, docs, lengths = _mk(rng)
+    idx = DenseTokenIndex.build(docs, lengths, doc_len=32, dtype="int4-doc")
+    bv, bi = idx.search_topk(q, k=10, prefilter=idx.n_pad)
+    s = idx.search_scores(q)
+    ev = np.sort(np.asarray(s))[:, ::-1][:, :10]
+    np.testing.assert_allclose(np.asarray(bv), ev, rtol=2e-3, atol=2e-3)
+    # pruned ids must be the fp32-exact top-10 over the DEQUANTIZED index
+    truth = maxsim_scores_exact(q, jnp.asarray(_dequant_fp32(idx)),
+                                idx.doc_lengths)[:, : idx.n_docs]
+    want_ids = np.argsort(-np.asarray(truth), axis=1)[:, :10]
+    np.testing.assert_array_equal(np.sort(np.asarray(bi)),
+                                  np.sort(want_ids))
+
+
+def test_rerank_uses_doc_scales(rng):
+    q, docs, lengths = _mk(rng, n=32)
+    idx = DenseTokenIndex.build(docs, lengths, doc_len=32, dtype="int4-doc")
+    ids = jnp.asarray([[0, 5, 17, -1]] * 2, jnp.int32)
+    rr = np.asarray(idx.rerank_scores(q, ids))
+    truth = np.asarray(maxsim_scores_exact(q, docs, lengths))
+    for b in range(2):
+        for j, cid in enumerate([0, 5, 17]):
+            np.testing.assert_allclose(rr[b, j], truth[b, cid],
+                                       rtol=0.25, atol=0.6)
+    assert (rr[:, 3] < -1e20).all()  # missing candidate masked
+
+
+def test_save_load_roundtrip(rng, tmp_path):
+    q, docs, lengths = _mk(rng)
+    idx = DenseTokenIndex.build(docs, lengths, doc_len=32, dtype="int4-doc")
+    idx.save(tmp_path / "idx")
+    idx2 = DenseTokenIndex.load(tmp_path / "idx")
+    assert idx2.quant == "int4-doc"
+    np.testing.assert_allclose(np.asarray(idx.search_scores(q)),
+                               np.asarray(idx2.search_scores(q)),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_append_keeps_layout(rng):
+    q, docs, lengths = _mk(rng, n=64)
+    idx = DenseTokenIndex.build(docs[:40], lengths[:40], doc_len=32,
+                                dtype="int4-doc")
+    idx2 = idx.append(docs[40:], lengths[40:])
+    assert idx2.quant == "int4-doc" and idx2.n_docs == 64
+    full = DenseTokenIndex.build(docs, lengths, doc_len=32,
+                                 dtype="int4-doc")
+    np.testing.assert_allclose(np.asarray(idx2.search_scores(q)),
+                               np.asarray(full.search_scores(q)),
+                               rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# cascade + sharded integration
+# ---------------------------------------------------------------------------
+
+def _small_setup(index_dtype, layout="single"):
+    from hybrid_rag_colbertv2_tpu.config import RAGConfig
+    from hybrid_rag_colbertv2_tpu.index.lexical import LexicalIndex
+    from hybrid_rag_colbertv2_tpu.index.manager import IndexManager
+    from hybrid_rag_colbertv2_tpu.models.colbert import (ColBERTConfig,
+                                                         ColBERTEncoder)
+    from hybrid_rag_colbertv2_tpu.models.tokenizer import ColBERTTokenizer
+
+    corpus = [f"document {i} about topic {i % 9} and term{i % 17}"
+              for i in range(128)]
+    tok = ColBERTTokenizer.train_bpe(corpus, vocab_size=512)
+    enc = ColBERTEncoder(
+        ColBERTConfig.tiny(vocab_size=tok.vocab_size, colbert_dim=128),
+        tok, seed=0)
+    cfg = RAGConfig(final_top_k=5, fusion_candidates=16)
+    cfg.mesh.index_dtype = index_dtype
+    cfg.mesh.index_layout = layout
+    lex = LexicalIndex.build(corpus)
+    embs, lengths = enc.encode_docs(corpus, doc_len=32)
+    dense = DenseTokenIndex.build(embs, lengths, doc_len=32,
+                                  dtype=index_dtype)
+    mgr = IndexManager.__new__(IndexManager)
+    mgr.lexical, mgr.dense, mgr.corpus = lex, dense, corpus
+    return cfg, mgr, enc, lex, dense, corpus
+
+
+def test_fused_cascade_int4_close_to_int8(rng):
+    """The fused single-dispatch cascade accepts the packed layout and
+    returns near-int8 results (same corpus, same queries)."""
+    from hybrid_rag_colbertv2_tpu.retrieval.cascade import HybridRetriever
+
+    cfg4, mgr4, enc, *_ = _small_setup("int4-doc")
+    r4 = HybridRetriever(cfg4, mgr4, enc)
+    ids4, sc4 = r4.retrieve_batch(["topic 3 term5", "document 7"])
+
+    cfg8, mgr8, enc8, *_ = _small_setup("int8-doc")
+    r8 = HybridRetriever(cfg8, mgr8, enc8)
+    ids8, sc8 = r8.retrieve_batch(["topic 3 term5", "document 7"])
+    # 4-bit vs 8-bit ranking: top-5 sets overlap heavily on a 128-doc corpus
+    for b in range(2):
+        assert len(set(ids4[b].tolist()) & set(ids8[b].tolist())) >= 4
+
+
+def test_sharded_equals_single_device(rng):
+    from hybrid_rag_colbertv2_tpu.config import MeshConfig
+    from hybrid_rag_colbertv2_tpu.parallel.mesh import (make_mesh,
+                                                        shard_dense_index)
+    from hybrid_rag_colbertv2_tpu.parallel.sharded import ShardedRetriever
+    from hybrid_rag_colbertv2_tpu.retrieval.cascade import HybridRetriever
+
+    cfg, mgr, enc, lex, dense, corpus = _small_setup("int4-doc")
+    single = HybridRetriever(cfg, mgr, enc)
+    ids1, sc1 = single.retrieve_batch(["topic 3 term5", "document 7"])
+
+    mesh = make_mesh(MeshConfig(mesh_shape=(8, 1)))
+    sharded = ShardedRetriever(cfg, mesh, lex,
+                               shard_dense_index(dense, mesh), enc)
+    ids2, sc2 = sharded.retrieve_batch(["topic 3 term5", "document 7"])
+    np.testing.assert_array_equal(ids1, ids2)
+    np.testing.assert_allclose(sc1, sc2, rtol=1e-4, atol=1e-4)
