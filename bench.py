@@ -323,6 +323,51 @@ def run_recall(result, ctx):
         f"docs): {r:.3f}")
     result["recall10_vs_exact"] = round(r, 3)
 
+    # int4-doc variant (round 4): same fp32 truth, nibble-packed 4-bit
+    # index (half the HBM / gather bytes — ops/quant.quantize_int4_docs).
+    # Measures what the coarser per-doc 4-bit grid costs in cascade
+    # recall on the same topic-structured corpus.
+    from hybrid_rag_colbertv2_tpu.ops.quant import quantize_int4_docs
+
+    @jax.jit
+    def recall_int4_on_device(q, q_terms_r, lex_ip, lex_pd, lex_pw,
+                              emb_flat, scales_r, lens, pooled_arg):
+        embs3 = (emb_flat.astype(jnp.float32)
+                 * scales_r[:, None]).reshape(nr, doc_len, dim)
+        packed, dsc = quantize_int4_docs(embs3, lens)
+        pooled4 = pooled_doc_embeddings(packed, None, lens,
+                                        doc_len=doc_len, doc_scales=dsc,
+                                        packed_int4=True)
+        cascade_ids, _, _ = hybrid_cascade(
+            q, q_terms_r, lex_ip, lex_pd, lex_pw,
+            packed, None, lens, pooled4, dsc,
+            prefilter=prefilter,
+            n_docs=nr, max_postings=lex_r.max_postings,
+            doc_len=doc_len, is_int8=False,
+            k_each=100, k_fuse=50, k_final=10)
+        e4 = emb_flat.reshape(n_chunks_r, chunk, doc_len, dim)
+        s4 = scales_r.reshape(n_chunks_r, chunk, doc_len)
+        l2 = lens.reshape(n_chunks_r, chunk)
+
+        def f(c):
+            docs = c[0].astype(jnp.float32) * c[1][..., None]
+            return maxsim_scores_exact(q, docs, c[2])
+        parts = jax.lax.map(f, (e4, s4, l2))
+        exact = parts.transpose(1, 0, 2).reshape(q.shape[0], -1)
+        _, e_top = jax.lax.top_k(exact[:, :nr], 10)
+        hits = (cascade_ids[:, :, None] == e_top[:, None, :]).any(-1)
+        hits = hits & (cascade_ids >= 0)
+        return jnp.mean(jnp.sum(hits, axis=1) / 10.0)
+
+    try:
+        r4 = float(recall_int4_on_device(qe_r, qt_r, *lex_r_dev, q8r, scr,
+                                         lens_r_dev, pooled_r))
+        log(f"recall@10 vs exact fp32 MaxSim (pruned int4-doc cascade, "
+            f"{nr} docs): {r4:.3f}")
+        result["recall10_vs_exact_int4"] = round(r4, 3)
+    except Exception as e:   # the int4 field must not sink the pass
+        log(f"int4 recall skipped: {type(e).__name__}: {e}")
+
 
 def run_1m(result, ctx):
     """Fused-cascade p50 over 1M chunks x 64 tokens on ONE chip — the
@@ -482,7 +527,7 @@ def _seed_eval(td, n_docs, steps, seed, prefilter, postings_cap,
         rng.shuffle(fam)
         picked = (app.config.final_fusion, app.config.fusion_weight_bm25)
         out["gate_transfer"] = validate_transfer(
-            app.config, app.indexes, app.encoder, fam[:64], picked,
+            app.config, app.indexes, app.encoder, fam[:96], picked,
             chunk_store=app.store)
         log(f"seed {seed} gate transfer: {json.dumps(out['gate_transfer'])}")
     except Exception as e:       # transfer check must never sink the pass
@@ -502,7 +547,7 @@ def _seed_eval(td, n_docs, steps, seed, prefilter, postings_cap,
             # index/encoder properties — measure them ONCE per source (on
             # the gated config); re-measuring per config costs an extra
             # fused-cascade compile each through the tunnel
-            r = evaluate(app, n_queries=64, k=10, batch=8,
+            r = evaluate(app, n_queries=128, k=10, batch=8,
                          measure_latency=False, query_source=source,
                          config_overrides=overrides,
                          measure_exact=(name == "gated"),
@@ -548,7 +593,7 @@ def run_realdata(result, ctx):
         # Budgets cover train(1800 steps ~6-7 min) + gate + transfer + 9
         # evals over 3 sources (r4 added the adversarial slice); warm
         # runs (cached encoder) take ~3 min/seed.
-        budget = 1500 if i == 0 else 900
+        budget = 1800 if i == 0 else 1080
         try:
             with _watchdog(budget):
                 with tempfile.TemporaryDirectory() as td:
@@ -670,7 +715,7 @@ def run_organic(result, ctx):
         org = {"chunks": len(corpus),
                "gate_picked": app.config.final_fusion,
                "gate_weight": app.config.fusion_weight_bm25}
-        n_eval = 64 if ctx["on_tpu"] else 16
+        n_eval = 96 if ctx["on_tpu"] else 16
         r = evaluate(app, n_queries=n_eval, k=10, batch=8,
                      measure_latency=False, query_source="ict",
                      measure_exact=False, measure_legs=True)

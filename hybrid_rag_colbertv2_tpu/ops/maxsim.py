@@ -233,9 +233,12 @@ def _maxsim_int8_kernel(q_ref, emb_ref, scale_ref, sel_ref, out_ref, *,
     """int8 variant of _maxsim_kernel: sims row r is dequantized by
     scale[r] after the matmul.
 
-    scale_ref: (rows, 1) f32 — per doc-token-row quantization scale; padding
-    rows have scale 0, which doubles as the mask (bias -inf where scale==0).
-    """
+    scale_ref: (docs_per_tile, L) f32 — per doc-token-row quantization
+    scale; padding rows have scale 0, which doubles as the mask (bias
+    -inf where scale==0). The scales ride as a (N, L) 2-D operand, NOT a
+    (N*L, 1) column vector: XLA lays pallas operands out (8, 128)-tiled,
+    so a single-lane column pads x128 in HBM — 32 GB for a 1M x 64-token
+    index (measured compile-time OOM); (N, 64) pads only 2x."""
     emb = emb_ref[:].astype(jnp.bfloat16)
     sims = jax.lax.dot_general(
         emb,
@@ -243,10 +246,10 @@ def _maxsim_int8_kernel(q_ref, emb_ref, scale_ref, sel_ref, out_ref, *,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                                 # (rows, B*Lq)
-    scale = scale_ref[:]                              # (rows, 1)
-    sims = sims * scale + jnp.where(scale > 0.0, 0.0, NEG_INF)
     blq = sims.shape[-1]
     sims3 = sims.reshape(docs_per_tile, doc_len, blq)
+    scale = scale_ref[:][..., None]                   # (t, L, 1)
+    sims3 = sims3 * scale + jnp.where(scale > 0.0, 0.0, NEG_INF)
     per_q = jnp.max(sims3, axis=1)                    # (docs_per_tile, B*Lq)
     out_ref[:, :] = jax.lax.dot_general(
         per_q, sel_ref[:],
@@ -256,7 +259,7 @@ def _maxsim_int8_kernel(q_ref, emb_ref, scale_ref, sel_ref, out_ref, *,
     )
 
 
-def _maxsim_int8_doc_kernel(q_ref, emb_ref, dscale_ref, sel_ref, out_ref, *,
+def _maxsim_int8_doc_kernel(q_ref, emb_ref, sel_ref, out_ref, *,
                             docs_per_tile, doc_len):
     """Per-document-scale int8 variant: NO per-element dequant or bias.
 
@@ -265,7 +268,10 @@ def _maxsim_int8_doc_kernel(q_ref, emb_ref, dscale_ref, sel_ref, out_ref, *,
     are all-zero with scale 0 (score exactly 0; they live beyond n_docs and
     are sliced off by the caller).
 
-    dscale_ref: (docs_per_tile, 1) f32 per-document scale.
+    The per-doc dequant scale is applied OUTSIDE the kernel on the (B, N)
+    output — a positive per-doc scale commutes with both the max and the
+    selector sum, and a per-doc operand would be a single-lane column the
+    (8, 128)-tiled pallas-operand layout pads x128 in HBM.
     """
     emb = emb_ref[:].astype(jnp.bfloat16)
     sims = jax.lax.dot_general(
@@ -277,7 +283,6 @@ def _maxsim_int8_doc_kernel(q_ref, emb_ref, dscale_ref, sel_ref, out_ref, *,
     blq = sims.shape[-1]
     sims3 = sims.reshape(docs_per_tile, doc_len, blq)
     per_q = jnp.max(sims3, axis=1)                    # (docs_per_tile, B*Lq)
-    per_q = per_q * dscale_ref[:]                     # dequant AFTER the max
     out_ref[:, :] = jax.lax.dot_general(
         per_q, sel_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -286,7 +291,7 @@ def _maxsim_int8_doc_kernel(q_ref, emb_ref, dscale_ref, sel_ref, out_ref, *,
     )
 
 
-def _maxsim_int4_doc_kernel(q_ref, emb_ref, dscale_ref, sel_ref, out_ref, *,
+def _maxsim_int4_doc_kernel(q_ref, emb_ref, sel_ref, out_ref, *,
                             docs_per_tile, doc_len):
     """Per-document-scale int4 variant of ``_maxsim_int8_doc_kernel``.
 
@@ -296,7 +301,11 @@ def _maxsim_int4_doc_kernel(q_ref, emb_ref, dscale_ref, sel_ref, out_ref, *,
     shifts and the (rows, D) matmul becomes two (rows, D/2) matmuls
     against the matching query-feature halves, summed. Same storage
     contract as int8-doc otherwise: padded token rows duplicate the doc's
-    first row, dequant (per-doc scale) happens AFTER the max.
+    first row. The per-doc dequant scale is applied OUTSIDE the kernel on
+    the (B, N) output — a positive per-doc scale commutes with both the
+    max and the selector sum, and a per-doc operand would be a
+    single-lane column the (8, 128)-tiled pallas-operand layout pads
+    x128 in HBM.
     """
     p = emb_ref[:].astype(jnp.int32)                  # (rows, D/2) packed
     lo = jnp.right_shift(jnp.left_shift(p, 28), 28)   # features [0, D/2)
@@ -315,7 +324,6 @@ def _maxsim_int4_doc_kernel(q_ref, emb_ref, dscale_ref, sel_ref, out_ref, *,
     blq = sims.shape[-1]
     sims3 = sims.reshape(docs_per_tile, doc_len, blq)
     per_q = jnp.max(sims3, axis=1)                    # (docs_per_tile, B*Lq)
-    per_q = per_q * dscale_ref[:]                     # dequant AFTER the max
     out_ref[:, :] = jax.lax.dot_general(
         per_q, sel_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -370,8 +378,6 @@ def maxsim_scores_int4_doc(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rows, d // 2), lambda ti: (ti, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, 1), lambda ti: (ti, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((b * lq, b), lambda ti: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -391,10 +397,11 @@ def maxsim_scores_int4_doc(
     )(
         q_flat,
         emb_flat,
-        doc_scales.reshape(n_full, 1),
         sel,
     )
-    return out.T[:, :n]
+    # dequant outside the kernel (commutes with max + selector sum);
+    # zero-length padding docs have scale 0 and score exactly 0
+    return (out.T * doc_scales[None, :])[:, :n]
 
 
 @functools.partial(
@@ -440,8 +447,6 @@ def maxsim_scores_int8_doc(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rows, d), lambda ti: (ti, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, 1), lambda ti: (ti, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((b * lq, b), lambda ti: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -461,10 +466,11 @@ def maxsim_scores_int8_doc(
     )(
         q_flat,
         emb_flat,
-        doc_scales.reshape(n_full, 1),
         sel,
     )
-    return out.T[:, :n]
+    # dequant outside the kernel (commutes with max + selector sum);
+    # zero-length padding docs have scale 0 and score exactly 0
+    return (out.T * doc_scales[None, :])[:, :n]
 
 
 @functools.partial(
@@ -510,7 +516,7 @@ def maxsim_scores_int8(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rows, d), lambda ti: (ti, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, 1), lambda ti: (ti, 0),
+            pl.BlockSpec((t, doc_len), lambda ti: (ti, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((b * lq, b), lambda ti: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -531,7 +537,7 @@ def maxsim_scores_int8(
     )(
         q_flat,
         emb_flat,
-        scales.reshape(n_full * doc_len, 1),
+        scales.reshape(n_full, doc_len),   # 2-D: lane-padding-safe layout
         sel,
     )
     return out.T[:, :n]

@@ -122,6 +122,14 @@ def main(argv=None) -> int:
     ap.add_argument("--prefilter", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--skip-brute", action="store_true")
+    ap.add_argument("--index-dtype", choices=["both", "int8", "int4"],
+                    default="both",
+                    help="which token-embedding layout(s) to generate and "
+                         "probe. 'both' holds the int8 index AND a packed "
+                         "int4 view at once (fine to ~500k docs); at 1M x "
+                         "64 that is 12+ GiB — probe each dtype in its own "
+                         "invocation instead (measured OOM on a 16 GiB "
+                         "chip)")
     ap.add_argument("--postings-cap", type=int, default=512)
     ap.add_argument("--q-max", type=int, default=32,
                     help="BM25 query term slots (kernel cost ~ B*Q*P)")
@@ -176,10 +184,18 @@ def main(argv=None) -> int:
     lengths = np.zeros((n_pad,), np.int32)
     lengths[:n_docs] = rng.integers(doc_len // 2, doc_len + 1, n_docs)
 
+    want_int8 = args.index_dtype in ("both", "int8")
+    want_int4 = args.index_dtype in ("both", "int4")
+
     @jax.jit
     def gen_index(key, lens):
         k1, k2 = jax.random.split(key)
-        q8 = jax.random.randint(k1, (n_pad * doc_len, dim), -127, 128,
+        # int4 mode generates the nibble-packed (rows, D/2) array directly
+        # (for a latency probe only the byte layout matters, not the
+        # values — any int8 array is a valid packed-nibble array); never
+        # materialize the full-width array it would be unpacked from.
+        width = dim if want_int8 else dim // 2
+        q8 = jax.random.randint(k1, (n_pad * doc_len, width), -127, 128,
                                 jnp.int8)
         sc = (0.9 + 0.2 * jax.random.uniform(k2, (n_pad * doc_len,))) / (
             127.0 * np.sqrt(dim))
@@ -188,12 +204,24 @@ def main(argv=None) -> int:
         return q8, jnp.where(valid, sc, 0.0)
 
     t0 = time.perf_counter()
-    q8, scales = gen_index(jax.random.PRNGKey(0), jnp.asarray(lengths))
+    base, scales = gen_index(jax.random.PRNGKey(0), jnp.asarray(lengths))
     lens_dev = jnp.asarray(lengths)
-    pooled = pooled_doc_embeddings(q8, scales, lens_dev, doc_len=doc_len)
+    q8 = base if want_int8 else None
+    if want_int4:
+        # packed view: slice the int8 index's first D/2 columns when both
+        # layouts are probed together (a fresh randint would materialize a
+        # 32-bit bits array), else `base` already IS the packed array
+        q4 = (jax.block_until_ready(jax.jit(lambda x: x[:, : dim // 2])(base))
+              if want_int8 else base)
+        dscales4 = jnp.max(scales.reshape(n_pad, doc_len), axis=1)
+    if want_int8:
+        pooled = pooled_doc_embeddings(q8, scales, lens_dev, doc_len=doc_len)
+    else:
+        pooled = pooled_doc_embeddings(q4, None, lens_dev, doc_len=doc_len,
+                                       doc_scales=dscales4, packed_int4=True)
     jax.block_until_ready(pooled)
     log(f"index gen+pool: {time.perf_counter() - t0:.1f}s "
-        f"({q8.size / 2**30:.2f} GiB int8, pooled "
+        f"({base.size / 2**30:.2f} GiB {args.index_dtype}, pooled "
         f"{pooled.size * 2 / 2**20:.0f} MiB)")
 
     tok = ColBERTTokenizer.train_bpe(corpus[:2000], vocab_size=8192)
@@ -255,38 +283,41 @@ def main(argv=None) -> int:
             q_terms, *lexd, n_docs=n_docs, max_postings=lex.max_postings,
             k=100)[0],
         args.iters))
-    if not args.skip_brute:
-        emit("dense_scan_brute_int8", *_timeit(
-            lambda: maxsim_scores_int8(
-                q_emb, q8, scales, lens_dev, doc_len=doc_len),
-            args.iters))
-        # per-document-scale layout ("int8-doc"): same embedding bytes,
-        # (N,) scales; dup-row contract doesn't change kernel cost
-        dscales = jnp.max(scales.reshape(n_pad, doc_len), axis=1)
-        emit("dense_scan_brute_int8doc", *_timeit(
-            lambda: maxsim_scores_int8_doc(
-                q_emb, q8, dscales, lens_dev, doc_len=doc_len),
-            args.iters))
-    # nibble-packed "int4-doc" layout: HALF the embedding bytes. For a
-    # latency probe only the byte layout matters, not the values — any
-    # int8 array is a valid packed-nibble array, so generate an
-    # independent (rows, D/2) one (kernel traffic = the real thing).
     from hybrid_rag_colbertv2_tpu.ops.maxsim import maxsim_scores_int4_doc
 
-    dscales4 = jnp.max(scales.reshape(n_pad, doc_len), axis=1)
-    q4 = jax.block_until_ready(jax.random.randint(
-        jax.random.PRNGKey(7), (n_pad * doc_len, dim // 2), -128, 128,
-        jnp.int8))
     if not args.skip_brute:
-        emit("dense_scan_brute_int4doc", *_timeit(
-            lambda: maxsim_scores_int4_doc(
-                q_emb, q4, dscales4, lens_dev, doc_len=doc_len),
+        if want_int8:
+            emit("dense_scan_brute_int8", *_timeit(
+                lambda: maxsim_scores_int8(
+                    q_emb, q8, scales, lens_dev, doc_len=doc_len),
+                args.iters))
+            # per-document-scale layout ("int8-doc"): same embedding
+            # bytes, (N,) scales; dup-row contract doesn't change cost
+            dscales = jnp.max(scales.reshape(n_pad, doc_len), axis=1)
+            emit("dense_scan_brute_int8doc", *_timeit(
+                lambda: maxsim_scores_int8_doc(
+                    q_emb, q8, dscales, lens_dev, doc_len=doc_len),
+                args.iters))
+        if want_int4:
+            # nibble-packed "int4-doc" layout: HALF the embedding bytes
+            emit("dense_scan_brute_int4doc", *_timeit(
+                lambda: maxsim_scores_int4_doc(
+                    q_emb, q4, dscales4, lens_dev, doc_len=doc_len),
+                args.iters))
+    # pruned two-stage top-k on the primary layout (the served path)
+    if want_int8:
+        emit(f"dense_pruned_C{args.prefilter}", *_timeit(
+            lambda: maxsim_topk_pruned(
+                q_emb, q8, scales, lens_dev, pooled, doc_len=doc_len,
+                n_docs=n_docs, n_candidates=args.prefilter, k=100)[0],
             args.iters))
-    emit(f"dense_pruned_C{args.prefilter}", *_timeit(
-        lambda: maxsim_topk_pruned(
-            q_emb, q8, scales, lens_dev, pooled, doc_len=doc_len,
-            n_docs=n_docs, n_candidates=args.prefilter, k=100)[0],
-        args.iters))
+    else:
+        emit(f"dense_pruned_int4_C{args.prefilter}", *_timeit(
+            lambda: maxsim_topk_pruned(
+                q_emb, q4, None, lens_dev, pooled, doc_scales=dscales4,
+                doc_len=doc_len, n_docs=n_docs,
+                n_candidates=args.prefilter, k=100)[0],
+            args.iters))
 
     # pruned-path sub-stages + final-rerank geometry, isolated so batch
     # scaling can be attributed stage-by-stage (VERDICT r3 next #8):
@@ -303,22 +334,31 @@ def main(argv=None) -> int:
     cand = jax.block_until_ready(pooled_proxy_topk(
         q_emb, pooled, lens_dev, n_docs=n_docs, c=c_pad,
         approx_recall=0.95))
-    emit(f"pruned_B_exact_C{args.prefilter}", *_timeit(
-        lambda: exact_maxsim_on_candidates(
-            q_emb, q8, scales, lens_dev, cand, doc_len=doc_len),
-        args.iters))
-    # stage B on the packed int4 layout: the stage is gather-bound
-    # (docs/architecture.md — XLA's scattered-row rate is the floor), so
-    # halving the gathered bytes is the one lever that moves it
-    emit(f"pruned_B_exact_int4_C{args.prefilter}", *_timeit(
-        lambda: exact_maxsim_on_candidates(
-            q_emb, q4, None, lens_dev, cand, doc_scales=dscales4,
-            doc_len=doc_len),
-        args.iters))
-    emit("rerank_exact_64cand", *_timeit(
-        lambda: exact_maxsim_on_candidates(
-            q_emb, q8, scales, lens_dev, cand[:, :64], doc_len=doc_len),
-        args.iters))
+    if want_int8:
+        emit(f"pruned_B_exact_C{args.prefilter}", *_timeit(
+            lambda: exact_maxsim_on_candidates(
+                q_emb, q8, scales, lens_dev, cand, doc_len=doc_len),
+            args.iters))
+    if want_int4:
+        # stage B on the packed int4 layout: the stage is gather-bound
+        # (docs/architecture.md — XLA's scattered-row rate is the floor),
+        # so halving the gathered bytes is the one lever that moves it
+        emit(f"pruned_B_exact_int4_C{args.prefilter}", *_timeit(
+            lambda: exact_maxsim_on_candidates(
+                q_emb, q4, None, lens_dev, cand, doc_scales=dscales4,
+                doc_len=doc_len),
+            args.iters))
+    if want_int8:
+        emit("rerank_exact_64cand", *_timeit(
+            lambda: exact_maxsim_on_candidates(
+                q_emb, q8, scales, lens_dev, cand[:, :64], doc_len=doc_len),
+            args.iters))
+    else:
+        emit("rerank_exact_int4_64cand", *_timeit(
+            lambda: exact_maxsim_on_candidates(
+                q_emb, q4, None, lens_dev, cand[:, :64],
+                doc_scales=dscales4, doc_len=doc_len),
+            args.iters))
 
     # --- isolated suspects: top-k over N and RRF fusion ---------------------
     from hybrid_rag_colbertv2_tpu.ops.fusion import rrf_from_topk
@@ -333,18 +373,29 @@ def main(argv=None) -> int:
     emit("rrf_fuse", *_timeit(
         lambda: rrf_from_topk(ids_a, ids_b, k=50)[0], args.iters))
 
-    # --- end-to-end cascade ------------------------------------------------
+    # --- end-to-end cascade (on the primary layout) -------------------------
     def run_cascade(prefilter):
-        ids, _, _ = hybrid_cascade(
-            q_emb, q_terms, *lexd, q8, scales, lens_dev,
-            pooled if prefilter else None, prefilter=prefilter,
-            n_docs=n_docs, max_postings=lex.max_postings, doc_len=doc_len,
-            is_int8=True, k_each=100, k_fuse=50, k_final=10)
+        if want_int8:
+            ids, _, _ = hybrid_cascade(
+                q_emb, q_terms, *lexd, q8, scales, lens_dev,
+                pooled if prefilter else None, prefilter=prefilter,
+                n_docs=n_docs, max_postings=lex.max_postings,
+                doc_len=doc_len, is_int8=True,
+                k_each=100, k_fuse=50, k_final=10)
+        else:
+            ids, _, _ = hybrid_cascade(
+                q_emb, q_terms, *lexd, q4, None, lens_dev,
+                pooled if prefilter else None, dscales4,
+                prefilter=prefilter, n_docs=n_docs,
+                max_postings=lex.max_postings, doc_len=doc_len,
+                is_int8=False, k_each=100, k_fuse=50, k_final=10)
         return ids
 
+    tag = "" if want_int8 else "_int4"
     if not args.skip_brute:
-        emit("cascade_brute", *_timeit(lambda: run_cascade(0), args.iters))
-    emit(f"cascade_pruned_C{args.prefilter}", *_timeit(
+        emit(f"cascade_brute{tag}", *_timeit(
+            lambda: run_cascade(0), args.iters))
+    emit(f"cascade_pruned{tag}_C{args.prefilter}", *_timeit(
         lambda: run_cascade(args.prefilter), args.iters))
 
     if args.profile:
