@@ -451,6 +451,54 @@ def run_1m(result, ctx):
     result["p50_ms_1m"] = round(p50, 3)
     result["vs_baseline_1m"] = round(BASELINE_MS / (p50 / batch), 1)
 
+    # nibble-packed int4-doc at the same 1M scale (round 4): HALF the
+    # index HBM (3.8 vs 7.6 GiB) and half the stage-B gather bytes. For
+    # latency only the byte layout matters, so free the int8 index FIRST
+    # (12 GiB of simultaneous indexes OOMs a 16 GiB chip — measured) and
+    # generate the packed array by bitcasting fresh random bits (a plain
+    # randint would materialize a 16 GiB uint32 bits array). `pooled` is
+    # layout-independent (N, D) bf16 and is reused as-is; recall of this
+    # layout is measured separately (recall10_vs_exact_int4).
+    try:
+        dsc = jax.block_until_ready(
+            jnp.max(scales.reshape(n_pad, doc_len), axis=1))
+        q8.delete()
+        scales.delete()
+
+        @jax.jit
+        def gen_packed(key):
+            # pair-row layout: (n_pad * L/2, D) full-width int8
+            rows = n_pad * doc_len // 2
+            bits = jax.random.bits(key, (rows, dim // 4), jnp.uint32)
+            return jax.lax.bitcast_convert_type(
+                bits, jnp.int8).reshape(rows, dim)
+
+        q4 = jax.block_until_ready(gen_packed(jax.random.PRNGKey(1)))
+        fused4 = fused_cascade_fn(
+            encoder.model, encoder.cfg.query_max_tokens,
+            dict(prefilter=prefilter, n_docs=n_docs,
+                 max_postings=lex.max_postings, doc_len=doc_len,
+                 is_int8=False, k_each=100, k_fuse=50, k_final=10))
+
+        def run_once4():
+            packed = pack_query_batch(encoder, lex, queries,
+                                      RAGConfig.query_max_terms,
+                                      RAGConfig.query_term_buckets)
+            return fused4(encoder.params, packed, *lex_dev,
+                          q4, None, lens_dev, pooled, dsc)[1]
+
+        t0 = time.perf_counter()
+        jax.block_until_ready(run_once4())
+        log(f"1M int4 compile+first run: {time.perf_counter() - t0:.1f}s")
+        p50_4, worst4 = queued_timeit(run_once4, iters, reps)
+        p50_4 = max(p50_4, 1e-3)
+        log(f"1M int4 fused cascade: p50={p50_4:.2f}ms "
+            f"worst={worst4:.2f}ms batch={batch} "
+            f"({p50_4 / batch:.2f} ms/query)")
+        result["p50_ms_1m_int4"] = round(p50_4, 3)
+    except Exception as e:      # the int4 field must not sink the pass
+        log(f"1M int4 leg skipped: {type(e).__name__}: {e}")
+
 
 def _seed_eval(td, n_docs, steps, seed, prefilter, postings_cap,
                cache_root):
@@ -775,7 +823,7 @@ def main():
     # with a nested alarm (signal.alarm is process-global)
     passes = [
         ("HRAG_BENCH_RECALL", 150, run_recall, "recall"),
-        ("HRAG_BENCH_1M", 420, run_1m, "1M"),
+        ("HRAG_BENCH_1M", 660, run_1m, "1M"),
         ("HRAG_BENCH_REALDATA", None, run_realdata, "realdata"),
         ("HRAG_BENCH_ORGANIC", 900, run_organic, "organic"),
     ]

@@ -221,13 +221,13 @@ class BucketedDenseIndex:
         lens = jnp.zeros((k,), jnp.int32)
         for bi, sub in enumerate(self.buckets):
             rows = jnp.clip(my_row, 0, sub.n_pad - 1)
-            embs3 = sub.emb_flat.reshape(sub.n_pad, sub.doc_len, -1)
-            g = embs3[rows]                             # (K, L_b, D) raw
+            rpd = sub.doc_len // 2 if sub.is_int4 else sub.doc_len
+            embs3 = sub.emb_flat.reshape(sub.n_pad, rpd, -1)
+            g = embs3[rows]                             # (K, rpd, D) raw
             if sub.is_int4:                             # nibble-packed
-                from ..ops.quant import unpack_int4
+                from ..ops.quant import unpack_int4_pairs
 
-                g_lo, g_hi = unpack_int4(g)
-                g = jnp.concatenate([g_lo, g_hi], axis=-1)
+                g = unpack_int4_pairs(g)                # (K, L_b, D)
             g = g.astype(jnp.float32)
             if sub.is_int8:
                 sc = sub.scales.reshape(sub.n_pad, sub.doc_len)[rows]

@@ -49,7 +49,10 @@ def save_sharded(dense: DenseTokenIndex, path) -> None:
         "has_scales": dense.scales is not None,
         "has_pooled": dense.pooled is not None,
         "has_doc_scales": dense.doc_scales is not None,
-        # nibble-packed "int4-doc" stores dim/2 bytes per token row
+        # nibble-packed "int4-doc" stores L/2 full-width pair-rows per
+        # doc (emb_rows < n_pad * doc_len); emb_width covers checkpoints
+        # from the earlier feature-halves layout (width dim/2)
+        "emb_rows": int(dense.emb_flat.shape[0]),
         "emb_width": int(dense.emb_flat.shape[-1]),
     }
     # orbax coordinates the array writes across processes; the metadata
@@ -80,10 +83,15 @@ def load_sharded(path, mesh=None, axis: str = "data") -> DenseTokenIndex:
         return jax.ShapeDtypeStruct(shape, jnp.dtype(dtype),
                                     sharding=sharding)
 
+    if meta.get("emb_width", dim) != dim:
+        raise ValueError(
+            "checkpoint uses the retired feature-halves int4 layout "
+            "(emb_width < dim) — rebuild the index from the store "
+            f"({d})")
     target = {
-        # "emb_width" < dim for the nibble-packed int4-doc layout;
-        # checkpoints predating it stored full-width rows
-        "emb_flat": abs_arr((n_pad * doc_len, meta.get("emb_width", dim)),
+        # "emb_rows" < n_pad * doc_len for the nibble-packed int4-doc
+        # pair-row layout; older checkpoints have no emb_rows key
+        "emb_flat": abs_arr((meta.get("emb_rows", n_pad * doc_len), dim),
                             meta["dtype"], row_s),
         "doc_lengths": abs_arr((n_pad,), "int32", vec_s),
     }

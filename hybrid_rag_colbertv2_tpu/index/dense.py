@@ -33,7 +33,7 @@ from ..ops.maxsim import (maxsim_scores, maxsim_scores_exact,
                           maxsim_scores_int8_doc)
 from ..ops.prefilter import maxsim_topk_pruned, pooled_doc_embeddings
 from ..ops.quant import (quantize_int4_docs, quantize_int8_docs,
-                         quantize_int8_rows, unpack_int4)
+                         quantize_int8_rows, unpack_int4_pairs)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -103,8 +103,9 @@ class DenseTokenIndex:
         elif dtype == "int8-doc":
             flat, doc_scales = quantize_int8_docs(token_embs, lengths)
         elif dtype == "int4-doc":
-            # nibble-packed: (n_pad * L, D/2) int8, per-doc scales — half
-            # the HBM of int8 (ops/quant.py::quantize_int4_docs)
+            # nibble-packed pair-rows: (n_pad * L/2, D) int8, per-doc
+            # scales — half the HBM of int8 at full lane width
+            # (ops/quant.py::quantize_int4_docs)
             flat, doc_scales = quantize_int4_docs(token_embs, lengths)
         else:
             flat = token_embs.reshape(n_pad * doc_len, d).astype(
@@ -132,9 +133,11 @@ class DenseTokenIndex:
     @property
     def is_int4(self) -> bool:
         """True for the nibble-packed "int4-doc" layout (emb_flat carries
-        D/2 bytes per token row)."""
+        L/2 full-width pair-rows per doc — token 2j in low nibbles,
+        2j+1 in high; ops/quant.py::quantize_int4_docs)."""
         return (self.doc_scales is not None
-                and self.emb_flat.shape[-1] * 2 == self.dim)
+                and self.emb_flat.shape[0] * 2
+                == self.n_pad * self.doc_len)
 
     @property
     def quant(self) -> str:
@@ -175,13 +178,14 @@ class DenseTokenIndex:
             docs_pad_multiple=docs_pad_multiple)
         n1, n2 = self.n_docs, new.n_docs
         ld = self.doc_len
+        rpd = ld // 2 if self.is_int4 else ld    # storage rows per doc
         flat = jnp.concatenate(
-            [self.emb_flat[: n1 * ld], new.emb_flat[: n2 * ld]])
+            [self.emb_flat[: n1 * rpd], new.emb_flat[: n2 * rpd]])
         lens = jnp.concatenate(
             [self.doc_lengths[:n1], new.doc_lengths[:n2]])
         n_pad = _round_up(max(n1 + n2, 1), docs_pad_multiple)
         pad = n_pad - (n1 + n2)
-        flat = jnp.pad(flat, ((0, pad * ld), (0, 0)))
+        flat = jnp.pad(flat, ((0, pad * rpd), (0, 0)))
         lens = jnp.pad(lens, (0, pad))
         scales = doc_scales = None
         if self.scales is not None:
@@ -262,11 +266,11 @@ class DenseTokenIndex:
         (zero-length -> scores NEG_INF in the rerank, so they never surface).
         """
         safe = jnp.where(ids >= 0, ids, self.n_pad - 1)
-        embs3 = self.emb_flat.reshape(self.n_pad, self.doc_len, -1)
+        rpd = self.doc_len // 2 if self.is_int4 else self.doc_len
+        embs3 = self.emb_flat.reshape(self.n_pad, rpd, -1)
         gathered = embs3[safe]              # packed stays packed here —
         if self.is_int4:                    # gather moves HALF the bytes
-            lo, hi = unpack_int4(gathered)
-            gathered = jnp.concatenate([lo, hi], axis=-1)
+            gathered = unpack_int4_pairs(gathered)   # (…, L, D) token order
         gathered = gathered.astype(jnp.float32)
         if self.is_int8:
             sc = self.scales.reshape(self.n_pad, self.doc_len)[safe]

@@ -19,4 +19,5 @@ from .quant import (  # noqa: F401
     quantize_int4_docs,
     quantize_int8_rows,
     unpack_int4,
+    unpack_int4_pairs,
 )

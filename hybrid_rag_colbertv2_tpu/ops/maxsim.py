@@ -295,34 +295,36 @@ def _maxsim_int4_doc_kernel(q_ref, emb_ref, sel_ref, out_ref, *,
                             docs_per_tile, doc_len):
     """Per-document-scale int4 variant of ``_maxsim_int8_doc_kernel``.
 
-    emb_ref holds nibble-PACKED rows (rows, D/2): low nibble = feature j,
-    high nibble = feature j + D/2 (ops/quant.py::quantize_int4_docs). The
-    halves layout means NO lane interleave — unpack is two arithmetic
-    shifts and the (rows, D) matmul becomes two (rows, D/2) matmuls
-    against the matching query-feature halves, summed. Same storage
-    contract as int8-doc otherwise: padded token rows duplicate the doc's
-    first row. The per-doc dequant scale is applied OUTSIDE the kernel on
-    the (B, N) output — a positive per-doc scale commutes with both the
-    max and the selector sum, and a per-doc operand would be a
-    single-lane column the (8, 128)-tiled pallas-operand layout pads
-    x128 in HBM.
+    emb_ref holds nibble-packed TOKEN-ROW PAIRS at full lane width
+    (rows = docs_per_tile * L/2, D): low nibble = even token row, high
+    nibble = odd token row, feature j at byte j
+    (ops/quant.py::quantize_int4_docs — the layout keeps the minor dim
+    at the native 128-lane tile; a D/2-wide layout makes XLA relayout
+    the whole array around every gather elsewhere). Unpack is two
+    arithmetic shifts; the scan is two full-K matmuls over half the
+    rows each — the same MACs as int8-doc at HALF the HBM read — and
+    ``max(lo_sims, hi_sims)`` IS the max over each token pair. Same
+    storage contract as int8-doc otherwise: padded token rows duplicate
+    the doc's first row. The per-doc dequant scale is applied OUTSIDE
+    the kernel on the (B, N) output — a positive per-doc scale commutes
+    with both the max and the selector sum, and a per-doc operand would
+    be a single-lane column the (8, 128)-tiled pallas-operand layout
+    pads x128 in HBM.
     """
-    p = emb_ref[:].astype(jnp.int32)                  # (rows, D/2) packed
-    lo = jnp.right_shift(jnp.left_shift(p, 28), 28)   # features [0, D/2)
-    hi = jnp.right_shift(p, 4)                        # features [D/2, D)
-    d_half = p.shape[-1]
+    p = emb_ref[:].astype(jnp.int32)                  # (rows, D) packed
+    lo = jnp.right_shift(jnp.left_shift(p, 28), 28)   # even token rows
+    hi = jnp.right_shift(p, 4)                        # odd token rows
     q = q_ref[:]                                      # (B*Lq, D) bf16
-    sims = jax.lax.dot_general(
-        lo.astype(jnp.bfloat16), q[:, :d_half],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + jax.lax.dot_general(
-        hi.astype(jnp.bfloat16), q[:, d_half:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                 # (rows, B*Lq)
-    blq = sims.shape[-1]
-    sims3 = sims.reshape(docs_per_tile, doc_len, blq)
+    dn = (((1,), (1,)), ((), ()))
+    sims_lo = jax.lax.dot_general(
+        lo.astype(jnp.bfloat16), q, dimension_numbers=dn,
+        preferred_element_type=jnp.float32)           # (rows, B*Lq)
+    sims_hi = jax.lax.dot_general(
+        hi.astype(jnp.bfloat16), q, dimension_numbers=dn,
+        preferred_element_type=jnp.float32)
+    pair_max = jnp.maximum(sims_lo, sims_hi)          # max over the pair
+    blq = pair_max.shape[-1]
+    sims3 = pair_max.reshape(docs_per_tile, doc_len // 2, blq)
     per_q = jnp.max(sims3, axis=1)                    # (docs_per_tile, B*Lq)
     out_ref[:, :] = jax.lax.dot_general(
         per_q, sel_ref[:],
@@ -338,7 +340,7 @@ def _maxsim_int4_doc_kernel(q_ref, emb_ref, sel_ref, out_ref, *,
 )
 def maxsim_scores_int4_doc(
     queries: jax.Array,       # (B, Lq, D) bf16/f32
-    emb_flat: jax.Array,      # (N * L, D // 2) int8 nibble-packed int4
+    emb_flat: jax.Array,      # (N * L // 2, D) int8 nibble-packed pairs
     doc_scales: jax.Array,    # (N,) float32 per-document dequant scale
     doc_lengths: jax.Array,   # (N,) int32 (layout contract only; unused)
     *,
@@ -347,24 +349,25 @@ def maxsim_scores_int4_doc(
     interpret: Optional[bool] = None,
 ) -> jax.Array:               # (B, N) float32
     """int4-doc full scan: half the HBM traffic of the int8-doc kernel at
-    the same FLOPs (the scan is bandwidth-bound, so ~2x on big indexes)."""
+    the same MACs (two full-K matmuls over half the rows each)."""
     del doc_lengths  # masking is baked into the index layout (dup rows)
     if interpret is None:
         interpret = _default_interpret()
     b, lq, d = queries.shape
     n = doc_scales.shape[0]
-    assert emb_flat.shape[-1] * 2 == d, (emb_flat.shape, d)
+    assert doc_len % 2 == 0, doc_len
+    assert emb_flat.shape == (n * doc_len // 2, d), (emb_flat.shape, n, d)
     t = docs_per_tile or _fit_tile(
         _pick_docs_per_tile(doc_len, b * lq), n)
     if n % t != 0:
         n_pad = t - n % t
-        emb_flat = jnp.pad(emb_flat, ((0, n_pad * doc_len), (0, 0)))
+        emb_flat = jnp.pad(emb_flat, ((0, n_pad * doc_len // 2), (0, 0)))
         doc_scales = jnp.pad(doc_scales, (0, n_pad))
         n_full = n + n_pad
     else:
         n_full = n
     num_tiles = n_full // t
-    rows = t * doc_len
+    rows = t * doc_len // 2
     q_flat = queries.reshape(b * lq, d).astype(jnp.bfloat16)
     sel = jnp.kron(jnp.eye(b, dtype=jnp.float32),
                    jnp.ones((lq, 1), jnp.float32))      # (B*Lq, B)
@@ -376,7 +379,7 @@ def maxsim_scores_int4_doc(
         in_specs=[
             pl.BlockSpec((b * lq, d), lambda ti: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, d // 2), lambda ti: (ti, 0),
+            pl.BlockSpec((rows, d), lambda ti: (ti, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((b * lq, b), lambda ti: (0, 0),
                          memory_space=pltpu.VMEM),

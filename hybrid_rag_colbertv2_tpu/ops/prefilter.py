@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from .maxsim import NEG_INF
-from .quant import unpack_int4
+from .quant import unpack_int4, unpack_int4_pairs
 
 
 def _round_up(x: int, m: int) -> int:
@@ -40,27 +40,29 @@ def _round_up(x: int, m: int) -> int:
 
 
 def candidate_sims(q: jax.Array,     # (Lq, D) f32 query token embeddings
-                   docs: jax.Array,  # (C, L, D) raw — or (C, L, D/2) packed
+                   docs: jax.Array,  # (C, L, D) raw — or (C, L/2, D) packed
+                   packed_pairs: bool = False,
                    ) -> jax.Array:   # (C, Lq, L) f32, BEFORE dequant/mask
     """Per-candidate token similarity block from RAW gathered index rows.
 
     Shared by every exact-on-candidates site (pruned stage B, the fused
     cascade reranks): the gather stays in the stored dtype and the
-    convert is fused into the dot operand. Nibble-packed int4 rows
-    (ops/quant.py::quantize_int4_docs — detected by width: packed rows
-    carry D/2 bytes for D query features) are consumed as two half-K
-    einsums against the matching query-feature halves, so the gather
-    traffic is HALF the int8 path's and no unpacked copy of the
-    candidates is materialized."""
-    d = q.shape[-1]
-    if docs.shape[-1] * 2 == d:                       # nibble-packed int4
-        lo, hi = unpack_int4(docs)
-        dh = docs.shape[-1]
+    convert is fused into the dot operand. Nibble-packed int4 pair-rows
+    (ops/quant.py::quantize_int4_docs — token 2j in low nibbles, 2j+1 in
+    high, full 128-lane width so the gather never triggers an XLA
+    relayout of the whole index) are consumed as two einsums whose sims
+    interleave back to token order, so the gather traffic is HALF the
+    int8 path's and no unpacked copy of the candidates is materialized.
+    ``packed_pairs`` must be passed by the caller — the packed array has
+    the same width as a raw one (rows differ, which the caller knows)."""
+    if packed_pairs:
+        lo, hi = unpack_int4(docs)                    # (C, L/2, D) each
         kw = dict(preferred_element_type=jnp.float32)
-        return (jnp.einsum("qd,cld->cql", q[:, :dh],
-                           lo.astype(jnp.float32), **kw)
-                + jnp.einsum("qd,cld->cql", q[:, dh:],
-                             hi.astype(jnp.float32), **kw))
+        s_lo = jnp.einsum("qd,cld->cql", q, lo.astype(jnp.float32), **kw)
+        s_hi = jnp.einsum("qd,cld->cql", q, hi.astype(jnp.float32), **kw)
+        c, lq, lh = s_lo.shape
+        # interleave back to original token order: [even0, odd0, even1, …]
+        return jnp.stack([s_lo, s_hi], axis=-1).reshape(c, lq, lh * 2)
     return jnp.einsum("qd,cld->cql", q, docs.astype(jnp.float32),
                       preferred_element_type=jnp.float32)
 
@@ -91,7 +93,8 @@ def pooled_doc_embeddings(
     # sub-indexes can have small n_pad)
     block = math.gcd(n_pad, 128)
     n_blocks = n_pad // block
-    embs = emb_flat.reshape(n_blocks, block, doc_len, d)
+    rows_per_doc = doc_len // 2 if packed_int4 else doc_len
+    embs = emb_flat.reshape(n_blocks, block, rows_per_doc, d)
     if doc_scales is not None:
         dsc = doc_scales.reshape(n_blocks, block)
         lens = doc_lengths.reshape(n_blocks, block)
@@ -100,8 +103,7 @@ def pooled_doc_embeddings(
         def fd(c):
             e, s, ln = c
             if packed_int4:
-                lo, hi = unpack_int4(e)
-                e = jnp.concatenate([lo, hi], axis=-1)
+                e = unpack_int4_pairs(e)      # (block, L, D) token order
             valid = (tok[None, :] < ln[:, None]).astype(jnp.float32)
             summed = jnp.sum(e.astype(jnp.float32) * valid[..., None],
                              axis=1)
@@ -119,7 +121,7 @@ def pooled_doc_embeddings(
     else:
         summed = jax.lax.map(
             lambda e: jnp.sum(e.astype(jnp.float32), axis=1), embs)
-    summed = summed.reshape(n_pad, d * 2 if packed_int4 else d)
+    summed = summed.reshape(n_pad, d)
     denom = jnp.maximum(doc_lengths.astype(jnp.float32), 1.0)[:, None]
     mean = summed / denom
     norm = jnp.linalg.norm(mean, axis=-1, keepdims=True)
@@ -201,14 +203,17 @@ def exact_maxsim_on_candidates(
         cb //= 2
 
     q32 = queries.astype(jnp.float32)
-    embs3 = emb_flat.reshape(n_pad, doc_len, d)
+    # nibble-packed int4 pair-rows carry L/2 storage rows per doc at full
+    # width (shape-static detection by ROW count, not width)
+    packed = emb_flat.shape[0] * 2 == n_pad * doc_len
+    embs3 = emb_flat.reshape(n_pad, doc_len // 2 if packed else doc_len, d)
     scs2 = scales.reshape(n_pad, doc_len) if scales is not None else None
     tok = jnp.arange(doc_len, dtype=jnp.int32)
 
     def exact_one(q, ids):
         def score_block(ib):
-            docs = embs3[ib]              # (cb, L, D) raw — or packed int4
-            sims = candidate_sims(q, docs)
+            docs = embs3[ib]              # (cb, L, D) raw — or (cb, L/2, D)
+            sims = candidate_sims(q, docs, packed_pairs=packed)
             if scs2 is not None:
                 sims = sims * scs2[ib][:, None, :]           # dequant on sims
             elif doc_scales is not None:

@@ -77,25 +77,31 @@ def quantize_int4_docs(
     XLA's scattered-row gather rate (docs/architecture.md), so packing
     directly buys latency there, and doubles the chunks-per-chip ceiling.
 
-    Packing layout — feature HALVES, not adjacent pairs: byte ``j`` of a
-    row stores feature ``j`` in its LOW nibble and feature ``j + D/2`` in
-    its HIGH nibble, both as signed 4-bit values in [-7, 7]
-    (scale = absmax / 7). Consumers therefore never interleave lanes:
-    ``sims = lo @ q[:, :D/2]^T + hi @ q[:, D/2:]^T`` — two half-K
-    matmuls, no shuffle (ops/maxsim.py::maxsim_scores_int4_doc,
-    ops/prefilter.py). Sign recovery is two arithmetic shifts
+    Packing layout — TOKEN-ROW PAIRS at FULL lane width: storage row
+    ``s`` of a document packs its token rows ``2s`` (LOW nibbles) and
+    ``2s + 1`` (HIGH nibbles); byte ``j`` carries feature ``j`` of both,
+    as signed 4-bit values in [-7, 7] (scale = absmax / 7). Storage is
+    therefore ``(N * L/2, D)`` — the minor dim stays the native 128-lane
+    tile. The obvious alternative (feature halves, ``(N * L, D/2)``)
+    keeps a 64-wide minor dim, and XLA relays out the ENTIRE array
+    around every candidate gather at that width — measured 15x slower
+    stage-B at 1M docs (6.7 ms vs 0.44 ms per GiB gathered; see
+    docs/architecture.md). With pair-rows the MaxSim kernel runs two
+    full-K matmuls over half the rows each (same MACs as int8-doc, half
+    the HBM read) and the max over the (lo, hi) sims IS the max over
+    token pairs. Sign recovery is two arithmetic shifts
     (``unpack_int4``).
 
-    Same layout contract as quantize_int8_docs: one fp32 scale per doc
-    (dequant commutes with the max, applied after it), padded token rows
-    duplicate the doc's first row, zero-length docs stay all-zero with
-    scale 0.
+    Same layout contract as quantize_int8_docs otherwise: one fp32 scale
+    per doc (dequant commutes with the max, applied after it), padded
+    token rows duplicate the doc's first row, zero-length docs stay
+    all-zero with scale 0. ``L`` must be even.
 
-    -> packed (N * L, D // 2) int8, (N,) f32 per-doc scales.
+    -> packed (N * L // 2, D) int8, (N,) f32 per-doc scales.
     """
     x = embs3.astype(jnp.float32)
     n, l, d = x.shape
-    assert d % 2 == 0, d
+    assert l % 2 == 0, l
     absmax = jnp.max(jnp.abs(x), axis=(1, 2))                  # (N,)
     scale = absmax / 7.0
     safe = jnp.where(scale > 0, scale, 1.0)
@@ -103,35 +109,46 @@ def quantize_int4_docs(
     tok = jnp.arange(l, dtype=jnp.int32)
     valid = tok[None, :, None] < lengths[:, None, None]
     q = jnp.where(valid, q, q[:, 0:1, :]).astype(jnp.int32)    # dup row 0
-    lo = q[..., : d // 2]
-    hi = q[..., d // 2:]
+    lo = q[:, 0::2, :]                                         # even rows
+    hi = q[:, 1::2, :]                                         # odd rows
     packed = jnp.bitwise_or(jnp.bitwise_and(lo, 0xF),
                             jnp.left_shift(hi, 4))
     # values fit int8 exactly: hi<<4 in [-112, 112], low nibble adds < 16
-    return (packed.astype(jnp.int8).reshape(n * l, d // 2), scale)
+    return (packed.astype(jnp.int8).reshape(n * (l // 2), d), scale)
 
 
 @jax.jit
 def unpack_int4(packed: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Packed int4 bytes -> (lo, hi) sign-extended values (same shape as
     ``packed``, int32 in [-8, 7]; quantize_int4_docs only emits [-7, 7]).
-    lo is features [0, D/2), hi is [D/2, D) of the original rows."""
+    lo is the EVEN token row of the pair, hi the ODD one."""
     p = packed.astype(jnp.int32)
     lo = jnp.right_shift(jnp.left_shift(p, 28), 28)   # arithmetic shifts
     hi = jnp.right_shift(p, 4)                        # sign-extends nibble
     return lo, hi
 
 
+def unpack_int4_pairs(packed: jax.Array) -> jax.Array:
+    """(..., L/2, D) packed pair-rows -> (..., L, D) int32 values in
+    original token order (even rows from low nibbles interleaved with the
+    odd rows from high nibbles)."""
+    lo, hi = unpack_int4(packed)
+    st = jnp.stack([lo, hi], axis=-2)                 # (..., L/2, 2, D)
+    return st.reshape(*packed.shape[:-2], packed.shape[-2] * 2,
+                      packed.shape[-1])
+
+
 @jax.jit
-def dequantize_int4_docs(packed_flat: jax.Array,   # (N * L, D // 2) int8
+def dequantize_int4_docs(packed_flat: jax.Array,   # (N * L // 2, D) int8
                          doc_scales: jax.Array,    # (N,) f32
                          ) -> jax.Array:           # (N * L, D) f32
     """Test/oracle helper: full fp32 reconstruction of an int4-doc index
     (production kernels never materialize this — they consume the packed
-    halves directly)."""
+    pair-rows directly)."""
     rows = packed_flat.shape[0]
     n = doc_scales.shape[0]
-    l = rows // n
-    lo, hi = unpack_int4(packed_flat)
-    full = jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
-    return full * jnp.repeat(doc_scales, l)[:, None]
+    lh = rows // n                                    # L / 2
+    d = packed_flat.shape[-1]
+    full = unpack_int4_pairs(
+        packed_flat.reshape(n, lh, d)).astype(jnp.float32)
+    return (full * doc_scales[:, None, None]).reshape(n * lh * 2, d)

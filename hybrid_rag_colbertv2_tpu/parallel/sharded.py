@@ -35,7 +35,7 @@ from ..ops.maxsim import (maxsim_scores, maxsim_scores_exact,
                           maxsim_scores_int4_doc, maxsim_scores_int8,
                           maxsim_scores_int8_doc)
 from ..ops.prefilter import approx_or_exact_topk, maxsim_topk_pruned
-from ..ops.quant import unpack_int4
+from ..ops.quant import unpack_int4_pairs
 from ..retrieval.cascade import (encode_query_terms,
                                  pack_query_batch)
 from ..utils.cache import JitCache
@@ -148,8 +148,9 @@ def _make_sharded_cascade_impl(
             lv = jnp.where(li >= 0, lv, NEG_INF)
         else:
             if (has_doc_scales
-                    and emb_flat_local.shape[-1] * 2 == q_emb.shape[-1]):
-                # nibble-packed int4-doc (shape-static detection)
+                    and emb_flat_local.shape[0] * 2 == n_local * doc_len):
+                # nibble-packed int4-doc pair-rows (shape-static
+                # detection by ROW count; width equals raw layouts')
                 ms_local = maxsim_scores_int4_doc(
                     q_emb, emb_flat_local, doc_scales_local,
                     doc_lengths_local, doc_len=doc_len, interpret=interpret)
@@ -210,13 +211,15 @@ def _make_sharded_cascade_impl(
         local_pos = fused_ids - offset
         owned = (local_pos >= 0) & (local_pos < n_local) & (fused_ids >= 0)
         safe = jnp.clip(local_pos, 0, n_local - 1)
-        embs3 = emb_flat_local.reshape(n_local, doc_len, -1)
+        packed4 = (has_doc_scales
+                   and emb_flat_local.shape[0] * 2 == n_local * doc_len)
+        embs3 = emb_flat_local.reshape(
+            n_local, doc_len // 2 if packed4 else doc_len, -1)
 
         def rerank_one(q, cand, own):
-            docs = embs3[cand]                              # (kf, L, D) raw
-            if has_doc_scales and embs3.shape[-1] * 2 == q.shape[-1]:
-                lo, hi = unpack_int4(docs)                  # int4-doc
-                docs = jnp.concatenate([lo, hi], axis=-1)
+            docs = embs3[cand]                       # (kf, L, D) raw
+            if packed4:                              # int4-doc pair-rows
+                docs = unpack_int4_pairs(docs)       # (kf, L, D)
             docs = docs.astype(jnp.float32)
             if is_int8:
                 sc = scales_local.reshape(n_local, doc_len)[cand]
@@ -386,11 +389,11 @@ def _make_sharded_bucketed_cascade_impl(
                 own = (live & (cbucket == bi)
                        & (local_row >= 0) & (local_row < n_local))
                 rows = jnp.clip(local_row, 0, n_local - 1)
-                embs3 = emb.reshape(n_local, dl, -1)
-                gdocs = embs3[rows]                       # (kf, dl, D) raw
+                rpd = dl // 2 if quant == "int4-doc" else dl
+                embs3 = emb.reshape(n_local, rpd, -1)
+                gdocs = embs3[rows]                       # (kf, rpd, D) raw
                 if quant == "int4-doc":
-                    g_lo, g_hi = unpack_int4(gdocs)
-                    gdocs = jnp.concatenate([g_lo, g_hi], axis=-1)
+                    gdocs = unpack_int4_pairs(gdocs)      # (kf, dl, D)
                 gdocs = gdocs.astype(jnp.float32)
                 if quant == "int8":
                     gdocs = gdocs * sc.reshape(n_local, dl)[rows][..., None]

@@ -159,8 +159,9 @@ def hybrid_cascade(
             n_candidates=prefilter, k=ke, approx_recall=approx_recall)
     else:
         if (doc_scales is not None
-                and emb_flat.shape[-1] * 2 == q_emb.shape[-1]):
-            # nibble-packed int4-doc (shape-static detection under jit)
+                and emb_flat.shape[0] * 2 == n_pad * doc_len):
+            # nibble-packed int4-doc pair-rows (shape-static detection
+            # under jit — by ROW count; width equals the raw layouts')
             ms = maxsim_scores_int4_doc(q_emb, emb_flat, doc_scales,
                                         doc_lengths, doc_len=doc_len)
         elif doc_scales is not None:
@@ -193,12 +194,14 @@ def hybrid_cascade(
     # scaled-fp32 copy of the candidate embeddings is materialized — the
     # same traffic fix as ops/prefilter.exact_maxsim_on_candidates.
     safe = jnp.where(fused_ids >= 0, fused_ids, n_pad - 1)
-    embs3 = emb_flat.reshape(n_pad, doc_len, -1)
+    packed4 = emb_flat.shape[0] * 2 == n_pad * doc_len   # int4 pair-rows
+    embs3 = emb_flat.reshape(n_pad,
+                             doc_len // 2 if packed4 else doc_len, -1)
     tok = jnp.arange(doc_len, dtype=jnp.int32)
 
     def rerank_one(q, cand, live):
-        docs = embs3[cand]            # (k_fuse, L, D) raw (packed if int4)
-        sims = candidate_sims(q, docs)
+        docs = embs3[cand]            # (k_fuse, L, D) raw (L/2 if packed)
+        sims = candidate_sims(q, docs, packed_pairs=packed4)
         if is_int8:
             sims = sims * scales.reshape(n_pad, doc_len)[cand][:, None, :]
         elif doc_scales is not None:
@@ -371,8 +374,10 @@ def fused_bucketed_cascade_fn(model, query_len: int, bucket_geoms,
                     quant = geom["quant"]
                     own = live & (cbucket == bi)
                     rows = jnp.clip(crow, 0, n_b - 1)
-                    docs = emb.reshape(n_b, dl, -1)[rows]   # (kf, dl, D)
-                    sims = candidate_sims(q, docs)
+                    rpd = dl // 2 if quant == "int4-doc" else dl
+                    docs = emb.reshape(n_b, rpd, -1)[rows]  # (kf, rpd, D)
+                    sims = candidate_sims(
+                        q, docs, packed_pairs=(quant == "int4-doc"))
                     if quant == "int8":
                         sims = sims * sc.reshape(n_b, dl)[rows][:, None, :]
                     elif quant in ("int8-doc", "int4-doc"):

@@ -190,13 +190,13 @@ def main(argv=None) -> int:
     @jax.jit
     def gen_index(key, lens):
         k1, k2 = jax.random.split(key)
-        # int4 mode generates the nibble-packed (rows, D/2) array directly
-        # (for a latency probe only the byte layout matters, not the
-        # values — any int8 array is a valid packed-nibble array); never
-        # materialize the full-width array it would be unpacked from.
-        width = dim if want_int8 else dim // 2
-        q8 = jax.random.randint(k1, (n_pad * doc_len, width), -127, 128,
-                                jnp.int8)
+        # int4 mode generates the nibble-packed PAIR-ROW array directly:
+        # (n_pad * L/2, D) full-width int8 (ops/quant.quantize_int4_docs
+        # layout). For a latency probe only the byte layout matters, not
+        # the values — any int8 array is a valid packed-nibble array;
+        # never materialize the full array it would be unpacked from.
+        rows = n_pad * doc_len if want_int8 else n_pad * doc_len // 2
+        q8 = jax.random.randint(k1, (rows, dim), -127, 128, jnp.int8)
         sc = (0.9 + 0.2 * jax.random.uniform(k2, (n_pad * doc_len,))) / (
             127.0 * np.sqrt(dim))
         tok = jnp.arange(doc_len, dtype=jnp.int32)
@@ -208,11 +208,12 @@ def main(argv=None) -> int:
     lens_dev = jnp.asarray(lengths)
     q8 = base if want_int8 else None
     if want_int4:
-        # packed view: slice the int8 index's first D/2 columns when both
-        # layouts are probed together (a fresh randint would materialize a
-        # 32-bit bits array), else `base` already IS the packed array
-        q4 = (jax.block_until_ready(jax.jit(lambda x: x[:, : dim // 2])(base))
-              if want_int8 else base)
+        # packed pair-row view: slice the int8 index's first half of ROWS
+        # when both layouts are probed together (contiguous slice, no
+        # relayout), else `base` already IS the packed array
+        q4 = (jax.block_until_ready(
+            jax.jit(lambda x: x[: n_pad * doc_len // 2])(base))
+            if want_int8 else base)
         dscales4 = jnp.max(scales.reshape(n_pad, doc_len), axis=1)
     if want_int8:
         pooled = pooled_doc_embeddings(q8, scales, lens_dev, doc_len=doc_len)

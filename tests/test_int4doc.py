@@ -3,11 +3,15 @@
 Round-4 scaling option: HALF the HBM residency and half the candidate-
 gather bytes of int8 (ops/quant.py::quantize_int4_docs — the pruned
 cascade's stage B floor is XLA's scattered-row gather rate, so packing
-buys latency there and doubles the chunks-per-chip ceiling). These tests
-pin the packing algebra (exact roundtrip bounds, halves layout, dup-row
-contract), kernel-vs-oracle numerics, the index surface
-(build/search/pruned/rerank/persistence/append), cascade integration,
-and sharded-vs-single-device equality on the virtual 8-device mesh.
+buys latency there and doubles the chunks-per-chip ceiling). Storage is
+TOKEN-ROW PAIRS at full 128-lane width — (N * L/2, D), token 2j in low
+nibbles, 2j+1 in high — because a D/2-wide minor dim makes XLA relayout
+the whole index around every gather (measured 15x slower stage B at 1M
+docs). These tests pin the packing algebra (exact roundtrip bounds,
+pair-row layout, dup-row contract), kernel-vs-oracle numerics, the index
+surface (build/search/pruned/rerank/persistence/append), cascade
+integration, and sharded-vs-single-device equality on the virtual
+8-device mesh.
 """
 
 import jax.numpy as jnp
@@ -50,8 +54,10 @@ def test_pack_unpack_exact(rng):
     # feed values already on the int4 grid scaled by a known absmax
     packed, sc = quantize_int4_docs(jnp.asarray(vals.reshape(10, 4, 128)),
                                     jnp.asarray(lens))
-    lo, hi = unpack_int4(packed)
-    rebuilt = np.concatenate([np.asarray(lo), np.asarray(hi)], axis=-1)
+    assert packed.shape == (10 * 2, 128)     # pair-rows, full lane width
+    lo, hi = unpack_int4(packed)             # even / odd token rows
+    rebuilt = np.stack([np.asarray(lo), np.asarray(hi)],
+                       axis=1).reshape(40, 128)
     want = np.round(vals / np.asarray(sc).repeat(4)[:, None]).clip(-7, 7)
     np.testing.assert_array_equal(rebuilt, want)
 
@@ -66,17 +72,21 @@ def test_roundtrip_error_bounded_by_half_scale(rng):
 
 
 def test_dup_row_and_zero_doc_contract(rng):
+    from hybrid_rag_colbertv2_tpu.ops.quant import unpack_int4_pairs
+
     q, docs, lengths = _mk(rng, n=8, l=4)
     lengths = jnp.asarray([4, 2, 0, 1, 4, 3, 0, 4], jnp.int32)
     tok = np.arange(4)[None, :, None] < np.asarray(lengths)[:, None, None]
     docs = docs * tok
     packed, sc = quantize_int4_docs(docs, lengths)
-    p3 = np.asarray(packed).reshape(8, 4, 64)
+    # unpack back to token order: padded token rows duplicate row 0
+    v3 = np.asarray(unpack_int4_pairs(
+        jnp.asarray(packed).reshape(8, 2, 128)))          # (8, 4, 128)
     for i, ln in enumerate(np.asarray(lengths)):
         for j in range(int(ln), 4):
-            np.testing.assert_array_equal(p3[i, j], p3[i, 0])
+            np.testing.assert_array_equal(v3[i, j], v3[i, 0])
     # zero-length docs: all-zero rows, scale 0
-    assert (p3[2] == 0).all() and (p3[6] == 0).all()
+    assert (v3[2] == 0).all() and (v3[6] == 0).all()
     assert float(np.asarray(sc)[2]) == 0.0
 
 
@@ -100,7 +110,8 @@ def test_build_and_search_close_to_fp32(rng):
     q, docs, lengths = _mk(rng)
     idx = DenseTokenIndex.build(docs, lengths, doc_len=32, dtype="int4-doc")
     assert idx.quant == "int4-doc" and idx.is_int4
-    assert idx.emb_flat.shape[-1] == 64          # nibble-packed halves
+    # pair-rows: half the rows of int8 at full 128-lane width
+    assert idx.emb_flat.shape == (idx.n_pad * 32 // 2, 128)
     assert idx.scales is None and idx.doc_scales is not None
     got = np.asarray(idx.search_scores(q))
     truth = np.asarray(maxsim_scores_exact(q, docs, lengths))
