@@ -38,7 +38,10 @@ class MeshConfig:
     # (ops/maxsim.py). "int4-doc": nibble-packed 4-bit + per-document
     # scales — HALF the HBM of int8 (2x chunks per chip) and half the
     # candidate-gather bytes; coarsest quantization, measured recall in
-    # docs/performance.md. Also "bfloat16" | "float32".
+    # docs/performance.md. Also "bfloat16" | "float32", and "auto" —
+    # int8 unless the projected index exceeds the per-device HBM comfort
+    # margin, then int4-doc (resolve_index_dtype; resolved at build
+    # time and persisted with the index).
     index_dtype: str = "int8"
     compute_dtype: str = "bfloat16"    # kernel accumulate is always fp32
     # Padding buckets for document token counts (static XLA shapes).
@@ -59,6 +62,30 @@ class MeshConfig:
         if self.mesh_shape is not None:
             return self.mesh_shape
         return (n_devices, 1)
+
+    def resolve_index_dtype(self, n_docs: int, doc_len: int,
+                            dim: int = 128,
+                            n_devices: Optional[int] = None) -> str:
+        """Resolve ``index_dtype="auto"`` by projected HBM residency.
+
+        "int8" (finest of the quantized layouts) when its index fits
+        comfortably — under 80% of the smallest device's memory limit
+        per shard (``index_capacity_estimate``'s margin) — else the
+        nibble-packed "int4-doc" (half the bytes,
+        double the chunks-per-chip ceiling; recall cost measured by the
+        bench's ``recall10_vs_exact_int4``). Backends that expose no
+        memory limit (CPU test meshes) resolve to "int8" so behavior is
+        deterministic off-TPU. Concrete dtypes pass through unchanged;
+        the resolved choice is persisted with the index metadata, so
+        incremental appends keep the layout they started with.
+        """
+        if self.index_dtype != "auto":
+            return self.index_dtype
+        from .utils.profiling import index_capacity_estimate
+
+        est = index_capacity_estimate(max(n_docs, 1), doc_len, dim=dim,
+                                      dtype_bytes=1, n_devices=n_devices)
+        return "int8" if est["fits"] in (True, None) else "int4-doc"
 
 
 @dataclass
@@ -297,11 +324,13 @@ class RAGConfig:
         for b in self.mesh.doc_token_buckets:
             if b % 32 != 0:
                 raise ValueError("doc token buckets must be multiples of 32")
-        if self.mesh.index_dtype not in ("int8", "int8-doc", "int4-doc",
-                                         "bfloat16", "float32"):
+        if self.mesh.index_dtype not in ("auto", "int8", "int8-doc",
+                                         "int4-doc", "bfloat16", "float32"):
             raise ValueError(
-                "index_dtype must be one of int8 | int8-doc | int4-doc | "
-                "bfloat16 | float32")
+                "index_dtype must be one of auto | int8 | int8-doc | "
+                "int4-doc | bfloat16 | float32 ('auto' picks int8 unless "
+                "the projected index exceeds the per-device HBM comfort "
+                "margin, then the half-size int4-doc)")
 
 
 _FIELD_NAMES = {f.name for f in dataclasses.fields(RAGConfig)}

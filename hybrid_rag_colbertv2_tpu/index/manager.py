@@ -72,21 +72,28 @@ class IndexManager:
         with self.timer.stage("colbert_encode"):
             embs, lengths = self.encoder.encode_docs(list(corpus))
         with self.timer.stage("colbert_build"):
+            max_len = int(jnp.max(lengths)) if lengths.shape[0] else 1
+            bucket = pick_bucket(max_len,
+                                 self.config.mesh.doc_token_buckets)
+            # "auto" resolves by projected HBM residency (the single-
+            # bucket estimate is conservative for the bucketed layout)
+            dtype = self.config.mesh.resolve_index_dtype(
+                len(corpus), bucket)
+            if dtype != self.config.mesh.index_dtype:
+                log.info("index_dtype=auto -> %s (%d docs x %d tokens)",
+                         dtype, len(corpus), bucket)
             if self.config.mesh.index_layout == "bucketed":
                 from .bucketed import BucketedDenseIndex
 
                 self.dense = BucketedDenseIndex.build(
                     embs, lengths,
                     bucket_sizes=self.config.mesh.doc_token_buckets,
-                    dtype=self.config.mesh.index_dtype,
+                    dtype=dtype,
                 )
             else:
-                max_len = int(jnp.max(lengths)) if lengths.shape[0] else 1
-                bucket = pick_bucket(max_len,
-                                     self.config.mesh.doc_token_buckets)
                 self.dense = DenseTokenIndex.build(
                     embs, lengths, doc_len=bucket,
-                    dtype=self.config.mesh.index_dtype,
+                    dtype=dtype,
                 )
             self.dense.save(self.config.colbert_index_path)
         log.info(

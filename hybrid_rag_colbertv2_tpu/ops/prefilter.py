@@ -75,7 +75,7 @@ def pooled_doc_embeddings(
     *,
     doc_len: int,
     doc_scales: Optional[jax.Array] = None,  # (N_pad,) f32 for "int8-doc"
-    packed_int4: bool = False,       # emb_flat is (N_pad * L, D/2) packed
+    packed_int4: bool = False,       # emb_flat is (N_pad * L/2, D) packed
 ) -> jax.Array:                      # (N_pad, D) bf16, L2-normalized
     """Per-document L2-normalized mean token embedding (the proxy vectors).
 

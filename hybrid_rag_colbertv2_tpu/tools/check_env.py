@@ -105,6 +105,37 @@ def _t_pallas_int8_doc() -> str:
     return f"int8-doc MaxSim kernel max|err|={err:.2e}"
 
 
+def _t_pallas_int4_doc() -> str:
+    """Compiled "int4-doc" kernel (nibble-packed token-row pairs at full
+    lane width, per-document scales) vs exact fp32 on dequantized
+    values."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hybrid_rag_colbertv2_tpu.index.dense import DenseTokenIndex
+    from hybrid_rag_colbertv2_tpu.ops.maxsim import (
+        maxsim_scores_exact, maxsim_scores_int4_doc)
+    from hybrid_rag_colbertv2_tpu.ops.quant import dequantize_int4_docs
+
+    rng = np.random.default_rng(3)
+    toks = rng.standard_normal((16, 32, 128)).astype(np.float32)
+    toks /= np.linalg.norm(toks, axis=-1, keepdims=True)
+    lengths = rng.integers(16, 33, 16).astype(np.int32)
+    idx = DenseTokenIndex.build(jnp.asarray(toks), jnp.asarray(lengths),
+                                doc_len=32, dtype="int4-doc")
+    q = rng.standard_normal((2, 32, 128)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    deq = dequantize_int4_docs(idx.emb_flat, idx.doc_scales).reshape(
+        idx.n_pad, 32, 128)
+    ref = maxsim_scores_exact(jnp.asarray(q), deq, idx.doc_lengths)
+    got = maxsim_scores_int4_doc(jnp.asarray(q), idx.emb_flat,
+                                 idx.doc_scales, idx.doc_lengths,
+                                 doc_len=32)
+    err = float(jnp.max(jnp.abs(got[:, :16] - ref[:, :16])))
+    assert err < 0.2, err
+    return f"int4-doc MaxSim kernel max|err|={err:.2e}"
+
+
 def _t_bm25() -> str:
     # behavioral parity with the reference's Test 1
     # (model_downloader_simplified.py:118-127): 2-doc index + query
@@ -207,6 +238,7 @@ TESTS: List[Tuple[str, Callable[[], str]]] = [
     ("pallas maxsim", _t_pallas),
     ("pallas maxsim int8", _t_pallas_int8),
     ("pallas maxsim int8-doc", _t_pallas_int8_doc),
+    ("pallas maxsim int4-doc", _t_pallas_int4_doc),
     ("bm25 end-to-end", _t_bm25),
     ("tokenizer", _t_tokenizer),
     ("encoder", _t_encoder),

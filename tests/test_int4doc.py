@@ -245,3 +245,64 @@ def test_sharded_equals_single_device(rng):
     ids2, sc2 = sharded.retrieve_batch(["topic 3 term5", "document 7"])
     np.testing.assert_array_equal(ids1, ids2)
     np.testing.assert_allclose(sc1, sc2, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# capacity-aware auto dtype (MeshConfig.resolve_index_dtype)
+# ---------------------------------------------------------------------------
+
+def test_auto_dtype_resolves_int8_when_limits_unknown():
+    """CPU test meshes expose no memory limit -> deterministic int8."""
+    from hybrid_rag_colbertv2_tpu.config import RAGConfig
+
+    cfg = RAGConfig()
+    cfg.mesh.index_dtype = "auto"
+    cfg.validate()                       # "auto" is a legal setting
+    assert cfg.mesh.resolve_index_dtype(100_000, 64) == "int8"
+    # concrete dtypes pass through untouched
+    cfg.mesh.index_dtype = "int8-doc"
+    assert cfg.mesh.resolve_index_dtype(100_000, 64) == "int8-doc"
+
+
+def test_auto_dtype_falls_to_int4_when_int8_would_not_fit(monkeypatch):
+    from hybrid_rag_colbertv2_tpu.config import RAGConfig
+    from hybrid_rag_colbertv2_tpu.utils import profiling
+
+    # pretend every device caps at 64 MiB: a 100k x 64-token int8 index
+    # (0.8 GiB + scales) cannot fit, so auto must pick the packed layout
+    monkeypatch.setattr(
+        profiling, "device_memory_stats",
+        lambda: {"fake": {"bytes_in_use": 0,
+                          "bytes_limit": 64 * 2**20}})
+    cfg = RAGConfig()
+    cfg.mesh.index_dtype = "auto"
+    assert cfg.mesh.resolve_index_dtype(100_000, 64, n_devices=1) \
+        == "int4-doc"
+    # and a tiny corpus still resolves to int8 under the same cap
+    assert cfg.mesh.resolve_index_dtype(1_000, 64, n_devices=1) == "int8"
+
+
+def test_manager_builds_with_auto_dtype(rng, tmp_path):
+    """End-to-end: index_dtype='auto' builds (int8 on CPU) and the
+    resolved dtype is persisted with the index."""
+    import json
+
+    from hybrid_rag_colbertv2_tpu.config import RAGConfig
+    from hybrid_rag_colbertv2_tpu.index.manager import IndexManager
+    from hybrid_rag_colbertv2_tpu.models.colbert import (ColBERTConfig,
+                                                         ColBERTEncoder)
+    from hybrid_rag_colbertv2_tpu.models.tokenizer import ColBERTTokenizer
+
+    corpus = [f"document {i} about topic {i % 9}" for i in range(64)]
+    tok = ColBERTTokenizer.train_bpe(corpus, vocab_size=512)
+    enc = ColBERTEncoder(
+        ColBERTConfig.tiny(vocab_size=tok.vocab_size, colbert_dim=128),
+        tok, seed=0)
+    cfg = RAGConfig(bm25_index_path=str(tmp_path / "bm25"),
+                    colbert_index_path=str(tmp_path / "colbert"))
+    cfg.mesh.index_dtype = "auto"
+    mgr = IndexManager(cfg, encoder=enc)
+    mgr.build_all(corpus)
+    assert mgr.dense.quant == "int8"
+    meta = json.loads((tmp_path / "colbert" / "meta.json").read_text())
+    assert meta["dtype"] == "int8"
