@@ -500,6 +500,91 @@ def run_1m(result, ctx):
         log(f"1M int4 leg skipped: {type(e).__name__}: {e}")
 
 
+def run_2m_int4(result, ctx):
+    """Fused-cascade p50 over TWO MILLION chunks x 64 tokens on ONE chip
+    — the capacity headline the nibble-packed int4-doc layout exists
+    for: 7.6 GiB packed (the int8 index of the same corpus would be
+    15.3 GiB and OOM a 16 GiB device alongside its transients). Same
+    uniform-random index recipe as run_1m (latency is value-independent);
+    quantization recall rides in recall10_vs_exact_int4."""
+    import jax
+    import jax.numpy as jnp
+
+    from hybrid_rag_colbertv2_tpu.config import RAGConfig
+    from hybrid_rag_colbertv2_tpu.index.lexical import LexicalIndex
+    from hybrid_rag_colbertv2_tpu.ops.prefilter import pooled_doc_embeddings
+    from hybrid_rag_colbertv2_tpu.retrieval.cascade import (
+        fused_cascade_fn, pack_query_batch)
+    from hybrid_rag_colbertv2_tpu.utils.timing import queued_timeit
+
+    on_tpu, dim, batch = ctx["on_tpu"], ctx["dim"], ctx["batch"]
+    if not on_tpu:
+        log("2M pass: CPU backend — skipping (TPU-scale capacity demo)")
+        return
+    n_docs = 2_000_000
+    doc_len, prefilter = 64, 2048
+    rng, vocab = ctx["rng"], ctx["vocab"]
+    encoder = ctx["encoder"]
+
+    t0 = time.perf_counter()
+    base = ctx["corpus"][:20_000]
+    full_corpus = (base * (n_docs // len(base) + 1))[:n_docs]
+    lex = LexicalIndex.build(full_corpus, postings_cap=ctx["postings_cap"])
+    log(f"2M bm25 build: {time.perf_counter() - t0:.1f}s "
+        f"max_post={lex.max_postings}")
+
+    n_pad = ((n_docs + 127) // 128) * 128
+    lengths = np.zeros((n_pad,), np.int32)
+    lengths[:n_docs] = rng.integers(doc_len // 2, doc_len + 1, n_docs)
+
+    @jax.jit
+    def gen(key, lens):
+        k1, k2 = jax.random.split(key)
+        rows = n_pad * doc_len // 2          # pair-row packed layout
+        bits = jax.random.bits(k1, (rows, dim // 4), jnp.uint32)
+        packed = jax.lax.bitcast_convert_type(
+            bits, jnp.int8).reshape(rows, dim)
+        dsc = (0.9 + 0.2 * jax.random.uniform(k2, (n_pad,))) / (
+            7.0 * np.sqrt(dim))
+        dsc = jnp.where(lens > 0, dsc, 0.0)
+        return packed, dsc
+
+    t0 = time.perf_counter()
+    lens_dev = jnp.asarray(lengths)
+    q4, dsc = gen(jax.random.PRNGKey(2), lens_dev)
+    pooled = pooled_doc_embeddings(q4, None, lens_dev, doc_len=doc_len,
+                                   doc_scales=dsc, packed_int4=True)
+    jax.block_until_ready(pooled)
+    log(f"2M index gen+pool: {time.perf_counter() - t0:.1f}s "
+        f"({q4.size / 2**30:.2f} GiB int4 packed)")
+
+    lex_dev = (jnp.asarray(lex.indptr), jnp.asarray(lex.post_docs),
+               jnp.asarray(lex.post_weights))
+    queries = [" ".join(rng.choice(vocab, size=6)) for _ in range(batch)]
+    fused = fused_cascade_fn(encoder.model, encoder.cfg.query_max_tokens,
+                             dict(prefilter=prefilter, n_docs=n_docs,
+                                  max_postings=lex.max_postings,
+                                  doc_len=doc_len, is_int8=False,
+                                  k_each=100, k_fuse=50, k_final=10))
+
+    def run_once():
+        packed = pack_query_batch(encoder, lex, queries,
+                                  RAGConfig.query_max_terms,
+                                  RAGConfig.query_term_buckets)
+        return fused(encoder.params, packed, *lex_dev,
+                     q4, None, lens_dev, pooled, dsc)[1]
+
+    t0 = time.perf_counter()
+    jax.block_until_ready(run_once())
+    log(f"2M compile+first run: {time.perf_counter() - t0:.1f}s")
+    p50, worst = queued_timeit(run_once, 16, 5)
+    p50 = max(p50, 1e-3)
+    log(f"2M int4 fused cascade: p50={p50:.2f}ms worst={worst:.2f}ms "
+        f"batch={batch} ({p50 / batch:.2f} ms/query)")
+    result["p50_ms_2m_int4"] = round(p50, 3)
+    result["vs_baseline_2m"] = round(BASELINE_MS / (p50 / batch), 1)
+
+
 def _seed_eval(td, n_docs, steps, seed, prefilter, postings_cap,
                cache_root):
     """One training seed of the REAL-DATA pass: corpus -> full app
@@ -824,6 +909,7 @@ def main():
     passes = [
         ("HRAG_BENCH_RECALL", 150, run_recall, "recall"),
         ("HRAG_BENCH_1M", 660, run_1m, "1M"),
+        ("HRAG_BENCH_2M", 600, run_2m_int4, "2M-int4"),
         ("HRAG_BENCH_REALDATA", None, run_realdata, "realdata"),
         ("HRAG_BENCH_ORGANIC", 900, run_organic, "organic"),
     ]
