@@ -467,11 +467,13 @@ def run_1m(result, ctx):
 
         @jax.jit
         def gen_packed(key):
-            # pair-row layout: (n_pad * L/2, D) full-width int8
+            # pair-row layout: (n_pad * L/2, D) full-width int8. Plain
+            # randint fuses the threefry into the int8 consumer; a
+            # bits+bitcast+reshape chain materializes ~30 GiB of u32
+            # temps at this scale (measured compile-reported OOM).
             rows = n_pad * doc_len // 2
-            bits = jax.random.bits(key, (rows, dim // 4), jnp.uint32)
-            return jax.lax.bitcast_convert_type(
-                bits, jnp.int8).reshape(rows, dim)
+            return jax.random.randint(key, (rows, dim), -127, 128,
+                                      jnp.int8)
 
         q4 = jax.block_until_ready(gen_packed(jax.random.PRNGKey(1)))
         fused4 = fused_cascade_fn(
@@ -541,9 +543,9 @@ def run_2m_int4(result, ctx):
     def gen(key, lens):
         k1, k2 = jax.random.split(key)
         rows = n_pad * doc_len // 2          # pair-row packed layout
-        bits = jax.random.bits(k1, (rows, dim // 4), jnp.uint32)
-        packed = jax.lax.bitcast_convert_type(
-            bits, jnp.int8).reshape(rows, dim)
+        # plain randint fuses the threefry into the int8 consumer; a
+        # bits+bitcast+reshape chain materializes ~2x-index u32 temps
+        packed = jax.random.randint(k1, (rows, dim), -127, 128, jnp.int8)
         dsc = (0.9 + 0.2 * jax.random.uniform(k2, (n_pad,))) / (
             7.0 * np.sqrt(dim))
         dsc = jnp.where(lens > 0, dsc, 0.0)
