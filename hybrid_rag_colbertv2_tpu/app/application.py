@@ -371,6 +371,42 @@ class RAGApplication:
             "chunks": len(corpus)}))
 
     # ------------------------------------------------------------------
+    def convert_index(self, dtype: str) -> Dict:
+        """Requantize the persisted dense index into another layout
+        WITHOUT re-encoding the corpus (DenseTokenIndex.convert /
+        BucketedDenseIndex.convert) and persist it. New capability vs
+        the reference, whose only migration path is re-encoding
+        everything (local_rag_complete.py:728-746).
+
+        The persisted fusion-gate verdict is dropped: the dense leg's
+        quality changes with the quantization grid, so a verdict
+        measured on the old layout no longer binds — ``final_fusion=
+        "auto"`` re-measures on the next bind. Subsequent incremental
+        uploads follow the converted layout (append keys off the stored
+        index's quant, not the config)."""
+        corpus = self.store.all_chunk_texts()
+        self.encoder = self._make_encoder(corpus)
+        self.indexes = IndexManager(self.config, self.encoder)
+        if not self.indexes.is_built():
+            raise RuntimeError(
+                "nothing to convert: upload documents first (--upload)")
+        self.indexes.load()
+        before = self.indexes.dense.quant
+        self.indexes.dense = self.indexes.dense.convert(dtype)
+        self.indexes.dense.save(self.config.colbert_index_path)
+        self.config.mesh.index_dtype = dtype
+        self._gate_path().unlink(missing_ok=True)
+        if self._gate_resolved:
+            self.config.final_fusion = "auto"
+            self._gate_resolved = False
+            self.fusion_gate = None
+        if self.retriever is not None or self.chatbot is not None:
+            self._bind_retriever(getattr(self, "_use_mesh", None))
+        log.info("Converted dense index: %s -> %s (%d docs)",
+                 before, dtype, self.indexes.dense.n_docs)
+        return {"from": before, "to": dtype,
+                "docs": self.indexes.dense.n_docs}
+
     def initialize_chatbot(self, use_mesh: Optional[bool] = None) -> None:
         """Load persisted indexes + encoder and stand up the retriever.
 

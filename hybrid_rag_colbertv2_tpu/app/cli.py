@@ -60,6 +60,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--train-encoder", type=int, default=None, metavar="N",
                    help="contrastively train the encoder on the corpus for "
                         "N steps during --upload (self-contained mode)")
+    p.add_argument("--convert-index", type=str, default=None,
+                   metavar="DTYPE",
+                   choices=["int8", "int8-doc", "int4-doc", "bfloat16",
+                            "float32"],
+                   help="requantize the persisted dense index into "
+                        "another layout WITHOUT re-encoding the corpus "
+                        "(e.g. int4-doc halves HBM for 2x chunks/chip); "
+                        "drops the measured fusion-gate verdict so "
+                        "'auto' re-measures on the new layout")
     p.add_argument("--no-generate", action="store_true",
                    help="retrieval only, skip LLM generation")
     p.add_argument("--json", action="store_true",
@@ -104,6 +113,15 @@ def _main(argv=None) -> int:
                   f"{result['total_chunks']} chunks total")
             for k, v in result["timings"].items():
                 print(f"   * {k}: {v:.2f}s")
+        return 0
+
+    if args.convert_index:
+        result = app.convert_index(args.convert_index)
+        if args.json:
+            print(json.dumps(result))
+        else:
+            print(f"Converted dense index {result['from']} -> "
+                  f"{result['to']} ({result['docs']} docs)")
         return 0
 
     if args.query:

@@ -167,6 +167,10 @@ class BucketedDenseIndex:
     def is_int8(self) -> bool:
         return self.buckets[0].is_int8
 
+    @property
+    def quant(self) -> str:
+        return self.buckets[0].quant
+
     def memory_bytes(self) -> int:
         return sum(b.memory_bytes() for b in self.buckets)
 
@@ -249,6 +253,16 @@ class BucketedDenseIndex:
         return jax.vmap(one)(queries.astype(jnp.float32), ids)
 
     # ------------------------------------------------------------------
+    def convert(self, dtype: str, *, block: int = 4096
+                ) -> "BucketedDenseIndex":
+        """Requantize every length bucket into another layout without
+        re-encoding (DenseTokenIndex.convert per bucket); the routing
+        arrays (global_ids/bucket_of/row_of) are layout-independent."""
+        return BucketedDenseIndex(
+            buckets=[b.convert(dtype, block=block) for b in self.buckets],
+            global_ids=self.global_ids, bucket_of=self.bucket_of,
+            row_of=self.row_of, n_docs=self.n_docs)
+
     def save(self, path: str | Path) -> None:
         path = Path(path)
         path.mkdir(parents=True, exist_ok=True)

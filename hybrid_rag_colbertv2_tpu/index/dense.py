@@ -20,6 +20,7 @@ Unlike the reference, rerank does NOT re-encode candidate texts
 from __future__ import annotations
 
 import json
+import math
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Optional, Sequence, Tuple
@@ -202,6 +203,78 @@ class DenseTokenIndex:
             emb_flat=flat, doc_lengths=lens, n_docs=n1 + n2,
             doc_len=ld, dim=self.dim, scales=scales, pooled=pooled,
             doc_scales=doc_scales)
+
+    def convert(self, dtype: str, *, block: int = 4096
+                ) -> "DenseTokenIndex":
+        """Requantize into another layout WITHOUT re-encoding the corpus.
+
+        Re-encoding is the expensive path (the flagship 560M encoder
+        indexes ~620 docs/s — half an hour per million chunks); this
+        dequantizes and requantizes block-by-block inside ONE
+        ``lax.map`` step, so the fp32 working set stays ~``block`` docs
+        and a 1M-doc index is converted in seconds without ever
+        materializing in fp32. Lossy layouts compose: int8 -> int4-doc
+        equals quantize_int4(dequantize_int8(x)), NOT
+        quantize_int4(original) — convert from the finest layout you
+        still hold. New capability vs the reference, whose only
+        migration path is re-encoding everything
+        (local_rag_complete.py:728-746)."""
+        if dtype == self.quant:
+            return self
+        n_pad, ld, d = self.n_pad, self.doc_len, self.dim
+        rpd = ld // 2 if self.is_int4 else ld
+        blk = math.gcd(n_pad, max(1, block))
+        nb = n_pad // blk
+        embs = self.emb_flat.reshape(nb, blk * rpd, d)
+        lens_b = self.doc_lengths.reshape(nb, blk)
+        src_scales = (self.scales.reshape(nb, blk * ld)
+                      if self.scales is not None else
+                      jnp.zeros((nb, 1), jnp.float32))
+        src_dsc = (self.doc_scales.reshape(nb, blk)
+                   if self.doc_scales is not None else
+                   jnp.zeros((nb, 1), jnp.float32))
+        tok = jnp.arange(ld, dtype=jnp.int32)
+
+        def one(c):
+            e, sc, dsc, ln = c
+            if self.is_int4:
+                x = (unpack_int4_pairs(e.reshape(blk, rpd, d))
+                     .astype(jnp.float32) * dsc[:, None, None])
+            elif self.scales is not None:
+                x = (e.astype(jnp.float32)
+                     * sc[:, None]).reshape(blk, ld, d)
+            elif self.doc_scales is not None:
+                x = (e.reshape(blk, ld, d).astype(jnp.float32)
+                     * dsc[:, None, None])
+            else:
+                x = e.astype(jnp.float32).reshape(blk, ld, d)
+            # duplicated padding rows (doc-scale layouts) go back to
+            # zeros so the target layout's padding contract holds
+            x = x * (tok[None, :, None] < ln[:, None, None])
+            if dtype == "int8":
+                q, s = quantize_int8_rows(x.reshape(blk * ld, d))
+                return q, s
+            if dtype == "int8-doc":
+                return quantize_int8_docs(x, ln)
+            if dtype == "int4-doc":
+                return quantize_int4_docs(x, ln)
+            return (x.reshape(blk * ld, d).astype(jnp.dtype(dtype)),
+                    jnp.zeros((1,), jnp.float32))
+
+        out, out_s = jax.lax.map(one, (embs, src_scales, src_dsc, lens_b))
+        flat = out.reshape(nb * out.shape[1], d)
+        scales = doc_scales = None
+        if dtype == "int8":
+            scales = out_s.reshape(n_pad * ld)
+        elif dtype in ("int8-doc", "int4-doc"):
+            doc_scales = out_s.reshape(n_pad)
+        pooled = pooled_doc_embeddings(
+            flat, scales, self.doc_lengths, doc_len=ld,
+            doc_scales=doc_scales, packed_int4=(dtype == "int4-doc"))
+        return DenseTokenIndex(
+            emb_flat=flat, doc_lengths=self.doc_lengths,
+            n_docs=self.n_docs, doc_len=ld, dim=d, scales=scales,
+            pooled=pooled, doc_scales=doc_scales)
 
     def ensure_pooled(self) -> jax.Array:
         """Compute (and cache) the prefilter vectors if absent (e.g. an

@@ -437,3 +437,47 @@ def test_fresh_app_auto_train_hybrid_not_below_bm25(tmp_path):
         for q, s in zip(queries, sources)])
     # one-query slack: the gate guarantees >= max(leg) up to noise
     assert hyb >= bm - 1.0 / len(queries) - 1e-9, (hyb, bm)
+
+
+def test_convert_index_dtype_without_reencoding(tmp_path):
+    """--convert-index: requantize the persisted dense index (int8 ->
+    int4-doc) without re-encoding; queries still rank the right corpus,
+    the persisted meta records the new layout, and the measured gate
+    verdict is dropped so 'auto' re-measures on the new grid."""
+    d1 = tmp_path / "tpu.md"
+    d1.write_text(DOC1)
+    cfg = RAGConfig(
+        db_path=str(tmp_path / "rag.db"),
+        bm25_index_path=str(tmp_path / "idx/bm25"),
+        colbert_index_path=str(tmp_path / "idx/colbert"),
+        images_dir=str(tmp_path / "imgs"),
+        tokenizer_path=str(tmp_path / "idx/tokenizer.json"),
+        min_chunk_size=16, max_chunk_size=128,
+        encoder_preset="tiny", tokenizer_vocab_size=512,
+    )
+    a = RAGApplication(cfg, use_ollama=False)
+    a.index_documents([str(d1)])
+    a.initialize_chatbot()
+    before = a.query("systolic array matrix multiplication", top_k=3)
+    gate_file = Path(cfg.colbert_index_path) / "fusion_gate.json"
+    gate_file.write_text("{}")          # simulate a persisted verdict
+
+    r = a.convert_index("int4-doc")
+    assert r["from"] == "int8" and r["to"] == "int4-doc"
+    # the stale verdict was dropped; the rebind re-measured on the NEW
+    # layout and persisted a fresh one (or none, if nothing to rebind)
+    assert not gate_file.exists() or gate_file.read_text() != "{}"
+    meta = json.loads(
+        (Path(cfg.colbert_index_path) / "meta.json").read_text())
+    assert meta["dtype"] == "int4-doc"
+
+    # the live retriever was rebound to the converted index
+    after = a.query("systolic array matrix multiplication", top_k=3)
+    assert after[0]["chunk_id"] == before[0]["chunk_id"]
+
+    # a FRESH process loads the converted layout
+    b = RAGApplication(cfg, use_ollama=False)
+    b.initialize_chatbot()
+    assert b.indexes.dense.quant == "int4-doc"
+    again = b.query("systolic array matrix multiplication", top_k=3)
+    assert again[0]["chunk_id"] == before[0]["chunk_id"]

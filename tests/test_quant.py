@@ -37,3 +37,81 @@ def test_values_in_int8_range_and_absmax_hits_127():
     rows = np.arange(32)
     cols = np.abs(x).argmax(axis=1)
     assert (np.abs(q[rows, cols]) == 127).all()
+
+
+# ---------------------------------------------------------------------------
+# DenseTokenIndex.convert — layout migration without re-encoding
+# ---------------------------------------------------------------------------
+
+def _mk_idx(rng, dtype, n=64, l=16, d=128):
+    import jax.numpy as jnp
+
+    from hybrid_rag_colbertv2_tpu.index.dense import DenseTokenIndex
+
+    docs = rng.standard_normal((n, l, d)).astype(np.float32)
+    docs /= np.linalg.norm(docs, axis=-1, keepdims=True)
+    lengths = rng.integers(1, l + 1, size=(n,)).astype(np.int32)
+    tok = np.arange(l)
+    docs = docs * (tok[None, :, None] < lengths[:, None, None])
+    idx = DenseTokenIndex.build(jnp.asarray(docs), jnp.asarray(lengths),
+                                doc_len=l, dtype=dtype)
+    return idx, docs, lengths
+
+
+def test_convert_int8_to_int4_composes(rng):
+    """convert(int8 -> int4-doc) == quantize_int4(dequantize_int8(x))."""
+    import jax.numpy as jnp
+
+    from hybrid_rag_colbertv2_tpu.ops.quant import quantize_int4_docs
+
+    idx, docs, lengths = _mk_idx(rng, "int8")
+    out = idx.convert("int4-doc")
+    assert out.quant == "int4-doc" and out.n_docs == idx.n_docs
+    deq = (np.asarray(idx.emb_flat).astype(np.float32)
+           * np.asarray(idx.scales)[:, None]).reshape(idx.n_pad, 16, 128)
+    want_p, want_s = quantize_int4_docs(jnp.asarray(deq),
+                                        idx.doc_lengths)
+    np.testing.assert_array_equal(np.asarray(out.emb_flat),
+                                  np.asarray(want_p))
+    np.testing.assert_allclose(np.asarray(out.doc_scales),
+                               np.asarray(want_s), rtol=1e-6)
+
+
+def test_convert_search_stays_close(rng):
+    """Search through a converted index ranks like the source index."""
+    import jax.numpy as jnp
+
+    idx, docs, lengths = _mk_idx(rng, "int8")
+    q = rng.standard_normal((2, 8, 128)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    s_src = np.asarray(idx.search_scores(jnp.asarray(q)))
+    for target in ("int8-doc", "int4-doc", "bfloat16"):
+        out = idx.convert(target)
+        s = np.asarray(out.search_scores(jnp.asarray(q)))
+        top_a = set(np.argsort(-s_src[0])[:5].tolist())
+        top_b = set(np.argsort(-s[0])[:5].tolist())
+        assert len(top_a & top_b) >= 4, (target, top_a, top_b)
+
+
+def test_convert_same_dtype_is_identity(rng):
+    idx, *_ = _mk_idx(rng, "int8-doc")
+    assert idx.convert("int8-doc") is idx
+
+
+def test_convert_from_int4_roundtrip(rng):
+    """int4 -> float carries exactly the dequantized int4 values on
+    valid token rows, and restores ZEROS on padding rows (the float
+    layout's contract; the int4-doc source stores duplicated rows
+    there)."""
+    from hybrid_rag_colbertv2_tpu.ops.quant import dequantize_int4_docs
+
+    idx, docs, lengths = _mk_idx(rng, "int4-doc")
+    out = idx.convert("float32")
+    got = np.asarray(out.emb_flat).reshape(idx.n_pad, 16, 128)
+    deq = np.asarray(dequantize_int4_docs(
+        idx.emb_flat, idx.doc_scales)).reshape(idx.n_pad, 16, 128)
+    valid = (np.arange(16)[None, :]
+             < np.asarray(idx.doc_lengths)[:, None])
+    np.testing.assert_allclose(got[valid], deq[valid],
+                               rtol=1e-6, atol=1e-7)
+    assert (got[~valid] == 0).all()
