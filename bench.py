@@ -315,23 +315,27 @@ def run_recall(result, ctx):
         _, e_top = jax.lax.top_k(exact[:, :nr], 10)
         hits = (cascade_ids[:, :, None] == e_top[:, None, :]).any(-1)
         hits = hits & (cascade_ids >= 0)
-        return jnp.mean(jnp.sum(hits, axis=1) / 10.0)
+        # the exact top-10 comes back too so the int4 variant below can
+        # reuse the truth instead of recompiling + rerunning the O(N*L)
+        # exact scan (the recall watchdog budget covers ONE such scan)
+        return jnp.mean(jnp.sum(hits, axis=1) / 10.0), e_top
 
-    r = float(recall_on_device(qe_r, qt_r, *lex_r_dev, q8r, scr,
-                               lens_r_dev, pooled_r))
+    r, e_top10 = recall_on_device(qe_r, qt_r, *lex_r_dev, q8r, scr,
+                                  lens_r_dev, pooled_r)
+    r = float(r)
     log(f"recall@10 vs exact fp32 MaxSim (pruned int8 cascade, {nr} "
         f"docs): {r:.3f}")
     result["recall10_vs_exact"] = round(r, 3)
 
-    # int4-doc variant (round 4): same fp32 truth, nibble-packed 4-bit
-    # index (half the HBM / gather bytes — ops/quant.quantize_int4_docs).
-    # Measures what the coarser per-doc 4-bit grid costs in cascade
-    # recall on the same topic-structured corpus.
+    # int4-doc variant (round 4): SAME fp32 truth (reused from above),
+    # nibble-packed 4-bit index (half the HBM / gather bytes —
+    # ops/quant.quantize_int4_docs). Measures what the coarser per-doc
+    # 4-bit grid costs in cascade recall on the same corpus.
     from hybrid_rag_colbertv2_tpu.ops.quant import quantize_int4_docs
 
     @jax.jit
     def recall_int4_on_device(q, q_terms_r, lex_ip, lex_pd, lex_pw,
-                              emb_flat, scales_r, lens, pooled_arg):
+                              emb_flat, scales_r, lens, e_top):
         embs3 = (emb_flat.astype(jnp.float32)
                  * scales_r[:, None]).reshape(nr, doc_len, dim)
         packed, dsc = quantize_int4_docs(embs3, lens)
@@ -345,23 +349,13 @@ def run_recall(result, ctx):
             n_docs=nr, max_postings=lex_r.max_postings,
             doc_len=doc_len, is_int8=False,
             k_each=100, k_fuse=50, k_final=10)
-        e4 = emb_flat.reshape(n_chunks_r, chunk, doc_len, dim)
-        s4 = scales_r.reshape(n_chunks_r, chunk, doc_len)
-        l2 = lens.reshape(n_chunks_r, chunk)
-
-        def f(c):
-            docs = c[0].astype(jnp.float32) * c[1][..., None]
-            return maxsim_scores_exact(q, docs, c[2])
-        parts = jax.lax.map(f, (e4, s4, l2))
-        exact = parts.transpose(1, 0, 2).reshape(q.shape[0], -1)
-        _, e_top = jax.lax.top_k(exact[:, :nr], 10)
         hits = (cascade_ids[:, :, None] == e_top[:, None, :]).any(-1)
         hits = hits & (cascade_ids >= 0)
         return jnp.mean(jnp.sum(hits, axis=1) / 10.0)
 
     try:
         r4 = float(recall_int4_on_device(qe_r, qt_r, *lex_r_dev, q8r, scr,
-                                         lens_r_dev, pooled_r))
+                                         lens_r_dev, e_top10))
         log(f"recall@10 vs exact fp32 MaxSim (pruned int4-doc cascade, "
             f"{nr} docs): {r4:.3f}")
         result["recall10_vs_exact_int4"] = round(r4, 3)
@@ -369,37 +363,117 @@ def run_recall(result, ctx):
         log(f"int4 recall skipped: {type(e).__name__}: {e}")
 
 
-def run_1m(result, ctx):
-    """Fused-cascade p50 over 1M chunks x 64 tokens on ONE chip — the
-    BASELINE.json config-5 / north-star scale, previously only in
-    docs/performance.md (VERDICT r2 next #4). Same uniform-int8 index
-    recipe as tools/stage_probe.py (latency doesn't depend on values)."""
-    import jax
+def _scale_fixture(ctx, n_docs, doc_len, tag):
+    """Shared harness for the large-scale fused-cascade passes: tiled
+    corpus -> lexical index -> device CSR + lengths + query batch.
+    Latency at these scales doesn't depend on values, so the corpus is
+    the headline base tiled up (same recipe as tools/stage_probe.py)."""
     import jax.numpy as jnp
 
     from hybrid_rag_colbertv2_tpu.index.lexical import LexicalIndex
-    from hybrid_rag_colbertv2_tpu.ops.prefilter import pooled_doc_embeddings
-    from hybrid_rag_colbertv2_tpu.retrieval.cascade import (
-        fused_cascade_fn, pack_query_batch)
-    from hybrid_rag_colbertv2_tpu.utils.timing import queued_timeit
 
-    on_tpu, dim, batch = ctx["on_tpu"], ctx["dim"], ctx["batch"]
-    n_docs = 1_000_000 if on_tpu else 10_000
-    doc_len, prefilter = 64, 2048
-    rng, vocab = ctx["rng"], ctx["vocab"]
-    encoder = ctx["encoder"]
-
+    rng, vocab, batch = ctx["rng"], ctx["vocab"], ctx["batch"]
     t0 = time.perf_counter()
     base = ctx["corpus"][:20_000]
     full_corpus = (base * (n_docs // len(base) + 1))[:n_docs]
     lex = LexicalIndex.build(full_corpus,
                              postings_cap=ctx["postings_cap"])
-    log(f"1M bm25 build: {time.perf_counter() - t0:.1f}s "
+    log(f"{tag} bm25 build: {time.perf_counter() - t0:.1f}s "
         f"max_post={lex.max_postings}")
-
     n_pad = ((n_docs + 127) // 128) * 128
     lengths = np.zeros((n_pad,), np.int32)
     lengths[:n_docs] = rng.integers(doc_len // 2, doc_len + 1, n_docs)
+    return dict(
+        tag=tag, n_docs=n_docs, doc_len=doc_len, n_pad=n_pad, lex=lex,
+        lex_dev=(jnp.asarray(lex.indptr), jnp.asarray(lex.post_docs),
+                 jnp.asarray(lex.post_weights)),
+        lens_dev=jnp.asarray(lengths),
+        queries=[" ".join(rng.choice(vocab, size=6))
+                 for _ in range(batch)],
+    )
+
+
+def _measure_fused(result, ctx, fix, emb, scales, dsc, pooled, *,
+                   prefilter, is_int8, result_key, label):
+    """Compile + measure ONE fused encoder+cascade executable over the
+    fixture's corpus and record p50 under ``result_key``."""
+    import jax
+
+    from hybrid_rag_colbertv2_tpu.config import RAGConfig
+    from hybrid_rag_colbertv2_tpu.retrieval.cascade import (
+        fused_cascade_fn, pack_query_batch)
+    from hybrid_rag_colbertv2_tpu.utils.timing import queued_timeit
+
+    encoder, batch = ctx["encoder"], ctx["batch"]
+    lex = fix["lex"]
+    fused = fused_cascade_fn(encoder.model, encoder.cfg.query_max_tokens,
+                             dict(prefilter=prefilter,
+                                  n_docs=fix["n_docs"],
+                                  max_postings=lex.max_postings,
+                                  doc_len=fix["doc_len"],
+                                  is_int8=is_int8,
+                                  k_each=100, k_fuse=50, k_final=10))
+
+    def run_once():
+        # production-default term width/buckets, read from RAGConfig
+        packed = pack_query_batch(encoder, lex, fix["queries"],
+                                  RAGConfig.query_max_terms,
+                                  RAGConfig.query_term_buckets)
+        return fused(encoder.params, packed, *fix["lex_dev"],
+                     emb, scales, fix["lens_dev"], pooled, dsc)[1]
+
+    t0 = time.perf_counter()
+    jax.block_until_ready(run_once())
+    log(f"{label} compile+first run: {time.perf_counter() - t0:.1f}s")
+    iters = 16 if ctx["on_tpu"] else 2
+    reps = 5 if ctx["on_tpu"] else 2
+    p50, worst = queued_timeit(run_once, iters, reps)
+    p50 = max(p50, 1e-3)
+    log(f"{label} fused cascade: p50={p50:.2f}ms worst={worst:.2f}ms "
+        f"batch={batch} ({p50 / batch:.2f} ms/query)")
+    result[result_key] = round(p50, 3)
+    return p50
+
+
+def _gen_packed_int4(fix, dim):
+    """Fresh nibble-packed pair-row index (n_pad * L/2, D) + per-doc
+    scales. Plain randint fuses the threefry into the int8 consumer; a
+    bits+bitcast+reshape chain materializes ~4x the output in u32 temps
+    (measured compile-reported OOM at 1M x 64)."""
+    import jax
+    import jax.numpy as jnp
+
+    n_pad, doc_len = fix["n_pad"], fix["doc_len"]
+
+    @jax.jit
+    def gen(key, lens):
+        k1, k2 = jax.random.split(key)
+        rows = n_pad * doc_len // 2
+        packed = jax.random.randint(k1, (rows, dim), -127, 128, jnp.int8)
+        dsc = (0.9 + 0.2 * jax.random.uniform(k2, (n_pad,))) / (
+            7.0 * np.sqrt(dim))
+        return packed, jnp.where(lens > 0, dsc, 0.0)
+
+    return gen(jax.random.PRNGKey(1), fix["lens_dev"])
+
+
+def run_1m(result, ctx):
+    """Fused-cascade p50 over 1M chunks x 64 tokens on ONE chip — the
+    BASELINE.json config-5 / north-star scale, previously only in
+    docs/performance.md (VERDICT r2 next #4) — then the same scale on
+    the half-HBM nibble-packed int4-doc layout. Uniform-random index
+    (latency doesn't depend on values); int4 recall rides separately in
+    recall10_vs_exact_int4."""
+    import jax
+    import jax.numpy as jnp
+
+    from hybrid_rag_colbertv2_tpu.ops.prefilter import pooled_doc_embeddings
+
+    on_tpu, dim, batch = ctx["on_tpu"], ctx["dim"], ctx["batch"]
+    n_docs = 1_000_000 if on_tpu else 10_000
+    doc_len, prefilter = 64, 2048
+    fix = _scale_fixture(ctx, n_docs, doc_len, "1M")
+    n_pad = fix["n_pad"]
 
     @jax.jit
     def gen_index(key, lens):
@@ -413,91 +487,31 @@ def run_1m(result, ctx):
         return q8, jnp.where(valid, sc, 0.0)
 
     t0 = time.perf_counter()
-    lens_dev = jnp.asarray(lengths)
-    q8, scales = gen_index(jax.random.PRNGKey(0), lens_dev)
-    pooled = pooled_doc_embeddings(q8, scales, lens_dev, doc_len=doc_len)
+    q8, scales = gen_index(jax.random.PRNGKey(0), fix["lens_dev"])
+    pooled = pooled_doc_embeddings(q8, scales, fix["lens_dev"],
+                                   doc_len=doc_len)
     jax.block_until_ready(pooled)
     log(f"1M index gen+pool: {time.perf_counter() - t0:.1f}s "
         f"({q8.size / 2**30:.2f} GiB int8)")
 
-    lex_dev = (jnp.asarray(lex.indptr), jnp.asarray(lex.post_docs),
-               jnp.asarray(lex.post_weights))
-    queries = [" ".join(rng.choice(vocab, size=6)) for _ in range(batch)]
-    fused = fused_cascade_fn(encoder.model, encoder.cfg.query_max_tokens,
-                             dict(prefilter=prefilter, n_docs=n_docs,
-                                  max_postings=lex.max_postings,
-                                  doc_len=doc_len, is_int8=True,
-                                  k_each=100, k_fuse=50, k_final=10))
-
-    from hybrid_rag_colbertv2_tpu.config import RAGConfig
-
-    def run_once():
-        # production-default term width/buckets, read from RAGConfig
-        packed = pack_query_batch(encoder, lex, queries,
-                                  RAGConfig.query_max_terms,
-                                  RAGConfig.query_term_buckets)
-        return fused(encoder.params, packed, *lex_dev,
-                     q8, scales, lens_dev, pooled, None)[1]
-
-    t0 = time.perf_counter()
-    jax.block_until_ready(run_once())
-    log(f"1M compile+first run: {time.perf_counter() - t0:.1f}s")
-    iters = 16 if on_tpu else 2
-    reps = 5 if on_tpu else 2
-    p50, worst = queued_timeit(run_once, iters, reps)
-    p50 = max(p50, 1e-3)
-    log(f"1M fused cascade: p50={p50:.2f}ms worst={worst:.2f}ms "
-        f"batch={batch} ({p50 / batch:.2f} ms/query)")
-    result["p50_ms_1m"] = round(p50, 3)
+    p50 = _measure_fused(result, ctx, fix, q8, scales, None, pooled,
+                         prefilter=prefilter, is_int8=True,
+                         result_key="p50_ms_1m", label="1M")
     result["vs_baseline_1m"] = round(BASELINE_MS / (p50 / batch), 1)
 
     # nibble-packed int4-doc at the same 1M scale (round 4): HALF the
-    # index HBM (3.8 vs 7.6 GiB) and half the stage-B gather bytes. For
-    # latency only the byte layout matters, so free the int8 index FIRST
-    # (12 GiB of simultaneous indexes OOMs a 16 GiB chip — measured) and
-    # generate the packed array by bitcasting fresh random bits (a plain
-    # randint would materialize a 16 GiB uint32 bits array). `pooled` is
-    # layout-independent (N, D) bf16 and is reused as-is; recall of this
-    # layout is measured separately (recall10_vs_exact_int4).
+    # index HBM (3.8 vs 7.6 GiB) and half the stage-B gather bytes. Free
+    # the int8 index FIRST (12 GiB of simultaneous indexes OOMs a 16 GiB
+    # chip — measured); `pooled` is layout-independent (N, D) bf16 and
+    # is reused as-is.
     try:
-        dsc = jax.block_until_ready(
-            jnp.max(scales.reshape(n_pad, doc_len), axis=1))
         q8.delete()
         scales.delete()
-
-        @jax.jit
-        def gen_packed(key):
-            # pair-row layout: (n_pad * L/2, D) full-width int8. Plain
-            # randint fuses the threefry into the int8 consumer; a
-            # bits+bitcast+reshape chain materializes ~30 GiB of u32
-            # temps at this scale (measured compile-reported OOM).
-            rows = n_pad * doc_len // 2
-            return jax.random.randint(key, (rows, dim), -127, 128,
-                                      jnp.int8)
-
-        q4 = jax.block_until_ready(gen_packed(jax.random.PRNGKey(1)))
-        fused4 = fused_cascade_fn(
-            encoder.model, encoder.cfg.query_max_tokens,
-            dict(prefilter=prefilter, n_docs=n_docs,
-                 max_postings=lex.max_postings, doc_len=doc_len,
-                 is_int8=False, k_each=100, k_fuse=50, k_final=10))
-
-        def run_once4():
-            packed = pack_query_batch(encoder, lex, queries,
-                                      RAGConfig.query_max_terms,
-                                      RAGConfig.query_term_buckets)
-            return fused4(encoder.params, packed, *lex_dev,
-                          q4, None, lens_dev, pooled, dsc)[1]
-
-        t0 = time.perf_counter()
-        jax.block_until_ready(run_once4())
-        log(f"1M int4 compile+first run: {time.perf_counter() - t0:.1f}s")
-        p50_4, worst4 = queued_timeit(run_once4, iters, reps)
-        p50_4 = max(p50_4, 1e-3)
-        log(f"1M int4 fused cascade: p50={p50_4:.2f}ms "
-            f"worst={worst4:.2f}ms batch={batch} "
-            f"({p50_4 / batch:.2f} ms/query)")
-        result["p50_ms_1m_int4"] = round(p50_4, 3)
+        q4, dsc = _gen_packed_int4(fix, dim)
+        jax.block_until_ready(q4)
+        _measure_fused(result, ctx, fix, q4, None, dsc, pooled,
+                       prefilter=prefilter, is_int8=False,
+                       result_key="p50_ms_1m_int4", label="1M int4")
     except Exception as e:      # the int4 field must not sink the pass
         log(f"1M int4 leg skipped: {type(e).__name__}: {e}")
 
@@ -506,84 +520,28 @@ def run_2m_int4(result, ctx):
     """Fused-cascade p50 over TWO MILLION chunks x 64 tokens on ONE chip
     — the capacity headline the nibble-packed int4-doc layout exists
     for: 7.6 GiB packed (the int8 index of the same corpus would be
-    15.3 GiB and OOM a 16 GiB device alongside its transients). Same
-    uniform-random index recipe as run_1m (latency is value-independent);
-    quantization recall rides in recall10_vs_exact_int4."""
+    15.3 GiB and OOM a 16 GiB device alongside its transients)."""
     import jax
-    import jax.numpy as jnp
 
-    from hybrid_rag_colbertv2_tpu.config import RAGConfig
-    from hybrid_rag_colbertv2_tpu.index.lexical import LexicalIndex
     from hybrid_rag_colbertv2_tpu.ops.prefilter import pooled_doc_embeddings
-    from hybrid_rag_colbertv2_tpu.retrieval.cascade import (
-        fused_cascade_fn, pack_query_batch)
-    from hybrid_rag_colbertv2_tpu.utils.timing import queued_timeit
 
-    on_tpu, dim, batch = ctx["on_tpu"], ctx["dim"], ctx["batch"]
-    if not on_tpu:
+    if not ctx["on_tpu"]:
         log("2M pass: CPU backend — skipping (TPU-scale capacity demo)")
         return
-    n_docs = 2_000_000
-    doc_len, prefilter = 64, 2048
-    rng, vocab = ctx["rng"], ctx["vocab"]
-    encoder = ctx["encoder"]
+    dim, batch = ctx["dim"], ctx["batch"]
+    fix = _scale_fixture(ctx, 2_000_000, 64, "2M")
 
     t0 = time.perf_counter()
-    base = ctx["corpus"][:20_000]
-    full_corpus = (base * (n_docs // len(base) + 1))[:n_docs]
-    lex = LexicalIndex.build(full_corpus, postings_cap=ctx["postings_cap"])
-    log(f"2M bm25 build: {time.perf_counter() - t0:.1f}s "
-        f"max_post={lex.max_postings}")
-
-    n_pad = ((n_docs + 127) // 128) * 128
-    lengths = np.zeros((n_pad,), np.int32)
-    lengths[:n_docs] = rng.integers(doc_len // 2, doc_len + 1, n_docs)
-
-    @jax.jit
-    def gen(key, lens):
-        k1, k2 = jax.random.split(key)
-        rows = n_pad * doc_len // 2          # pair-row packed layout
-        # plain randint fuses the threefry into the int8 consumer; a
-        # bits+bitcast+reshape chain materializes ~2x-index u32 temps
-        packed = jax.random.randint(k1, (rows, dim), -127, 128, jnp.int8)
-        dsc = (0.9 + 0.2 * jax.random.uniform(k2, (n_pad,))) / (
-            7.0 * np.sqrt(dim))
-        dsc = jnp.where(lens > 0, dsc, 0.0)
-        return packed, dsc
-
-    t0 = time.perf_counter()
-    lens_dev = jnp.asarray(lengths)
-    q4, dsc = gen(jax.random.PRNGKey(2), lens_dev)
-    pooled = pooled_doc_embeddings(q4, None, lens_dev, doc_len=doc_len,
+    q4, dsc = _gen_packed_int4(fix, dim)
+    pooled = pooled_doc_embeddings(q4, None, fix["lens_dev"], doc_len=64,
                                    doc_scales=dsc, packed_int4=True)
     jax.block_until_ready(pooled)
     log(f"2M index gen+pool: {time.perf_counter() - t0:.1f}s "
         f"({q4.size / 2**30:.2f} GiB int4 packed)")
 
-    lex_dev = (jnp.asarray(lex.indptr), jnp.asarray(lex.post_docs),
-               jnp.asarray(lex.post_weights))
-    queries = [" ".join(rng.choice(vocab, size=6)) for _ in range(batch)]
-    fused = fused_cascade_fn(encoder.model, encoder.cfg.query_max_tokens,
-                             dict(prefilter=prefilter, n_docs=n_docs,
-                                  max_postings=lex.max_postings,
-                                  doc_len=doc_len, is_int8=False,
-                                  k_each=100, k_fuse=50, k_final=10))
-
-    def run_once():
-        packed = pack_query_batch(encoder, lex, queries,
-                                  RAGConfig.query_max_terms,
-                                  RAGConfig.query_term_buckets)
-        return fused(encoder.params, packed, *lex_dev,
-                     q4, None, lens_dev, pooled, dsc)[1]
-
-    t0 = time.perf_counter()
-    jax.block_until_ready(run_once())
-    log(f"2M compile+first run: {time.perf_counter() - t0:.1f}s")
-    p50, worst = queued_timeit(run_once, 16, 5)
-    p50 = max(p50, 1e-3)
-    log(f"2M int4 fused cascade: p50={p50:.2f}ms worst={worst:.2f}ms "
-        f"batch={batch} ({p50 / batch:.2f} ms/query)")
-    result["p50_ms_2m_int4"] = round(p50, 3)
+    p50 = _measure_fused(result, ctx, fix, q4, None, dsc, pooled,
+                         prefilter=2048, is_int8=False,
+                         result_key="p50_ms_2m_int4", label="2M int4")
     result["vs_baseline_2m"] = round(BASELINE_MS / (p50 / batch), 1)
 
 
@@ -920,7 +878,7 @@ def main():
             if os.environ.get(env, "1") == "0":
                 log(f"{name} pass disabled via {env}=0")
                 continue
-            if name in ("1M", "realdata") and "big" in ctx:
+            if name in ("1M", "2M-int4", "realdata") and "big" in ctx:
                 # release the 100k headline index before big allocations
                 ctx.pop("big", None)
                 import gc

@@ -81,8 +81,18 @@ class MeshConfig:
         """
         if self.index_dtype != "auto":
             return self.index_dtype
+        import jax
+
         from .utils.profiling import index_capacity_estimate
 
+        if n_devices is None:
+            # the DOC-axis extent of the mesh the app will serve on —
+            # not the raw device count: with a (dp, tp) mesh_shape only
+            # `dp` shards hold index slices, and the app falls back to
+            # ONE device when the corpus doesn't divide the mesh, so a
+            # single-shard estimate is the honest floor for small meshes
+            dp = self.resolved_mesh_shape(len(jax.devices()))[0]
+            n_devices = max(1, dp)
         est = index_capacity_estimate(max(n_docs, 1), doc_len, dim=dim,
                                       dtype_bytes=1, n_devices=n_devices)
         return "int8" if est["fits"] in (True, None) else "int4-doc"

@@ -405,6 +405,12 @@ class DenseTokenIndex:
             import ml_dtypes
 
             emb_np = emb_np.view(ml_dtypes.bfloat16)
+        if emb_np.shape[-1] != meta["dim"] and meta.get(
+                "dtype") == "int4-doc":
+            raise ValueError(
+                "index uses the retired feature-halves int4 layout "
+                f"(width {emb_np.shape[-1]} < dim {meta['dim']}) — "
+                f"rebuild it from the chunk store ({path})")
         emb = jnp.asarray(emb_np)
         scales = jnp.asarray(arrs["scales"]) if "scales" in arrs else None
         doc_scales = (jnp.asarray(arrs["doc_scales"])

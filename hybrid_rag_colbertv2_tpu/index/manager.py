@@ -78,7 +78,7 @@ class IndexManager:
             # "auto" resolves by projected HBM residency (the single-
             # bucket estimate is conservative for the bucketed layout)
             dtype = self.config.mesh.resolve_index_dtype(
-                len(corpus), bucket)
+                len(corpus), bucket, dim=int(embs.shape[-1]))
             if dtype != self.config.mesh.index_dtype:
                 log.info("index_dtype=auto -> %s (%d docs x %d tokens)",
                          dtype, len(corpus), bucket)

@@ -305,14 +305,14 @@ def main(argv=None) -> int:
                 lambda: maxsim_scores_int4_doc(
                     q_emb, q4, dscales4, lens_dev, doc_len=doc_len),
                 args.iters))
-    # pruned two-stage top-k on the primary layout (the served path)
+    # pruned two-stage top-k — the served path, per requested layout
     if want_int8:
         emit(f"dense_pruned_C{args.prefilter}", *_timeit(
             lambda: maxsim_topk_pruned(
                 q_emb, q8, scales, lens_dev, pooled, doc_len=doc_len,
                 n_docs=n_docs, n_candidates=args.prefilter, k=100)[0],
             args.iters))
-    else:
+    if want_int4:
         emit(f"dense_pruned_int4_C{args.prefilter}", *_timeit(
             lambda: maxsim_topk_pruned(
                 q_emb, q4, None, lens_dev, pooled, doc_scales=dscales4,
@@ -354,7 +354,7 @@ def main(argv=None) -> int:
             lambda: exact_maxsim_on_candidates(
                 q_emb, q8, scales, lens_dev, cand[:, :64], doc_len=doc_len),
             args.iters))
-    else:
+    if want_int4:
         emit("rerank_exact_int4_64cand", *_timeit(
             lambda: exact_maxsim_on_candidates(
                 q_emb, q4, None, lens_dev, cand[:, :64],
@@ -374,30 +374,32 @@ def main(argv=None) -> int:
     emit("rrf_fuse", *_timeit(
         lambda: rrf_from_topk(ids_a, ids_b, k=50)[0], args.iters))
 
-    # --- end-to-end cascade (on the primary layout) -------------------------
-    def run_cascade(prefilter):
-        if want_int8:
-            ids, _, _ = hybrid_cascade(
-                q_emb, q_terms, *lexd, q8, scales, lens_dev,
-                pooled if prefilter else None, prefilter=prefilter,
-                n_docs=n_docs, max_postings=lex.max_postings,
-                doc_len=doc_len, is_int8=True,
-                k_each=100, k_fuse=50, k_final=10)
-        else:
+    # --- end-to-end cascade, per requested layout ---------------------------
+    def run_cascade(prefilter, int4):
+        if int4:
             ids, _, _ = hybrid_cascade(
                 q_emb, q_terms, *lexd, q4, None, lens_dev,
                 pooled if prefilter else None, dscales4,
                 prefilter=prefilter, n_docs=n_docs,
                 max_postings=lex.max_postings, doc_len=doc_len,
                 is_int8=False, k_each=100, k_fuse=50, k_final=10)
+        else:
+            ids, _, _ = hybrid_cascade(
+                q_emb, q_terms, *lexd, q8, scales, lens_dev,
+                pooled if prefilter else None, prefilter=prefilter,
+                n_docs=n_docs, max_postings=lex.max_postings,
+                doc_len=doc_len, is_int8=True,
+                k_each=100, k_fuse=50, k_final=10)
         return ids
 
-    tag = "" if want_int8 else "_int4"
-    if not args.skip_brute:
-        emit(f"cascade_brute{tag}", *_timeit(
-            lambda: run_cascade(0), args.iters))
-    emit(f"cascade_pruned{tag}_C{args.prefilter}", *_timeit(
-        lambda: run_cascade(args.prefilter), args.iters))
+    for int4, tag in ((False, ""), (True, "_int4")):
+        if (int4 and not want_int4) or (not int4 and not want_int8):
+            continue
+        if not args.skip_brute:
+            emit(f"cascade_brute{tag}", *_timeit(
+                lambda: run_cascade(0, int4), args.iters))
+        emit(f"cascade_pruned{tag}_C{args.prefilter}", *_timeit(
+            lambda: run_cascade(args.prefilter, int4), args.iters))
 
     if args.profile:
         from hybrid_rag_colbertv2_tpu.utils import profiling

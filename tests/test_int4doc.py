@@ -25,7 +25,11 @@ from hybrid_rag_colbertv2_tpu.ops.quant import (dequantize_int4_docs,
                                                 unpack_int4)
 
 
-def _mk(rng, n=96, l=32, d=128):
+def _mk(_unused_rng, n=96, l=32, d=128):
+    # own generator: the session-scoped `rng` fixture makes draws
+    # order-dependent across the suite, and the top-k overlap bounds in
+    # these tests are only guaranteed for a fixed draw
+    rng = np.random.default_rng(11)
     docs = rng.standard_normal((n, l, d)).astype(np.float32)
     docs /= np.linalg.norm(docs, axis=-1, keepdims=True)
     lengths = rng.integers(1, l + 1, size=(n,)).astype(np.int32)
@@ -306,3 +310,24 @@ def test_manager_builds_with_auto_dtype(rng, tmp_path):
     assert mgr.dense.quant == "int8"
     meta = json.loads((tmp_path / "colbert" / "meta.json").read_text())
     assert meta["dtype"] == "int8"
+
+
+def test_load_rejects_retired_feature_halves_layout(rng, tmp_path):
+    """Indexes persisted by the retired feature-halves int4 layout
+    (width D/2) must fail loud with a rebuild message, not be
+    misclassified as int8-doc and crash inside a kernel."""
+    import json
+
+    import pytest
+
+    q, docs, lengths = _mk(rng, n=16, l=8)
+    idx = DenseTokenIndex.build(docs, lengths, doc_len=8,
+                                dtype="int4-doc")
+    idx.save(tmp_path / "idx")
+    # rewrite the arrays into the old (N*L, D/2) shape
+    arrs = dict(np.load(tmp_path / "idx" / "dense.npz"))
+    e = arrs["emb_flat"]
+    arrs["emb_flat"] = np.zeros((idx.n_pad * 8, 64), np.int8)
+    np.savez(tmp_path / "idx" / "dense.npz", **arrs)
+    with pytest.raises(ValueError, match="feature-halves"):
+        DenseTokenIndex.load(tmp_path / "idx")
