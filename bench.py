@@ -795,7 +795,7 @@ def run_organic(result, ctx):
             db_path=f"{td}/rag.db", bm25_index_path=f"{td}/idx/bm25",
             colbert_index_path=f"{td}/idx/colbert",
             tokenizer_path=f"{td}/idx/tok.json", images_dir=f"{td}/img",
-            min_chunk_size=48, max_chunk_size=96, doc_max_tokens=128,
+            min_chunk_size=48, max_chunk_size=96, doc_max_tokens=192,
         )
         t0 = time.perf_counter()
         app = RAGApplication(cfg, use_ollama=False)

@@ -120,3 +120,30 @@ def test_convert_from_int4_roundtrip(rng):
     np.testing.assert_allclose(got[valid], deq[valid],
                                rtol=1e-6, atol=1e-7)
     assert (got[~valid] == 0).all()
+
+
+def test_convert_bucketed_layout(rng):
+    """BucketedDenseIndex.convert requantizes every bucket; routing
+    arrays are untouched and search still ranks the planted doc."""
+    import jax.numpy as jnp
+
+    from hybrid_rag_colbertv2_tpu.index.bucketed import BucketedDenseIndex
+
+    lrng = np.random.default_rng(9)
+    n, d = 48, 128
+    lens = np.concatenate([np.full(24, 12), np.full(24, 40)]).astype(
+        np.int32)
+    docs = lrng.standard_normal((n, 48, d)).astype(np.float32)
+    docs /= np.linalg.norm(docs, axis=-1, keepdims=True)
+    tok = np.arange(48)
+    docs = docs * (tok[None, :, None] < lens[:, None, None])
+    bidx = BucketedDenseIndex.build(
+        jnp.asarray(docs), jnp.asarray(lens), bucket_sizes=(16, 48),
+        dtype="int8", docs_pad_multiple=16)
+    q = jnp.asarray(docs[7][None, :8])       # planted: doc 7's tokens
+    v1, i1 = bidx.search_topk(q, k=5)
+    out = bidx.convert("int4-doc")
+    assert out.buckets[0].quant == "int4-doc"
+    assert out.n_docs == bidx.n_docs
+    v2, i2 = out.search_topk(q, k=5)
+    assert int(np.asarray(i2)[0, 0]) == int(np.asarray(i1)[0, 0]) == 7
