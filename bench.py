@@ -578,7 +578,8 @@ def _seed_eval(td, n_docs, steps, seed, prefilter, postings_cap,
     h.update(f"|{steps}|{seed}|{cfg.encoder_preset}|"
              f"{cfg.encoder_hard_negatives}|{cfg.tokenizer_vocab_size}|"
              f"{cfg.encoder_word_dropout}|{cfg.encoder_max_epochs}|"
-             f"{cfg.encoder_synonym_prob}|"
+             f"{cfg.encoder_synonym_prob}|{cfg.encoder_synonym_pairs}|"
+             f"{cfg.encoder_tie_weight}|"
              f"{CACHE_VERSION}".encode())
     cdir = cache_root / h.hexdigest()[:16]
     c_params, c_tok = cdir / "encoder_params.npz", cdir / "tokenizer.json"

@@ -305,7 +305,7 @@ class RAGApplication:
             # mined on the ORIGINAL span (the substituted text has no
             # lexical anchors, so mining on it degenerates to random)
             pairs_idx += pseudo_query_pairs(
-                corpus, n_pairs_per_doc=4,
+                corpus, n_pairs_per_doc=self.config.encoder_synonym_pairs,
                 seed=self.config.encoder_seed + 1,
                 query_words=(4, 14),
                 word_dropout=dropout, synonym_prob=syn_prob,

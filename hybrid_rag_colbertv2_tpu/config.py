@@ -254,6 +254,12 @@ class RAGConfig:
     # 0.7 measured best on the r4 sweep (dense-only adversarial 0.45 vs
     # 0.42 at 0.5, 491 chunks / 1800 steps).
     encoder_synonym_prob: float = 0.7
+    # Synonym-augmented pairs per chunk (the share drawn with
+    # encoder_synonym_prob substitution and 4-14-word spans). More pairs
+    # = more substitution rolls per chunk (coverage of the lexicon's
+    # alternatives) AND a higher encoder_max_epochs step ceiling (the cap
+    # scales with the pair count). Gated on >= 16 chunks like the prob.
+    encoder_synonym_pairs: int = 4
     # Epoch ceiling on encoder_train_steps: overtraining tiny corpora
     # collapses the representation into per-batch clusters and destroys
     # the fresh encoder's lexical prior (measured in app/application.py
