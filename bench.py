@@ -669,12 +669,13 @@ def run_realdata(result, ctx):
     final-fusion gate. Aggregates mean and max-min spread across seeds."""
     on_tpu = ctx["on_tpu"]
     n_docs = 112 if on_tpu else 12
-    # ~3 epochs at 491 chunks x 6 pairs / batch 16; tokenized batches are
-    # cached (trainer), so steps beyond the first epoch are ~0.1 s each
-    # 1800 steps ≈ 6 epochs over 10 pairs/chunk at 491 chunks (the
-    # encoder_max_epochs ceiling). Measured on the r4 sweep: 600 steps
-    # left dense-only adversarial at 0.17; 1800 with synonym-tied init +
-    # augmentation reached 0.45+ (sweep logs 2026-08-17).
+    # 1800 steps ≈ 4 epochs over 14 pairs/chunk (6 base + 8 synonym-
+    # augmented, the config default) at 491 chunks / batch 16; tokenized
+    # batches are cached (trainer), so steps beyond the first epoch are
+    # ~0.1 s each. Measured on the r4 sweep: 600 steps left dense-only
+    # adversarial at 0.17; 1800 with synonym-tied init + 4 augmented
+    # pairs reached 0.44; 8 augmented pairs (default since 2026-08-18)
+    # reached 0.57 and moved the measured gate to (rrf, 0.5).
     steps = 1800 if on_tpu else 8
     seeds = (0, 1, 2) if on_tpu else (0,)
     cache_root = Path(__file__).resolve().parent / ".bench_cache"
