@@ -226,8 +226,10 @@ def run_headline(result):
     iters = 16 if on_tpu else 4
     reps = 5 if on_tpu else 2
     p50, worst = queued_timeit(run_once, iters, reps)
-    # queued_timeit clamps reps at 0 when measured total <= RTT; a zero
-    # p50 would crash the division below BEFORE the required stdout line
+    # iters is a floor: queued_timeit grows the queue until compute
+    # dominates the RTT (congested-tunnel guard). Keep a last-resort
+    # clamp so a pathological zero can't crash the division below
+    # BEFORE the required stdout line.
     p50 = max(p50, 1e-3)
     p50_per_query = p50 / batch
     qps = batch / (p50 / 1e3)

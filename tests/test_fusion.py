@@ -165,6 +165,36 @@ def test_queued_timeit_sane_on_cpu():
     assert 0.0 <= p50 <= worst < 10_000.0
 
 
+def test_queued_timeit_autoscales_past_rtt():
+    """utils/timing.py: when the RTT dwarfs the queued total (congested
+    tunnel: 200 ms RTT vs 16x3 ms of compute), the probe rep must grow the
+    queue until compute dominates — a fixed iteration count lands the
+    subtraction at zero and reports a fake 0.00 ms p50 (seen live
+    2026-08-18)."""
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from hybrid_rag_colbertv2_tpu.utils import timing
+
+    x = jnp.ones((8, 8))
+
+    def slow_fn():
+        _time.sleep(5e-4)   # ~0.5 ms of host-side "work" per call
+        return x
+
+    old = timing._RTT_MS
+    timing._RTT_MS = 5.0    # pretend the scalar fetch costs 5 ms
+    try:
+        p50, worst = timing.queued_timeit(slow_fn, iters=3, reps=2)
+    finally:
+        timing._RTT_MS = old
+    # 3 iters x 0.5 ms = 1.5 ms < 3x RTT: a non-scaling implementation
+    # returns max(0, 1.5+eps-5)/3 = 0. The probe must have grown the
+    # queue, recovering roughly the true per-call cost.
+    assert 0.3 <= p50 <= worst < 50.0
+
+
 def test_final_topk_select_rerank_mode():
     from hybrid_rag_colbertv2_tpu.ops.fusion import final_topk_select
 
