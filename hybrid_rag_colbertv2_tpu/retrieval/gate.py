@@ -23,20 +23,24 @@ word-dropout spans, synonym-substituted spans); an entry's *regret* in a
 regime is the gap to that regime's best entry, and its score is its
 WORST regret over regimes. Then, within a one-query noise band of the
 smallest worst-regret:
-  * ship the LAST (most BM25-protective) entry in the band — the
-    downside is asymmetric: a weak dense leg demoting lexical hits
-    costs real accuracy, while a genuinely strong dense leg wins the
-    gate by more than the noise floor anyway. PARITY (rerank, 0.5) gets
-    NO priority: it is the LEAST lexical-protective entry (a pure dense
-    final ordering), so an in-band tie must not ship it (measured on an
-    organic 267-chunk docs corpus: parity squeaked into the 1/16 band on
-    the calibration regimes yet cost 9-20pp hit@10 vs the in-band
-    (rrf, 0.9) on every held-out slice — an earlier rule that preferred
-    in-band parity "to keep reference behavior" shipped exactly that
-    loss). Parity ships from auto only by winning the band OUTRIGHT
-    (e.g. a strong pretrained dense leg); pinning
-    ``final_fusion="rerank"`` keeps it always available for parity
-    audits;
+  * ship the SMALLEST-regret blended entry in the band, breaking exact
+    regret ties toward the more BM25-protective one. The protective
+    preference applies ONLY between equal-regret entries: an earlier
+    rule that shipped the most protective entry anywhere in the band was
+    caught by its own transfer check (bench seed 1, 2026-08-18 — the
+    floor entry (rrf, 0.75) sat at regret 0.125 yet the rule shipped
+    (rrf, 0.9) at regret 0.1875 from the band edge; on the generator-
+    disjoint family the pick scored 0.719 vs the menu's 0.875,
+    in_band=false). PARITY (rerank, 0.5) gets NO priority: it is the
+    LEAST lexical-protective entry (a pure dense final ordering), so an
+    in-band tie must not ship it (measured on an organic 267-chunk docs
+    corpus: parity squeaked into the 1/16 band on the calibration
+    regimes yet cost 9-20pp hit@10 vs the in-band (rrf, 0.9) on every
+    held-out slice — an even earlier rule that preferred in-band parity
+    "to keep reference behavior" shipped exactly that loss). Parity
+    ships from auto only by winning the band OUTRIGHT (e.g. a strong
+    pretrained dense leg); pinning ``final_fusion="rerank"`` keeps it
+    always available for parity audits;
   * EXCEPT (rrf, 1.0), which must win the band OUTRIGHT (be its only
     member): at weight 1.0 the dense leg's RRF contribution is exactly
     zero, so dense-only candidates are dropped from the candidate set
@@ -212,16 +216,19 @@ def select_entry_regimes(
     """Minimax-regret selection over query regimes (module docstring).
 
     An entry's regret in a regime is the gap to that regime's best menu
-    entry; its score is its WORST regret across regimes. Ships the most
-    BM25-protective blended entry whose worst regret is within the
-    one-query band of the minimum. Two entry classes must win the band
-    OUTRIGHT (be its only member): (.., 1.0) (lexical-only candidate
-    generation drops dense-only docs) and parity ``("rerank", ..)`` (a
-    pure dense final ordering — the least lexical-protective entry; an
-    in-band tie must not ship it, measured at 9-20pp held-out cost on an
-    organic corpus). If the band degenerates to exactly those two
-    classes tied together (neither may win a tie), the smallest-regret
-    blended entry ships instead.
+    entry; its score is its WORST regret across regimes. Ships the
+    smallest-regret blended entry in the one-query band of the minimum,
+    breaking exact regret ties toward the more BM25-protective one
+    (module docstring: protectiveness must not override a strictly
+    smaller regret — the transfer check caught that shipping from the
+    band edge). Two entry classes must win the band OUTRIGHT (be its
+    only member): (.., 1.0) (lexical-only candidate generation drops
+    dense-only docs) and parity ``("rerank", ..)`` (a pure dense final
+    ordering — the least lexical-protective entry; an in-band tie must
+    not ship it, measured at 9-20pp held-out cost on an organic corpus).
+    If the band degenerates to exactly those two classes tied together
+    (neither may win a tie), the smallest-regret blended entry ships
+    instead.
 
     ``n_per_regime``: queries measured per regime — an int when all
     regimes are equal-sized, or a {regime: n} dict. The band width is
@@ -245,7 +252,9 @@ def select_entry_regimes(
         return in_band[0]
     blended_in_band = [e for e in in_band if e[0] == "rrf" and e[1] < 1.0]
     if blended_in_band:
-        return blended_in_band[-1]
+        best = min(regret[e] for e in blended_in_band)
+        return [e for e in blended_in_band
+                if regret[e] <= best + 1e-12][-1]
     # degenerate band: only parity and/or (.., 1.0) tied — neither may
     # win a tie, so ship the smallest-regret blended entry (most
     # protective on equal regret)

@@ -320,6 +320,35 @@ def test_gate_minimax_regret_catches_regime_collapse():
     assert select_entry_regimes(GATE_MENU, one, 64) == ("rrf", 0.9)
 
 
+def test_gate_band_does_not_override_strictly_smaller_regret():
+    """Regression for the measured 2026-08-18 bench-seed-1 mis-pick: the
+    floor entry (rrf, 0.75) had worst regret 0.125, but (rrf, 0.9) sat at
+    exactly floor + the one-query quantum (0.1875) — inside the inclusive
+    band — and the old most-protective-in-band rule shipped it. The
+    transfer check flagged the pick (0.719 vs the menu's best 0.875 on
+    the generator-disjoint family). Protectiveness may only break EQUAL
+    regrets; a strictly smaller regret must win."""
+    from hybrid_rag_colbertv2_tpu.retrieval.gate import (
+        GATE_MENU, select_entry_regimes)
+
+    # the exact seed-1 calibration capture (16 queries per regime)
+    hits = {
+        "verbatim": {("rerank", 0.5): 0.688, ("rrf", 0.25): 0.75,
+                     ("rrf", 0.5): 0.812, ("rrf", 0.75): 0.812,
+                     ("rrf", 0.9): 0.812, ("rrf", 1.0): 0.812},
+        "long_verbatim": {("rerank", 0.5): 1.0, ("rrf", 0.25): 1.0,
+                          ("rrf", 0.5): 1.0, ("rrf", 0.75): 1.0,
+                          ("rrf", 0.9): 0.875, ("rrf", 1.0): 0.875},
+        "dropout": {("rerank", 0.5): 0.375, ("rrf", 0.25): 0.375,
+                    ("rrf", 0.5): 0.438, ("rrf", 0.75): 0.625,
+                    ("rrf", 0.9): 0.625, ("rrf", 1.0): 0.625},
+        "synonym": {("rerank", 0.5): 0.75, ("rrf", 0.25): 0.75,
+                    ("rrf", 0.5): 0.812, ("rrf", 0.75): 0.688,
+                    ("rrf", 0.9): 0.625, ("rrf", 1.0): 0.625},
+    }
+    assert select_entry_regimes(GATE_MENU, hits, 16) == ("rrf", 0.75)
+
+
 def test_noop_upload_keeps_gate_verdict(tmp_path):
     """ADVICE r3: an upload that adds zero new chunks leaves the index
     identical — the persisted gate verdict must survive (re-measuring
@@ -411,19 +440,23 @@ def test_gate_band_width_uses_smallest_regime():
     from hybrid_rag_colbertv2_tpu.retrieval.gate import (
         GATE_MENU, select_entry_regimes)
 
-    # long_verbatim produced only 5 pairs -> quantum 0.2. (rrf, 0.9)
-    # trails the regime best by exactly one query there.
+    # long_verbatim produced only 5 pairs -> quantum 0.2. Every blended
+    # entry trails parity by exactly one query there; parity may ship
+    # only by winning the band OUTRIGHT, so the band width decides.
     hits = {
         "verbatim": {e: 0.9 for e in GATE_MENU},
-        "long_verbatim": {e: (0.8 if e == ("rrf", 0.9) else 1.0)
+        "long_verbatim": {e: (1.0 if e == ("rerank", 0.5) else 0.8)
                           for e in GATE_MENU},
     }
     sizes = {"verbatim": 16, "long_verbatim": 5}
-    # with the one-query band of the SMALLEST regime (1/5), 0.9 stays in
-    # band and ships (most protective blended in-band entry)
+    # with the one-query band of the SMALLEST regime (1/5), the blended
+    # entries stay in band -> parity has company, a blended entry ships
+    # (equal regrets tie-break to the most protective sub-1.0 one)
     assert select_entry_regimes(GATE_MENU, hits, sizes) == ("rrf", 0.9)
-    # an int n_per of 16 (the old behavior) would have kicked it out
-    assert select_entry_regimes(GATE_MENU, hits, 16) != ("rrf", 0.9)
+    # an int n_per of 16 (the old behavior) narrows the band to 1/16:
+    # the one-query flip in the coarse regime would hand parity an
+    # outright win on noise
+    assert select_entry_regimes(GATE_MENU, hits, 16) == ("rerank", 0.5)
 
 
 def test_gate_tiny_corpus_fallback_respects_checkpoint():
