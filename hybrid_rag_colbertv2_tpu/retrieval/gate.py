@@ -268,10 +268,10 @@ def select_entry_regimes(
 def select_entry(menu, hits: Dict[Tuple[str, float], float],
                  n_queries: int) -> Tuple[str, float]:
     """Single-regime degenerate case of ``select_entry_regimes`` (regret
-    = gap to the measured max): the most BM25-protective entry in the
-    band — except (.., 1.0), which must be ALONE in the band to win
-    (lexical-only candidate generation drops dense-only docs; on a tie
-    the next-most-lexical entry keeps the dense leg for free)."""
+    = gap to the measured max): ship the smallest-regret blended entry
+    in the band, breaking exact regret ties toward the more
+    BM25-protective one; parity ("rerank", ..) and (.., 1.0) must be
+    ALONE in the band to win (see select_entry_regimes)."""
     return select_entry_regimes(menu, {"all": hits}, n_queries)
 
 
