@@ -51,8 +51,9 @@ from pathlib import Path
 import numpy as np
 
 BASELINE_MS = 321.0     # reference total retrieval (README.md:182)
-CACHE_VERSION = 4       # bump when training/indexing code changes enough
+CACHE_VERSION = 5       # bump when training/indexing code changes enough
 #                         to invalidate cached trained-encoder params
+#                         (v5: round-5 compositional-rewording share)
 
 
 def log(msg):
@@ -581,7 +582,7 @@ def _seed_eval(td, n_docs, steps, seed, prefilter, postings_cap,
              f"{cfg.encoder_hard_negatives}|{cfg.tokenizer_vocab_size}|"
              f"{cfg.encoder_word_dropout}|{cfg.encoder_max_epochs}|"
              f"{cfg.encoder_synonym_prob}|{cfg.encoder_synonym_pairs}|"
-             f"{cfg.encoder_tie_weight}|"
+             f"{cfg.encoder_tie_weight}|{cfg.encoder_reworded_pairs}|"
              f"{CACHE_VERSION}".encode())
     cdir = cache_root / h.hexdigest()[:16]
     c_params, c_tok = cdir / "encoder_params.npz", cdir / "tokenizer.json"

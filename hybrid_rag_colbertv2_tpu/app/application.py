@@ -310,6 +310,23 @@ class RAGApplication:
                 query_words=(4, 14),
                 word_dropout=dropout, synonym_prob=syn_prob,
                 with_mine_text=True)
+        # compositional-rewording share (round 5): shuffled bag-of-
+        # content-word queries with rarity-aware dropout of corpus-
+        # common words (train/data.py::reworded_query_pairs) — trains
+        # the sibling-chunk discrimination the template-paraphrase
+        # regime measures (rare anchors under order invariance), which
+        # verbatim/dropout spans cannot teach. Mining text is the
+        # longest verbatim source span (shuffled text mines randomly).
+        n_rw = (self.config.encoder_reworded_pairs
+                if len(corpus) >= 16 else 0)
+        if n_rw > 0:
+            from ..train.data import reworded_query_pairs
+            pairs_idx += reworded_query_pairs(
+                corpus, n_pairs_per_doc=n_rw,
+                seed=self.config.encoder_seed + 2,
+                synonym_prob=min(0.15, syn_prob),
+                with_mine_text=True)
+        if syn_prob > 0.0 or n_rw > 0:
             import numpy as _np
             _np.random.default_rng(
                 self.config.encoder_seed).shuffle(pairs_idx)
@@ -492,7 +509,8 @@ class RAGApplication:
         fixed = cfg.fusion_weight_bm25 if cfg.fusion_weight_pinned else None
         (mode, weight), self.fusion_gate = _gate(
             cfg, self.indexes, self.encoder, corpus,
-            chunk_store=self.store, fixed_weight=fixed)
+            chunk_store=self.store, fixed_weight=fixed,
+            n_queries=getattr(cfg, "gate_queries", 160))
         cfg.final_fusion = mode
         cfg.fusion_weight_bm25 = weight
         self._gate_resolved = True

@@ -264,6 +264,21 @@ class RAGConfig:
     # vs 0.63 (above BM25-only's 0.617), and the measured gate moves from
     # (rrf, 0.75) to (rrf, 0.5) — the dense leg earns equal weight.
     encoder_synonym_pairs: int = 8
+    # Compositional-rewording pairs per chunk (train/data.py::
+    # reworded_query_pairs): long/two-span shuffled bag-of-content-word
+    # queries with rarity-aware dropout of corpus-common (sentence-frame)
+    # words. This is the training half of the round-5 paraphrase fix —
+    # the template paraphrase slice's dense failures are sibling-chunk
+    # confusion (shared frames, rare slot words) which verbatim/dropout
+    # spans never teach; these queries force ranking by the surviving
+    # rare anchors under full word-order invariance. Gated on >= 16
+    # chunks like the other augmentations.
+    encoder_reworded_pairs: int = 6
+    # Total gate calibration queries, split evenly over the gate's query
+    # regimes (retrieval/gate.py resolve_final_fusion; 5 regimes -> 32
+    # queries per regime at the default). Small corpora bound each
+    # regime at one query per chunk regardless.
+    gate_queries: int = 160
     # Epoch ceiling on encoder_train_steps: overtraining tiny corpora
     # collapses the representation into per-batch clusters and destroys
     # the fresh encoder's lexical prior (measured in app/application.py

@@ -16,38 +16,40 @@ pseudo-queries over the indexed corpus:
     (rrf,    0.9)   strongly BM25-leaning (weak/untrained dense leg)
     (rrf,    1.0)   lexical-only ordering (dense leg adds nothing)
 
-Selection rule — MINIMAX REGRET ACROSS QUERY REGIMES (mirrored by the
-implementation and tests). The gate measures every menu entry on FOUR
-query regimes separately (short verbatim spans, LONG verbatim spans,
-word-dropout spans, synonym-substituted spans); an entry's *regret* in a
-regime is the gap to that regime's best entry, and its score is its
-WORST regret over regimes. Then, within a one-query noise band of the
-smallest worst-regret:
-  * ship the SMALLEST-regret blended entry in the band, breaking exact
-    regret ties toward the more BM25-protective one. The protective
-    preference applies ONLY between equal-regret entries: an earlier
-    rule that shipped the most protective entry anywhere in the band was
-    caught by its own transfer check (bench seed 1, 2026-08-18 — the
-    floor entry (rrf, 0.75) sat at regret 0.125 yet the rule shipped
-    (rrf, 0.9) at regret 0.1875 from the band edge; on the generator-
-    disjoint family the pick scored 0.719 vs the menu's 0.875,
-    in_band=false). PARITY (rerank, 0.5) gets NO priority: it is the
-    LEAST lexical-protective entry (a pure dense final ordering), so an
-    in-band tie must not ship it (measured on an organic 267-chunk docs
-    corpus: parity squeaked into the 1/16 band on the calibration
-    regimes yet cost 9-20pp hit@10 vs the in-band (rrf, 0.9) on every
-    held-out slice — an even earlier rule that preferred in-band parity
-    "to keep reference behavior" shipped exactly that loss). Parity
-    ships from auto only by winning the band OUTRIGHT (e.g. a strong
-    pretrained dense leg); pinning ``final_fusion="rerank"`` keeps it
-    always available for parity audits;
-  * EXCEPT (rrf, 1.0), which must win the band OUTRIGHT (be its only
-    member): at weight 1.0 the dense leg's RRF contribution is exactly
-    zero, so dense-only candidates are dropped from the candidate set
-    entirely (rrf_from_topk masks zero-score ids) — it is lexical-only
-    candidate generation, not a BM25-lean hybrid. On a tie with
-    (rrf, 0.9) the 0.9 entry keeps the dense leg as tie-breaker/rescue
-    at no measured cost, so it wins the tie.
+Selection rule — MINIMAX REGRET ACROSS QUERY REGIMES, one rule
+(mirrored by ``select_entry_regimes`` and property-tested in
+tests/test_gate.py). The gate measures every menu entry on FIVE query
+regimes separately (short verbatim spans, LONG verbatim spans at hit@3,
+word-dropout spans, synonym-substituted spans, and corpus-mined
+REWORDED queries); an entry's *regret* in a regime is the gap to that
+regime's best entry, and its score is its WORST regret over regimes.
+
+    Among entries within one smallest-regime query of the minimum
+    worst-regret, ship the one with the smallest regret, breaking exact
+    regret ties toward the more BM25-protective (higher weight); an
+    entry that DROPS A LEG from the final ordering may ship only when
+    it is alone in the band.
+
+"Drops a leg" (``_drops_leg``) covers parity ``("rerank", ..)`` (a pure
+dense final ordering — lexical evidence never reaches the final cut)
+and ``(.., 1.0)`` (lexical-only candidate generation — rrf_from_topk's
+zero-weight masking drops dense-only docs). Both clauses are measured,
+not stylistic:
+  * shipping the most protective entry anywhere in the band (instead of
+    the smallest-regret one) was caught by the transfer check (bench
+    seed 1, 2026-08-18 — the floor entry (rrf, 0.75) sat at regret
+    0.125 yet the rule shipped (rrf, 0.9) at regret 0.1875 from the
+    band edge; on the generator-disjoint family the pick scored 0.719
+    vs the menu's 0.875, in_band=false);
+  * an in-band tie must not ship parity: measured on an organic
+    267-chunk docs corpus, parity squeaked into the 1/16 band on the
+    calibration regimes yet cost 9-20pp hit@10 vs the in-band
+    (rrf, 0.9) on every held-out slice. Parity ships from auto only by
+    winning the band OUTRIGHT (e.g. a strong pretrained dense leg);
+    pinning ``final_fusion="rerank"`` keeps it always available for
+    parity audits;
+  * (rrf, 1.0) likewise: on a tie with (rrf, 0.9) the 0.9 entry keeps
+    the dense leg as tie-breaker/rescue at no measured cost.
 
 Why minimax over regimes instead of the aggregate mean (the round-4-
 early rule): real query traffic is a MIX of lexical regimes, and a
@@ -62,14 +64,19 @@ distribution-robust choice.
 
 Gate regimes (train/data.py + train/lexicon.py generators, seeds offset
 from training): verbatim 3-8-word spans (BM25-friendly but length-
-limited), verbatim 12-24-word spans (BM25's BEST case — long near-unique
-quotes, the regime where a pure-dense final ordering has the most to
-lose), word-dropout spans (partial overlap), and synonym-substituted
-spans (near-zero overlap — only semantics works). A gate blind to the
-synonym regime would keep shipping BM25-lean weights once the dense leg
-has learned to win lexically-adversarial queries; a gate blind to the
-long-verbatim regime would let a mediocre dense leg take over the final
-ordering and demote exact lexical hits.
+limited), verbatim 12-24-word spans measured at hit@3 (BM25's BEST case
+— long near-unique quotes; at hit@10 every entry keeps them in the top
+ten and the regime saturates, which is where the round-4 paraphrase
+giveback hid), word-dropout spans (partial overlap), synonym-
+substituted spans (near-zero overlap — only semantics works), and
+REWORDED corpus-mined queries (shuffled bag-of-content-words with
+frame words dropped — the template-paraphrase regime: BM25 strong but
+not saturated, a weak dense leg's noise demotes correct lexical hits).
+A gate blind to the synonym regime would keep shipping BM25-lean
+weights once the dense leg has learned to win lexically-adversarial
+queries; a gate blind to the long-verbatim/reworded regimes would let
+a mediocre dense leg take over the final ordering and demote exact
+lexical hits.
 
 ``validate_transfer`` measures the same menu on a caller-supplied,
 generator-DISJOINT query family (e.g. the template paraphrase +
@@ -111,12 +118,18 @@ GATE_MENU = (("rerank", 0.5), ("rrf", 0.25), ("rrf", 0.5), ("rrf", 0.75),
 
 def measure_menu(config, indexes, encoder, menu, queries, sources,
                  *, chunk_store=None, k: int = 10, batch: int = 8,
-                 per_query: bool = False) -> Dict:
+                 per_query: bool = False, hit_top: Optional[int] = None
+                 ) -> Dict:
     """hit@k of every (final_fusion, fusion_weight_bm25) menu entry on
     the given (queries, source-chunk-index) set. Each entry gets a fresh
     retriever (knobs are baked into the jit at construction); compiled
     executables are shared module-wide, so repeated measurements at equal
     geometry cost dispatches, not compiles.
+
+    ``hit_top``: count a hit only within the first ``hit_top`` ranks of
+    the depth-``k`` retrieval (hit@hit_top on the same executable — the
+    final ordering's prefix IS its top-hit_top, and a separate k_final
+    would compile a second executable per entry through the tunnel).
 
     ``per_query=True`` returns 0/1 hit VECTORS (np.ndarray per entry)
     instead of rates — entries measured on the same queries are paired
@@ -127,6 +140,7 @@ def measure_menu(config, indexes, encoder, menu, queries, sources,
     from .cascade import HybridRetriever
 
     sources = np.asarray(sources)
+    top = k if hit_top is None else min(hit_top, k)
     hits: Dict = {}
     for mode, weight in menu:
         cfg = copy.deepcopy(config)
@@ -137,7 +151,7 @@ def measure_menu(config, indexes, encoder, menu, queries, sources,
         for i in range(0, len(queries), batch):
             ids, _ = r.retrieve_batch(queries[i:i + batch], k)
             for j, (row, src) in enumerate(zip(ids, sources[i:i + batch])):
-                vec[i + j] = float(src in set(row.tolist()))
+                vec[i + j] = float(src in set(row[:top].tolist()))
         hits[(mode, weight)] = (vec if per_query
                                 else float(vec.mean()) if len(queries)
                                 else 0.0)
@@ -208,27 +222,39 @@ def validate_transfer(config, indexes, encoder, pairs, picked,
     return out
 
 
+def _drops_leg(entry: Tuple[str, float]) -> bool:
+    """True for menu entries whose final ordering removes one leg
+    entirely: parity ``("rerank", ..)`` orders purely by the dense
+    rerank (the lexical evidence never reaches the final cut), and
+    ``(.., 1.0)`` is lexical-only candidate generation (rrf_from_topk's
+    zero-weight masking drops dense-only docs from the candidate set).
+    Both were measured shipping large held-out losses from inside the
+    noise band (module docstring), so the selection rule requires them
+    to win the band outright."""
+    mode, weight = entry
+    return mode != "rrf" or weight >= 1.0
+
+
 def select_entry_regimes(
     menu,
     hits_by_regime: Dict[str, Dict[Tuple[str, float], float]],
     n_per_regime,
 ) -> Tuple[str, float]:
-    """Minimax-regret selection over query regimes (module docstring).
+    """Minimax-regret selection over query regimes — ONE rule (round-5
+    re-derivation of the three accreted special cases; the recorded
+    regression menus are property-tested in tests/test_gate.py):
+
+        Among entries within one smallest-regime query of the minimum
+        worst-regret, ship the one with the smallest regret, breaking
+        exact regret ties toward the more BM25-protective (higher
+        weight); an entry that DROPS A LEG from the final ordering
+        (``_drops_leg``: parity, and weight >= 1.0) may ship only when
+        it is alone in the band.
 
     An entry's regret in a regime is the gap to that regime's best menu
-    entry; its score is its WORST regret across regimes. Ships the
-    smallest-regret blended entry in the one-query band of the minimum,
-    breaking exact regret ties toward the more BM25-protective one
-    (module docstring: protectiveness must not override a strictly
-    smaller regret — the transfer check caught that shipping from the
-    band edge). Two entry classes must win the band OUTRIGHT (be its
-    only member): (.., 1.0) (lexical-only candidate generation drops
-    dense-only docs) and parity ``("rerank", ..)`` (a pure dense final
-    ordering — the least lexical-protective entry; an in-band tie must
-    not ship it, measured at 9-20pp held-out cost on an organic corpus).
-    If the band degenerates to exactly those two classes tied together
-    (neither may win a tie), the smallest-regret blended entry ships
-    instead.
+    entry; its score is its worst regret across regimes. If the band
+    degenerates to leg-dropping entries only (none may win a tie), the
+    smallest-regret full-hybrid entry from the whole menu ships instead.
 
     ``n_per_regime``: queries measured per regime — an int when all
     regimes are equal-sized, or a {regime: n} dict. The band width is
@@ -250,19 +276,16 @@ def select_entry_regimes(
     in_band = [e for e in menu if regret[e] <= floor + eps]
     if len(in_band) == 1:           # outright win — any entry may ship
         return in_band[0]
-    blended_in_band = [e for e in in_band if e[0] == "rrf" and e[1] < 1.0]
-    if blended_in_band:
-        best = min(regret[e] for e in blended_in_band)
-        return [e for e in blended_in_band
-                if regret[e] <= best + 1e-12][-1]
-    # degenerate band: only parity and/or (.., 1.0) tied — neither may
-    # win a tie, so ship the smallest-regret blended entry (most
-    # protective on equal regret)
-    blended = [e for e in menu if e[0] == "rrf" and e[1] < 1.0]
-    if blended:
-        best = min(regret[e] for e in blended)
-        return [e for e in blended if regret[e] <= best + 1e-12][-1]
-    return in_band[-1]
+    contenders = [e for e in in_band if not _drops_leg(e)]
+    if not contenders:
+        # the band is leg-dropping entries tied together — none may win
+        # a tie; ship the best full-hybrid entry from the whole menu
+        contenders = [e for e in menu if not _drops_leg(e)] or list(menu)
+    best = min(regret[e] for e in contenders)
+    tied = [e for e in contenders if regret[e] <= best + 1e-12]
+    # more protective = higher lexical weight; equal weights (pinned
+    # two-entry menus) prefer the blended ordering over parity
+    return max(tied, key=lambda e: (e[1], e[0] == "rrf"))
 
 
 def select_entry(menu, hits: Dict[Tuple[str, float], float],
@@ -330,29 +353,45 @@ def resolve_final_fusion(
             "picked": picked[0], "picked_weight": picked[1],
             "reason": reason}
 
-    # FOUR query regimes, each measured SEPARATELY (module docstring):
+    # FIVE query regimes, each measured SEPARATELY (module docstring):
     # short verbatim spans, long verbatim spans (BM25's best case — the
-    # regime where a pure-dense final ordering has the most to lose),
-    # word-dropout spans (partial lexical overlap), synonym-substituted
-    # spans (near-zero overlap — only semantic matching works). A gate
+    # regime where a pure-dense final ordering has the most to lose;
+    # measured at hit@3, because at hit@10 every menu entry keeps a long
+    # near-unique quote in the top ten and the regime saturates — the
+    # round-4 giveback hid exactly there), word-dropout spans (partial
+    # lexical overlap), synonym-substituted spans (near-zero overlap —
+    # only semantic matching works), and REWORDED corpus-mined queries
+    # (train/data.py::reworded_query_pairs — shuffled bag-of-content-
+    # words with frame words dropped: the template-paraphrase regime
+    # where BM25 is strong-but-not-saturated and a weak dense leg's
+    # noise demotes correct lexical hits; VERDICT r4 next #1). A gate
     # blind to any regime mis-calibrates; a gate that AGGREGATES them
     # lets a collapse on one regime hide inside the mean (measured:
     # parity tying the aggregate within one query while scoring 0.48 vs
     # BM25's 0.98 on whole-sentence queries).
+    from ..train.data import reworded_query_pairs
+
     seed = getattr(config, "encoder_seed", 0) + _GATE_SEED_OFFSET
     regimes = {
-        "verbatim": dict(seed=seed),
-        "long_verbatim": dict(seed=seed + 1, query_words=(12, 24)),
-        "dropout": dict(seed=seed + 2, word_dropout=0.25),
-        "synonym": dict(seed=seed + 3, synonym_prob=1.0),
+        # name: (generator kwargs, hit@k bar for THIS regime)
+        "verbatim": (dict(seed=seed), k),
+        "long_verbatim": (dict(seed=seed + 1, query_words=(12, 24)),
+                          min(3, k)),
+        "dropout": (dict(seed=seed + 2, word_dropout=0.25), k),
+        "synonym": (dict(seed=seed + 3, synonym_prob=1.0), k),
+        "reworded": (dict(seed=seed + 4, reworded=True), k),
     }
     n_per = max(1, n_queries // len(regimes))
     rng = np.random.default_rng(seed)
     hits_by_regime: Dict[str, Dict[Tuple[str, float], float]] = {}
     n_by_regime: Dict[str, int] = {}
+    regime_k: Dict[str, int] = {}
     total_queries = 0
-    for name, kw in regimes.items():
-        pairs = pseudo_query_pairs(corpus, n_pairs_per_doc=1, **kw)
+    for name, (kw, k_r) in regimes.items():
+        if kw.pop("reworded", False):
+            pairs = reworded_query_pairs(corpus, n_pairs_per_doc=1, **kw)
+        else:
+            pairs = pseudo_query_pairs(corpus, n_pairs_per_doc=1, **kw)
         rng.shuffle(pairs)
         pairs = pairs[:n_per]
         if not pairs:      # e.g. every chunk shorter than the long-span
@@ -361,8 +400,9 @@ def resolve_final_fusion(
         sources = np.array([i for _, i in pairs])
         hits_by_regime[name] = measure_menu(
             config, indexes, encoder, menu, queries, sources,
-            chunk_store=chunk_store, k=k, batch=batch)
+            chunk_store=chunk_store, k=k, batch=batch, hit_top=k_r)
         n_by_regime[name] = len(pairs)
+        regime_k[name] = k_r
         total_queries += len(pairs)
     if not hits_by_regime:
         picked = ("rrf", fixed_weight if fixed_weight is not None else 0.9)
@@ -375,7 +415,8 @@ def resolve_final_fusion(
     # fewer than n_per pairs, e.g. long spans over short chunks).
     picked = select_entry_regimes(menu, hits_by_regime, n_by_regime)
     details = {"picked": picked[0], "picked_weight": picked[1],
-               "queries": total_queries, "n_per_regime": n_per, "k": k}
+               "queries": total_queries, "n_per_regime": n_per, "k": k,
+               "regime_k": regime_k, "n_by_regime": n_by_regime}
     for mode, weight in menu:
         details[f"hit@{k}_{mode}_w{weight}"] = round(float(np.mean(
             [h[(mode, weight)] for h in hits_by_regime.values()])), 3)

@@ -9,7 +9,7 @@ the source chunk is the positive, and in-batch chunks are negatives.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
@@ -82,6 +82,128 @@ def pseudo_query_pairs(
                 pairs.append((" ".join(span), idx, " ".join(mine_span)))
             else:
                 pairs.append((" ".join(span), idx))
+    rng.shuffle(pairs)
+    return pairs
+
+
+def corpus_word_df(corpus: Sequence[str]) -> Dict[str, int]:
+    """Surface-word document frequencies over the chunk corpus: word
+    (lowercased, punctuation-stripped) -> number of chunks containing it.
+    One host pass; feeds the rarity-aware dropout of
+    ``reworded_query_pairs`` (words shared by many chunks are sentence-
+    frame vocabulary; words in few chunks are the discriminating
+    anchors)."""
+    from ..index.textproc import _WORD_RE
+
+    df: Dict[str, int] = {}
+    for text in corpus:
+        for w in set(_WORD_RE.findall(text.lower())):
+            df[w] = df.get(w, 0) + 1
+    return df
+
+
+def _keep_prob(df: int, keep_common: float) -> float:
+    """Rarity-scaled survival probability for a query word: df=1 (unique
+    to its chunk) always survives; the probability decays quadratically
+    toward ``keep_common`` as the word appears in more chunks (df ~7+ is
+    sentence-frame vocabulary on template-sibling corpora)."""
+    return keep_common + (1.0 - keep_common) / (1.0 + ((df - 1) / 3.0) ** 2)
+
+
+def reworded_query_pairs(
+    corpus: Sequence[str],
+    *,
+    n_pairs_per_doc: int = 2,
+    query_words: Tuple[int, int] = (10, 24),
+    seed: int = 0,
+    keep_common: float = 0.35,
+    two_span_prob: float = 0.5,
+    synonym_prob: float = 0.0,
+    df: Dict[str, int] = None,
+    with_mine_text: bool = False,
+) -> List[Tuple]:
+    """Compositional-rewording pseudo-queries mined from the corpus
+    itself (VERDICT r4 next #1/#4). Each query is built to look like a
+    real reworded question about its chunk — the regime the template
+    paraphrase slice measures and span perturbations cannot reproduce
+    (docs/architecture.md, round-4 rejection: a fifth span-perturbation
+    regime saturates; the dense failures are sibling-chunk confusion on
+    shared sentence frames with rare slot words):
+
+      * sample a LONG span (default 10-24 words — long spans cross
+        sentence boundaries, composing facts), or, with
+        ``two_span_prob``, TWO disjoint short spans of the same chunk
+        joined (explicit two-fact composition);
+      * drop stopwords always (paraphrases replace function words);
+      * drop each remaining word with a probability that grows with its
+        corpus document frequency (``corpus_word_df``): words shared by
+        many chunks (the sentence frame — exactly what siblings share)
+        usually vanish, rare anchors always survive;
+      * SHUFFLE the survivors (full order invariance — paraphrases
+        reorder clauses; BM25 is order-blind, so this only moves the
+        dense leg);
+      * optionally synonym-substitute survivors (``synonym_prob``).
+
+    Returns (query, positive_idx) pairs, or (query, positive_idx,
+    mine_text) with ``with_mine_text`` where mine_text is the longest
+    verbatim source span — BM25 hard-negative mining and the duplicate-
+    positive filter need a verbatim substring (see pseudo_query_pairs).
+    """
+    from ..index.textproc import _WORD_RE, ENGLISH_STOPWORDS
+    from .lexicon import substitute_words
+
+    if df is None:
+        df = corpus_word_df(corpus)
+    rng = np.random.default_rng(seed)
+    lo, hi = query_words
+    min_keep = 4
+    pairs: List[Tuple] = []
+    for idx, text in enumerate(corpus):
+        words = text.split()
+        if len(words) < max(lo, 2 * min_keep):
+            continue
+        for _ in range(n_pairs_per_doc):
+            if rng.random() < two_span_prob and len(words) >= 2 * lo:
+                # two disjoint spans = compose two facts from one chunk
+                n1 = int(rng.integers(lo // 2, hi // 2 + 1))
+                n2 = int(rng.integers(lo // 2, hi // 2 + 1))
+                s1 = int(rng.integers(0, max(len(words) - n1 - n2, 0) + 1))
+                s2 = int(rng.integers(s1 + n1,
+                                      max(len(words) - n2, s1 + n1) + 1))
+                span_a = words[s1: s1 + n1]
+                span_b = words[s2: s2 + n2]
+                span = span_a + span_b
+                mine_span = span_a if len(span_a) >= len(span_b) else span_b
+            else:
+                n = int(rng.integers(lo, min(hi, len(words)) + 1))
+                start = int(rng.integers(0, max(len(words) - n, 0) + 1))
+                span = words[start: start + n]
+                mine_span = list(span)
+            # rarity-aware content filter: stopwords out, frame words
+            # (high df) mostly out, anchors (low df) kept
+            keys = [(w, next(iter(_WORD_RE.findall(w.lower())), ""))
+                    for w in span]
+            keep = []
+            for w, k in keys:
+                if not k or k in ENGLISH_STOPWORDS:
+                    continue
+                if rng.random() <= _keep_prob(df.get(k, 1), keep_common):
+                    keep.append(w)
+            if len(keep) < min_keep:
+                # too aggressive for this span — fall back to all
+                # content words (still stopword-free)
+                keep = [w for w, k in keys
+                        if k and k not in ENGLISH_STOPWORDS]
+            if len(keep) < min_keep:
+                continue
+            rng.shuffle(keep)
+            if synonym_prob > 0.0:
+                keep = substitute_words(keep, prob=synonym_prob, rng=rng,
+                                        pick="random")
+            if with_mine_text:
+                pairs.append((" ".join(keep), idx, " ".join(mine_span)))
+            else:
+                pairs.append((" ".join(keep), idx))
     rng.shuffle(pairs)
     return pairs
 

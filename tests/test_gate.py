@@ -95,13 +95,17 @@ def test_gate_resolves_auto_and_records_measurement(small_app):
     # rounded to 3 decimals, so allow 2x the rounding step on top of the
     # one-query band (the gate itself selects on unrounded values).
     assert set(g["regimes"]) <= {"verbatim", "long_verbatim", "dropout",
-                                 "synonym"} and g["regimes"]
+                                 "synonym", "reworded"} and g["regimes"]
+    # the round-5 regimes: reworded is present, long_verbatim measures
+    # its saturation-proof hit@3 bar
+    assert "reworded" in g["regimes"]
+    assert g["regime_k"]["long_verbatim"] == 3
     regret = {e: 0.0 for e in GATE_MENU}
     for rh in g["regimes"].values():
         best = max(rh.values())
         for m, w in GATE_MENU:
             regret[(m, w)] = max(regret[(m, w)], best - rh[f"{m}_w{w}"])
-    eps = 1.0 / g["n_per_regime"] + 2e-3
+    eps = 1.0 / min(g["n_by_regime"].values()) + 2e-3
     assert (regret[(mode, g["picked_weight"])]
             <= min(regret.values()) + eps)
     # idempotent: second call is a no-op returning the same mode
@@ -457,6 +461,115 @@ def test_gate_band_width_uses_smallest_regime():
     # the one-query flip in the coarse regime would hand parity an
     # outright win on noise
     assert select_entry_regimes(GATE_MENU, hits, 16) == ("rerank", 0.5)
+
+
+def test_gate_rule_matches_oracle_on_randomized_menus():
+    """VERDICT r4 next #8: the selection rule is ONE statement — verify
+    the implementation against a literal oracle of that statement on
+    randomized menus. Oracle: among entries within one smallest-regime
+    query of the minimum worst-regret, ship the smallest-regret entry,
+    ties -> higher weight (rrf beats rerank on equal weight); an entry
+    that drops a leg (rerank mode, or weight >= 1.0) may ship only when
+    it is alone in the band; a band of only leg-droppers falls back to
+    the smallest-regret full-hybrid entry of the whole menu."""
+    from hybrid_rag_colbertv2_tpu.retrieval.gate import (
+        GATE_MENU, _drops_leg, select_entry_regimes)
+
+    def oracle(menu, hits_by_regime, n_min):
+        regret = {e: 0.0 for e in menu}
+        for hits in hits_by_regime.values():
+            best = max(hits[e] for e in menu)
+            for e in menu:
+                regret[e] = max(regret[e], best - hits[e])
+        eps = 1.0 / n_min + 1e-9
+        floor = min(regret.values())
+        band = [e for e in menu if regret[e] <= floor + eps]
+        if len(band) == 1:
+            return band[0]
+        pool = [e for e in band if not _drops_leg(e)]
+        if not pool:
+            pool = [e for e in menu if not _drops_leg(e)] or list(menu)
+        best = min(regret[e] for e in pool)
+        return max((e for e in pool if regret[e] <= best + 1e-12),
+                   key=lambda e: (e[1], e[0] == "rrf"))
+
+    rng = np.random.default_rng(0)
+    regime_names = ["a", "b", "c", "d", "e"]
+    for trial in range(500):
+        n_regimes = int(rng.integers(1, 6))
+        n_min = int(rng.integers(4, 33))
+        # quantized hit rates (multiples of 1/n) like real measurements
+        hits = {r: {e: round(float(rng.integers(0, n_min + 1)) / n_min, 6)
+                    for e in GATE_MENU}
+                for r in regime_names[:n_regimes]}
+        got = select_entry_regimes(GATE_MENU, hits, n_min)
+        want = oracle(GATE_MENU, hits, n_min)
+        assert got == want, (trial, hits, got, want)
+        assert got in GATE_MENU
+        # invariant: a leg-dropping winner must have won outright
+        if _drops_leg(got):
+            regret = {e: 0.0 for e in GATE_MENU}
+            for h in hits.values():
+                best = max(h.values())
+                for e in GATE_MENU:
+                    regret[e] = max(regret[e], best - h[e])
+            floor = min(regret.values())
+            band = [e for e in GATE_MENU
+                    if regret[e] <= floor + 1.0 / n_min + 1e-9]
+            assert band == [got]
+
+
+def test_reworded_query_pairs_shape():
+    """The compositional-rewording generator: queries are stopword-free
+    shuffled bags of source-chunk words with rare anchors kept, and
+    mine_text is a verbatim substring of the source (hard-negative
+    mining and the duplicate-positive filter depend on that)."""
+    from hybrid_rag_colbertv2_tpu.index.textproc import ENGLISH_STOPWORDS
+    from hybrid_rag_colbertv2_tpu.tools.sample_corpus import generate_corpus
+    from hybrid_rag_colbertv2_tpu.train.data import (corpus_word_df,
+                                                     reworded_query_pairs)
+
+    docs = generate_corpus(n_docs=8, seed=0)
+    chunks = [line for d in docs for line in d.splitlines()
+              if line and not line.startswith("#")]
+    pairs = reworded_query_pairs(chunks, n_pairs_per_doc=2, seed=1,
+                                 with_mine_text=True)
+    assert len(pairs) >= len(chunks)      # long chunks all participate
+    df = corpus_word_df(chunks)
+    n_shuffled = 0
+    for q, idx, mine in pairs:
+        src_words = set(chunks[idx].split())
+        q_words = q.split()
+        assert len(q_words) >= 4
+        # every query word comes from the source chunk (no substitution
+        # was requested)
+        assert all(w in src_words for w in q_words)
+        # stopwords are gone
+        assert not any(w.lower().strip(".,") in ENGLISH_STOPWORDS
+                       for w in q_words)
+        # mine_text is a verbatim substring
+        assert mine in chunks[idx]
+        if q not in chunks[idx]:
+            n_shuffled += 1
+    # the family is genuinely non-verbatim (shuffle + dropout)
+    assert n_shuffled >= 0.9 * len(pairs)
+    # rarity-aware dropout: unique words survive at a higher rate than
+    # corpus-common ones, aggregated over the family
+    kept = {True: [0, 0], False: [0, 0]}   # rare? -> [kept, total]
+    qset = {}
+    for q, idx, _ in pairs:
+        qset.setdefault(idx, set()).update(q.split())
+    for idx, texts in qset.items():
+        for w in set(chunks[idx].split()):
+            key = w.lower().strip(".,")
+            if not key or key in ENGLISH_STOPWORDS:
+                continue
+            rare = df.get(key, 1) <= 2
+            kept[rare][1] += 1
+            kept[rare][0] += int(w in texts)
+    rare_rate = kept[True][0] / max(kept[True][1], 1)
+    common_rate = kept[False][0] / max(kept[False][1], 1)
+    assert rare_rate > common_rate
 
 
 def test_gate_tiny_corpus_fallback_respects_checkpoint():
