@@ -12,10 +12,13 @@ local_rag_complete.py:1189-1227). Endpoints:
 
 Design: concurrent ``/query`` requests are merged by a micro-batcher —
 requests arriving within a small window ride ONE ``retrieve_batch`` call
-(the cascade's cost is nearly flat in batch size up to 8, so batching
-multiplies throughput at almost no latency cost). Batches are padded to
+(the cascade's cost is nearly flat in batch size up to 8 and only ~1.3x
+at 16, so batching multiplies throughput at almost no latency cost), and
+up to two batches are IN FLIGHT concurrently so host tokenization and
+the result-fetch RTT of one batch overlap the device execution of the
+other (double-buffering, VERDICT r4 next #7). Batches are padded to
 power-of-two sizes so the jitted cascade compiles at most for
-{1, 2, 4, 8}-query shapes — recompiles are expensive. ``/chat`` routes by
+{1, 2, 4, 8, 16}-query shapes — recompiles are expensive. ``/chat`` routes by
 ``session``: each named session owns a chatbot (history) + lock, so turns
 within a session stay ordered while DIFFERENT sessions run their 1-3 s
 generation calls concurrently (``ChatSessions``); omitting ``session``
@@ -38,13 +41,27 @@ log = get_logger(__name__)
 class MicroBatcher:
     """Merge concurrent single-query requests into batched retriever calls.
 
-    ``fn_batch(queries, top_k) -> List[List[rows]]`` is invoked from one
-    worker thread; callers block on ``submit`` until their slice is ready.
+    ``fn_batch(queries, top_k) -> List[List[rows]]`` is invoked from a
+    small dispatch pool; callers block on ``submit`` until their slice is
+    ready.
+
+    Double-buffered (VERDICT r4 next #7): up to ``inflight`` batches are
+    dispatched CONCURRENTLY, so batch N+1's host work (BPE tokenization,
+    BM25 term encoding, the host->device transfer) and batch N's
+    device->host result fetch overlap batch N's device execution instead
+    of serializing behind it. On tunneled devices the fetch RTT dominates
+    the dispatch cost, so a single-threaded loop spends most of its time
+    NOT collecting — measured 7.64 requests/dispatch at 32 concurrent
+    clients with the serial loop. The collector only forms a batch when a
+    dispatch slot is free (semaphore), so under load arrivals pool in the
+    queue and ride out in bigger batches. JAX dispatch is thread-safe;
+    concurrent batches serialize on-device, which is exactly the overlap
+    we want.
     """
 
-    def __init__(self, fn_batch: Callable, max_batch: int = 8,
+    def __init__(self, fn_batch: Callable, max_batch: int = 16,
                  window_s: float = 0.002, timeout_s: float = 300.0,
-                 default_top_k: int = 10):
+                 default_top_k: int = 10, inflight: int = 2):
         # timeout_s must exceed the FIRST jit compile of the fused cascade
         # (30-130 s through a tunneled TPU, CLAUDE.md) or the first
         # requests spuriously 500; serve() also warms the path up front.
@@ -54,11 +71,17 @@ class MicroBatcher:
         self.max_batch = max_batch
         self.window_s = window_s
         self.timeout_s = timeout_s
+        self.inflight = max(1, inflight)
         self.batches_run = 0          # observability / tests
         self.requests_served = 0
+        self._stats_lock = threading.Lock()   # concurrent dispatches
         self._cv = threading.Condition()
         self._items: List[dict] = []
         self._stop = False
+        self._slots = threading.BoundedSemaphore(self.inflight)
+        from concurrent.futures import ThreadPoolExecutor
+        self._pool = ThreadPoolExecutor(max_workers=self.inflight,
+                                        thread_name_prefix="mb-dispatch")
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="microbatcher")
         self._thread.start()
@@ -79,6 +102,7 @@ class MicroBatcher:
         with self._cv:
             self._stop = True
             self._cv.notify_all()
+        self._pool.shutdown(wait=False)   # running dispatches finish
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -89,43 +113,76 @@ class MicroBatcher:
         return min(p, cap)
 
     def _run(self):
+        """Collector: form a batch only when a dispatch slot is free, then
+        hand it to the pool. While every slot is busy, arrivals keep
+        pooling in ``_items`` and leave in one bigger batch."""
         while True:
-            with self._cv:
-                while not self._items and not self._stop:
-                    self._cv.wait(0.25)
-                if self._stop:
-                    for it in self._items:
-                        it["err"] = RuntimeError("server shutting down")
-                        it["ev"].set()
-                    return
-                batch = [self._items.pop(0)]
-            # gather more arrivals within the window, up to max_batch
-            deadline = time.monotonic() + self.window_s
-            while len(batch) < self.max_batch:
-                remaining = deadline - time.monotonic()
-                if remaining <= 0:
-                    break
+            # wait for a dispatch slot FIRST — this is what lets the queue
+            # grow into full batches while previous dispatches are in
+            # flight (blocking with a timeout so shutdown stays prompt)
+            while not self._slots.acquire(timeout=0.25):
                 with self._cv:
-                    if not self._items:
-                        self._cv.wait(remaining)
-                    while self._items and len(batch) < self.max_batch:
-                        batch.append(self._items.pop(0))
+                    if self._stop:
+                        self._drain_stop()
+                        return
+            got_batch = False
             try:
-                queries = [it["query"] for it in batch]
-                size = self._pad_size(len(queries), self.max_batch)
-                padded = queries + [queries[-1]] * (size - len(queries))
-                ks = [it["top_k"] or self.default_top_k for it in batch]
-                rows = self._fn(padded, max(ks))
+                with self._cv:
+                    while not self._items and not self._stop:
+                        self._cv.wait(0.25)
+                    if self._stop:
+                        self._drain_stop()
+                        return
+                    batch = [self._items.pop(0)]
+                # gather more arrivals within the window, up to max_batch
+                deadline = time.monotonic() + self.window_s
+                while len(batch) < self.max_batch:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    with self._cv:
+                        if not self._items:
+                            self._cv.wait(remaining)
+                        while self._items and len(batch) < self.max_batch:
+                            batch.append(self._items.pop(0))
+                got_batch = True
+                try:
+                    self._pool.submit(self._dispatch, batch)
+                except Exception as e:   # pool shut down mid-collect
+                    got_batch = False
+                    for it in batch:
+                        it["err"] = e
+                        it["ev"].set()
+            finally:
+                if not got_batch:      # slot not consumed by a dispatch
+                    self._slots.release()
+
+    def _drain_stop(self):
+        for it in self._items:
+            it["err"] = RuntimeError("server shutting down")
+            it["ev"].set()
+        self._items.clear()
+
+    def _dispatch(self, batch: List[dict]):
+        try:
+            queries = [it["query"] for it in batch]
+            size = self._pad_size(len(queries), self.max_batch)
+            padded = queries + [queries[-1]] * (size - len(queries))
+            ks = [it["top_k"] or self.default_top_k for it in batch]
+            rows = self._fn(padded, max(ks))
+            with self._stats_lock:
                 self.batches_run += 1
                 self.requests_served += len(batch)
-                for it, r, k in zip(batch, rows, ks):
-                    it["rows"] = r[:k]
-                    it["ev"].set()
-            except Exception as e:  # deliver the failure to every waiter
-                log.exception("micro-batch failed")
-                for it in batch:
-                    it["err"] = e
-                    it["ev"].set()
+            for it, r, k in zip(batch, rows, ks):
+                it["rows"] = r[:k]
+                it["ev"].set()
+        except Exception as e:  # deliver the failure to every waiter
+            log.exception("micro-batch failed")
+            for it in batch:
+                it["err"] = e
+                it["ev"].set()
+        finally:
+            self._slots.release()
 
 
 class ChatSessions:
@@ -247,7 +304,8 @@ def make_handler(app, batcher: Optional[MicroBatcher] = None,
 
 
 def make_server(app, host: str = "127.0.0.1", port: int = 8080,
-                max_batch: int = 8, batch_window_s: float = 0.002):
+                max_batch: int = 16, batch_window_s: float = 0.002,
+                inflight: int = 2):
     """-> (httpd, batcher), warmed and ready to ``serve_forever()``.
 
     Split out of ``serve`` so embedders (tools/serve_probe.py, tests) can
@@ -275,7 +333,8 @@ def make_server(app, host: str = "127.0.0.1", port: int = 8080,
         log.warning("warmup skipped: %s", e)
     batcher = MicroBatcher(app.query_batch, max_batch=max_batch,
                            window_s=batch_window_s,
-                           default_top_k=app.config.final_top_k)
+                           default_top_k=app.config.final_top_k,
+                           inflight=inflight)
     httpd = ThreadingHTTPServer(
         (host, port), make_handler(app, batcher, ChatSessions(app)))
     log.info("serving on http://%s:%d (endpoints: /health /stats /query "
@@ -285,7 +344,7 @@ def make_server(app, host: str = "127.0.0.1", port: int = 8080,
 
 
 def serve(app, host: str = "127.0.0.1", port: int = 8080,
-          max_batch: int = 8, batch_window_s: float = 0.002) -> None:
+          max_batch: int = 16, batch_window_s: float = 0.002) -> None:
     """Blocking server loop. ``app`` must have initialize_chatbot() done."""
     httpd, batcher = make_server(app, host, port, max_batch, batch_window_s)
     try:

@@ -14,7 +14,7 @@ the number that shows batching is actually riding one fused call).
 
     python -m hybrid_rag_colbertv2_tpu.tools.serve_probe \
         [--n-docs 112] [--concurrency 1,4,8,16,32] [--requests 64]
-        [--window-ms 2.0] [--max-batch 8] [--train-steps 0] [--json]
+        [--window-ms 2.0] [--max-batch 16] [--inflight 2] [--train-steps 0] [--json]
 
 ``--chat`` probes ``POST /chat`` instead: C clients each own a NAMED
 session and a mock Ollama sidecar answers ``/api/generate`` after a
@@ -210,7 +210,9 @@ def main(argv=None) -> int:
     ap.add_argument("--requests", type=int, default=64,
                     help="requests PER CLIENT THREAD at each level")
     ap.add_argument("--window-ms", type=float, default=2.0)
-    ap.add_argument("--max-batch", type=int, default=8)
+    ap.add_argument("--max-batch", type=int, default=16)
+    ap.add_argument("--inflight", type=int, default=2,
+                    help="concurrent in-flight batches (double-buffering)")
     ap.add_argument("--train-steps", type=int, default=0)
     ap.add_argument("--chat", action="store_true",
                     help="probe POST /chat with per-client sessions and "
@@ -242,7 +244,8 @@ def main(argv=None) -> int:
 
         httpd, batcher = make_server(app, port=0,
                                      max_batch=args.max_batch,
-                                     batch_window_s=args.window_ms / 1e3)
+                                     batch_window_s=args.window_ms / 1e3,
+                                     inflight=args.inflight)
         srv = threading.Thread(target=httpd.serve_forever, daemon=True)
         srv.start()
         base = f"http://127.0.0.1:{httpd.server_address[1]}"
@@ -283,6 +286,7 @@ def main(argv=None) -> int:
                 mock.server_close()
         out = {"chunks": n_chunks,
                "max_batch": args.max_batch,
+               "inflight": args.inflight,
                "window_ms": args.window_ms,
                **({"mode": "chat",
                    "gen_latency_ms": args.gen_latency_ms}

@@ -42,6 +42,90 @@ def test_minimal_pdf_reader(tmp_path):
     assert pages == 1
 
 
+def make_sized_pdf(path: Path, sized_lines):
+    """Hand-built single-page PDF whose lines carry explicit font sizes:
+    ``sized_lines`` = [(pt_size, text), ...]."""
+    parts = [b"BT 72 720 Td"]
+    for size, text in sized_lines:
+        parts.append(b"/F1 %d Tf (%s) Tj 0 -20 Td"
+                     % (size, text.encode()))
+    parts.append(b"ET")
+    content = b" ".join(parts)
+    stream = zlib.compress(content)
+    objs = []
+    objs.append(b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    objs.append(b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    objs.append(b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox "
+                b"[0 0 612 792] /Contents 4 0 R >>\nendobj\n")
+    objs.append(b"4 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n"
+                % len(stream) + stream + b"\nendstream\nendobj\n")
+    body = b"%PDF-1.4\n" + b"".join(objs)
+    body += b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    path.write_bytes(body)
+
+
+def test_pdf_heading_inference_font_sizes(tmp_path):
+    """VERDICT r4 next #5: the built-in reader (no pymupdf) must infer
+    ``#`` headings from Tf font sizes so the structure-aware chunker
+    sees real hierarchy — matching the pymupdf4llm behavior the
+    reference relies on (local_rag_complete.py:483-486)."""
+    from hybrid_rag_colbertv2_tpu.ingest.pdf import minimal_pdf_page_texts
+
+    body_a = "The dense retriever scores token embeddings with MaxSim " \
+             "over the whole corpus and keeps the best ten documents."
+    body_b = "The lexical index scores stemmed terms with saturating " \
+             "frequency weights and document length normalization."
+    p = tmp_path / "doc.pdf"
+    make_sized_pdf(p, [
+        (24, "Retrieval Systems Handbook"),        # title -> #
+        (18, "Dense retrieval"),                   # section -> ##
+        (12, body_a),
+        (18, "Lexical retrieval"),                 # section -> ##
+        (12, body_b),
+    ])
+    pages = minimal_pdf_page_texts(p)
+    md = "\n".join(pages)
+    assert "# Retrieval Systems Handbook" in md
+    assert "## Dense retrieval" in md
+    assert "## Lexical retrieval" in md
+    assert body_a.split()[:4] == md.split(
+        "## Dense retrieval")[1].split("##")[0].split()[:4]
+
+    # the chunker sees the hierarchy: chunks carry a real heading_path
+    from hybrid_rag_colbertv2_tpu.ingest.chunker import (ChunkerConfig,
+                                                         MarkdownChunker)
+    chunks = MarkdownChunker(ChunkerConfig(min_tokens=8, max_tokens=64)
+                             ).chunk(md)
+    paths = {c["heading_path"] for c in chunks}
+    # a real hierarchy: the title is the root of every path and at least
+    # one section became a nested level (small sections may merge upward)
+    assert all(p.startswith("Retrieval Systems Handbook") for p in paths)
+    assert any(" > " in p for p in paths), paths
+
+
+def test_pdf_heading_inference_tm_scale(tmp_path):
+    """Headings set via the Tm text-matrix scale (Tf 1 + Tm pattern)."""
+    from hybrid_rag_colbertv2_tpu.ingest.pdf import minimal_pdf_page_texts
+
+    content = (b"BT /F1 1 Tf 24 0 0 24 72 720 Tm (Big Title) Tj "
+               b"12 0 0 12 72 680 Tm (Plain body text about systems "
+               b"and their properties in general.) Tj ET")
+    stream = zlib.compress(content)
+    objs = []
+    objs.append(b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    objs.append(b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    objs.append(b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox "
+                b"[0 0 612 792] /Contents 4 0 R >>\nendobj\n")
+    objs.append(b"4 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n"
+                % len(stream) + stream + b"\nendstream\nendobj\n")
+    p = tmp_path / "tm.pdf"
+    p.write_bytes(b"%PDF-1.4\n" + b"".join(objs)
+                  + b"trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+    md = "\n".join(minimal_pdf_page_texts(p))
+    assert "# Big Title" in md
+    assert "Plain body text" in md and "# Plain" not in md
+
+
 def test_document_to_markdown_text_files(tmp_path):
     p = tmp_path / "notes.md"
     p.write_text("# Title\n\nSome body text.")

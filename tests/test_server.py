@@ -132,6 +132,54 @@ def test_microbatcher_merges_concurrent_requests():
         mb.close()
 
 
+def test_microbatcher_double_buffers():
+    """VERDICT r4 next #7: up to ``inflight`` batches dispatch
+    CONCURRENTLY — batch N+1 must enter fn_batch while batch N is still
+    inside it (overlapping host work + fetch RTT with device compute)."""
+    import time
+    from hybrid_rag_colbertv2_tpu.app.server import MicroBatcher
+
+    lock = threading.Lock()
+    active = [0]
+    peak = [0]
+
+    def fn_batch(queries, top_k):
+        with lock:
+            active[0] += 1
+            peak[0] = max(peak[0], active[0])
+        time.sleep(0.05)                    # "device execution"
+        with lock:
+            active[0] -= 1
+        return [[{"chunk_id": i, "rank": 1}] for i, _ in enumerate(queries)]
+
+    mb = MicroBatcher(fn_batch, max_batch=4, window_s=0.001, inflight=2)
+    try:
+        threads = [threading.Thread(target=mb.submit, args=(f"q{i}",))
+                   for i in range(16)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert peak[0] == 2, f"no overlap observed (peak={peak[0]})"
+        assert mb.requests_served == 16
+    finally:
+        mb.close()
+
+    # inflight=1 must degrade to the strict serial behavior
+    peak[0] = 0
+    mb1 = MicroBatcher(fn_batch, max_batch=4, window_s=0.001, inflight=1)
+    try:
+        threads = [threading.Thread(target=mb1.submit, args=(f"q{i}",))
+                   for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert peak[0] == 1
+    finally:
+        mb1.close()
+
+
 def test_microbatcher_propagates_errors_and_top_k():
     from hybrid_rag_colbertv2_tpu.app.server import MicroBatcher
 
