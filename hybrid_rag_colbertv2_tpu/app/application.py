@@ -144,6 +144,9 @@ class RAGApplication:
                 # activations dtype; params stay fp32. bf16 roughly doubles
                 # MXU throughput for corpus encoding (the indexing hot loop)
                 dtype=enc_dtype,
+                # self-contained encoders only: guaranteed exact-token-match
+                # affinity (see config.encoder_lexical_anchor)
+                lexical_anchor=cfg.encoder_lexical_anchor,
             )
         params = None
         if ckpt is not None:

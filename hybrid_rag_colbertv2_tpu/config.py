@@ -296,6 +296,15 @@ class RAGConfig:
     # its own word appears in); this keeps them close for the whole run.
     # 0 disables. Only meaningful with encoder_synonym_prob > 0.
     encoder_tie_weight: float = 0.0
+    # Lexical-anchor gate init for self-contained (non-checkpoint)
+    # encoders (models/colbert.py ColBERTConfig.lexical_anchor): adds a
+    # learnable-gated per-token-id embedding to the projection output so
+    # an exact token match always contributes similarity, even when the
+    # backbone's contextual mixing collapses sibling-chunk slot tokens
+    # (the round-5 miss diagnosis: 86-89% of dense top-1 misses were
+    # sibling chunks). 0 disables; ignored when encoder_checkpoint is
+    # set (pretrained backbones already carry exact-match affinity).
+    encoder_lexical_anchor: float = 0.0
     # Numeric/unit canonicalization in the corpus-trained dense tokenizer
     # (utils/textfold.py): "sixty"->"60", "gigabytes"->"gb" on BOTH doc
     # and query side, so slot values match across surface forms — the

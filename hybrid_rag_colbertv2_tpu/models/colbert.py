@@ -70,6 +70,23 @@ class ColBERTConfig:
     query_max_tokens: int = 32
     doc_max_tokens: int = 256
     dtype: Any = jnp.float32
+    # > 0: LEXICAL ANCHOR — add a gated per-token-id embedding (a second,
+    # (vocab, colbert_dim) table) to the projection output BEFORE the L2
+    # norm: e_i = normalize(proj(h_i) + g * A[token_i]), g a learnable
+    # scalar initialized to this value. Random ~unit-norm anchor rows are
+    # quasi-orthogonal in 128-d, so an exact token match contributes a
+    # guaranteed ~g^2/(1+g^2) similarity while different tokens get ~0
+    # from the anchor — the exact-match affinity a pretrained ColBERT
+    # exhibits, which a small corpus-trained backbone loses to contextual
+    # mixing (round-5 diagnosis: 86-89% of dense top-1 misses were
+    # sibling chunks sharing the sentence frame; the discriminating slot
+    # tokens' contextual embeddings collapse toward their in-frame
+    # alternatives). Synonym rows are tied at init like word_embeddings
+    # (train/lexicon.py::tie_synonym_embeddings), so the anchor preserves
+    # the lexicon prior. 0 = off (pretrained checkpoints — their
+    # backbones already carry this behavior; there is no such table in
+    # HF weights).
+    lexical_anchor: float = 0.0
 
     @classmethod
     def jina_colbert_v2(cls, **kw) -> "ColBERTConfig":
@@ -223,6 +240,22 @@ class ColBERTModel(nn.Module):
         # ColBERT projection head (no bias, like the official linear layer)
         emb = nn.Dense(cfg.colbert_dim, use_bias=False, dtype=cfg.dtype,
                        name="colbert_linear")(x)
+        if cfg.lexical_anchor > 0.0:
+            # lexical anchor (see ColBERTConfig.lexical_anchor): the
+            # projection output is normalized FIRST so the learnable gate
+            # controls the anchor/context mix independent of the
+            # backbone's output scale
+            emb = emb / jnp.maximum(
+                jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+            anchor = nn.Embed(
+                cfg.vocab_size, cfg.colbert_dim, dtype=cfg.dtype,
+                embedding_init=nn.initializers.normal(
+                    1.0 / float(np.sqrt(cfg.colbert_dim))),
+                name="anchor_embeddings")(input_ids)
+            gate = self.param(
+                "anchor_gate",
+                lambda _rng: jnp.asarray(cfg.lexical_anchor, jnp.float32))
+            emb = emb + gate.astype(cfg.dtype) * anchor
         emb = emb / jnp.maximum(
             jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
         # zero padding rows: downstream kernels assume padded tokens are 0

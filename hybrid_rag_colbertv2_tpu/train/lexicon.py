@@ -340,29 +340,37 @@ def tie_synonym_embeddings(params: dict, tokenizer) -> int:
     """
     import numpy as np
 
-    emb_node = params.get("word_embeddings")
-    if emb_node is None or "embedding" not in emb_node:
-        return 0
-    table = np.array(emb_node["embedding"])   # writable copy
-    n_vocab = table.shape[0]
     tied = 0
-    for key, syns in SYNONYMS.items():
-        kids = tokenizer._ids(key)
-        if len(kids) != 1 or not 0 <= kids[0] < n_vocab:
+    # tie BOTH per-token-id tables: the backbone word embeddings and the
+    # lexical-anchor table when present (models/colbert.py
+    # ColBERTConfig.lexical_anchor — an untied anchor would give "rapid"
+    # zero anchor affinity against a chunk saying "fast", breaking the
+    # very prior this init exists to seed)
+    for node_name in ("word_embeddings", "anchor_embeddings"):
+        emb_node = params.get(node_name)
+        if emb_node is None or "embedding" not in emb_node:
             continue
-        for s in syns:
-            if " " in s:
+        table = np.array(emb_node["embedding"])   # writable copy
+        n_vocab = table.shape[0]
+        node_tied = 0
+        for key, syns in SYNONYMS.items():
+            kids = tokenizer._ids(key)
+            if len(kids) != 1 or not 0 <= kids[0] < n_vocab:
                 continue
-            sids = tokenizer._ids(s)
-            if len(sids) != 1 or not 0 <= sids[0] < n_vocab:
-                continue
-            if sids[0] == kids[0]:
-                continue
-            table[sids[0]] = table[kids[0]]
-            tied += 1
-    if tied:
-        import jax.numpy as jnp
-        emb_node["embedding"] = jnp.asarray(table)
+            for s in syns:
+                if " " in s:
+                    continue
+                sids = tokenizer._ids(s)
+                if len(sids) != 1 or not 0 <= sids[0] < n_vocab:
+                    continue
+                if sids[0] == kids[0]:
+                    continue
+                table[sids[0]] = table[kids[0]]
+                node_tied += 1
+        if node_tied:
+            import jax.numpy as jnp
+            emb_node["embedding"] = jnp.asarray(table)
+        tied = max(tied, node_tied)
     return tied
 
 

@@ -286,3 +286,52 @@ def test_tokenizer_roundtrip_and_protocol(tok):
     assert n < 16 and (dids[n:] == tok.pad).all()
     # counting is consistent with encoding
     assert tok.count_tokens("quick brown fox") == n - 3
+
+
+def test_lexical_anchor_exact_match_affinity(tok):
+    """lexical_anchor > 0 (models/colbert.py ColBERTConfig.lexical_anchor):
+    an UNTRAINED encoder must already give same-token-id (query tok, doc
+    tok) pairs higher cosine than different-token pairs — the anchor term
+    g*A[token] survives the backbone's contextual mixing. Also keeps the
+    maxsim invariants (unit rows, zero padding) and save/load roundtrip."""
+    cfg = ColBERTConfig.tiny(vocab_size=tok.vocab_size, lexical_anchor=1.0)
+    enc = ColBERTEncoder(cfg, tok, seed=0)
+    assert "anchor_embeddings" in enc.params and "anchor_gate" in enc.params
+
+    embs, lengths = enc.encode_docs(CORPUS[:4], doc_len=32)
+    embs = np.asarray(embs)
+    # invariants: unit-norm live rows, zeroed padding rows
+    for i in range(4):
+        n = int(lengths[i])
+        norms = np.linalg.norm(embs[i], axis=-1)
+        np.testing.assert_allclose(norms[:n], 1.0, rtol=1e-4)
+        np.testing.assert_allclose(norms[n:], 0.0, atol=1e-6)
+
+    # same-token vs cross-token affinity, measured on the doc embeddings
+    # themselves: CORPUS[0] == CORPUS[4] textually, but compare token rows
+    # across DIFFERENT sentences sharing ids via the tokenizer
+    ids0, n0 = tok.encode_doc(CORPUS[0], 32)
+    ids1, n1 = tok.encode_doc(CORPUS[1], 32)
+    same, diff = [], []
+    for a in range(2, n0 - 1):          # skip CLS/[D] marker and SEP
+        for b in range(2, n1 - 1):
+            sim = float(embs[0, a] @ embs[1, b])
+            (same if ids0[a] == ids1[b] else diff).append(sim)
+    assert same, "corpus sentences share no token ids; fixture broken"
+    # g=1: shared anchor contributes ~g^2/(1+g^2)=0.5; cross pairs ~0
+    assert np.mean(same) > np.mean(diff) + 0.25, (np.mean(same), np.mean(diff))
+
+    # off by default: no anchor table in the tree
+    cfg_off = ColBERTConfig.tiny(vocab_size=tok.vocab_size)
+    enc_off = ColBERTEncoder(cfg_off, tok, seed=0)
+    assert "anchor_embeddings" not in enc_off.params
+
+    # save/load roundtrip with the extra tree nodes
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        p = f"{td}/params.npz"
+        enc.save_params(p)
+        enc2 = ColBERTEncoder(cfg, tok, params=ColBERTEncoder.load_params(p))
+        q1 = enc.encode_queries(["fox jumps"])
+        q2 = enc2.encode_queries(["fox jumps"])
+        np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), atol=1e-6)
