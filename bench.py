@@ -330,18 +330,19 @@ def run_recall(result, ctx):
         f"docs): {r:.3f}")
     result["recall10_vs_exact"] = round(r, 3)
 
-    # int4-doc variant (round 4): SAME fp32 truth (reused from above),
-    # nibble-packed 4-bit index (half the HBM / gather bytes —
-    # ops/quant.quantize_int4_docs). Measures what the coarser per-doc
-    # 4-bit grid costs in cascade recall on the same corpus.
-    from hybrid_rag_colbertv2_tpu.ops.quant import quantize_int4_docs
+    # int4-doc variant (round 4, group scales round 5): SAME fp32 truth
+    # (reused from above), nibble-packed 4-bit index (half the HBM /
+    # gather bytes — ops/quant.quantize_int4_groups, 8 token rows per
+    # scale). Measures what the 4-bit group grid costs in cascade recall
+    # on the same corpus.
+    from hybrid_rag_colbertv2_tpu.ops.quant import quantize_int4_groups
 
     @jax.jit
     def recall_int4_on_device(q, q_terms_r, lex_ip, lex_pd, lex_pw,
                               emb_flat, scales_r, lens, e_top):
         embs3 = (emb_flat.astype(jnp.float32)
                  * scales_r[:, None]).reshape(nr, doc_len, dim)
-        packed, dsc = quantize_int4_docs(embs3, lens)
+        packed, dsc = quantize_int4_groups(embs3, lens)
         pooled4 = pooled_doc_embeddings(packed, None, lens,
                                         doc_len=doc_len, doc_scales=dsc,
                                         packed_int4=True)
@@ -439,23 +440,28 @@ def _measure_fused(result, ctx, fix, emb, scales, dsc, pooled, *,
 
 
 def _gen_packed_int4(fix, dim):
-    """Fresh nibble-packed pair-row index (n_pad * L/2, D) + per-doc
-    scales. Plain randint fuses the threefry into the int8 consumer; a
-    bits+bitcast+reshape chain materializes ~4x the output in u32 temps
-    (measured compile-reported OOM at 1M x 64)."""
+    """Fresh nibble-packed pair-row index (n_pad * L/2, D) + per-token-
+    GROUP scales in the (G, n_pad) doc-axis-minor layout
+    (ops/quant.quantize_int4_groups). Plain randint fuses the threefry
+    into the int8 consumer; a bits+bitcast+reshape chain materializes
+    ~4x the output in u32 temps (measured compile-reported OOM at
+    1M x 64)."""
     import jax
     import jax.numpy as jnp
 
+    from hybrid_rag_colbertv2_tpu.ops.quant import int4_group_size
+
     n_pad, doc_len = fix["n_pad"], fix["doc_len"]
+    ng = doc_len // int4_group_size(doc_len)
 
     @jax.jit
     def gen(key, lens):
         k1, k2 = jax.random.split(key)
         rows = n_pad * doc_len // 2
         packed = jax.random.randint(k1, (rows, dim), -127, 128, jnp.int8)
-        dsc = (0.9 + 0.2 * jax.random.uniform(k2, (n_pad,))) / (
+        dsc = (0.9 + 0.2 * jax.random.uniform(k2, (ng, n_pad))) / (
             7.0 * np.sqrt(dim))
-        return packed, jnp.where(lens > 0, dsc, 0.0)
+        return packed, jnp.where(lens[None, :] > 0, dsc, 0.0)
 
     return gen(jax.random.PRNGKey(1), fix["lens_dev"])
 
@@ -512,11 +518,80 @@ def run_1m(result, ctx):
         scales.delete()
         q4, dsc = _gen_packed_int4(fix, dim)
         jax.block_until_ready(q4)
-        _measure_fused(result, ctx, fix, q4, None, dsc, pooled,
-                       prefilter=prefilter, is_int8=False,
-                       result_key="p50_ms_1m_int4", label="1M int4")
+        p50_4 = _measure_fused(result, ctx, fix, q4, None, dsc, pooled,
+                               prefilter=prefilter, is_int8=False,
+                               result_key="p50_ms_1m_int4",
+                               label="1M int4")
+        result["qps_chip_1m_int4"] = round(batch / (p50_4 / 1e3), 1)
+        _throughput_fields(result, ctx, fix, q4, dsc)
     except Exception as e:      # the int4 field must not sink the pass
         log(f"1M int4 leg skipped: {type(e).__name__}: {e}")
+
+
+def _throughput_fields(result, ctx, fix, q4, dsc):
+    """VERDICT r4 #9: machine-visible perf fields so regressions across
+    rounds are diffable in BENCH_r{N}.json, not prose. Two primitives
+    bracket the system: (a) the raw full-corpus int4 MaxSim scan (the
+    bandwidth-bound primitive the pruned cascade replaces — its GB/s is
+    the HBM story, its TFLOPS the MXU story), (b) the query-encoder
+    forward (the compute-bound primitive), with FLOPs taken from XLA's
+    own cost analysis of the compiled executable."""
+    import jax
+
+    from hybrid_rag_colbertv2_tpu.ops.maxsim import maxsim_scores_int4_doc
+    from hybrid_rag_colbertv2_tpu.retrieval.cascade import pack_query_batch
+    from hybrid_rag_colbertv2_tpu.utils.timing import queued_timeit
+
+    encoder, batch = ctx["encoder"], ctx["batch"]
+    doc_len, n_pad = fix["doc_len"], fix["n_pad"]
+    dim = ctx["dim"]
+    lq = encoder.cfg.query_max_tokens
+    q_emb = jax.block_until_ready(
+        encoder.encode_queries(fix["queries"]))       # (B, Lq, D)
+
+    def scan_once():
+        return maxsim_scores_int4_doc(q_emb, q4, dsc, fix["lens_dev"],
+                                      doc_len=doc_len)
+
+    jax.block_until_ready(scan_once())
+    iters = 8 if ctx["on_tpu"] else 2
+    p50s, _ = queued_timeit(scan_once, iters, 3)
+    # the pair-row trick runs the same MACs as an unpacked scan:
+    # 2 * B * N * L * D * Lq
+    flops = 2.0 * batch * n_pad * doc_len * dim * lq
+    gb = (q4.size + dsc.size * 4) / 1e9
+    result["scan_p50_ms_1m_int4"] = round(p50s, 3)
+    result["scan_tflops_1m_int4"] = round(flops / (p50s / 1e3) / 1e12, 1)
+    result["scan_gbps_1m_int4"] = round(gb / (p50s / 1e3), 1)
+    log(f"1M int4 full scan: p50={p50s:.2f}ms "
+        f"{result['scan_tflops_1m_int4']} TFLOPS "
+        f"{result['scan_gbps_1m_int4']} GB/s")
+
+    # encoder forward: FLOPs from XLA cost analysis of the jitted fwd
+    model, params = encoder.model, encoder.params
+    packed = pack_query_batch(encoder, fix["lex"], fix["queries"])
+    q_ids = packed[:, :lq]
+
+    def enc_once():
+        return model.apply({"params": params}, q_ids,
+                           jax.numpy.ones_like(q_ids))
+
+    fwd = jax.jit(lambda p, x: model.apply(
+        {"params": p}, x, jax.numpy.ones_like(x)))
+    try:
+        cost = fwd.lower(params, q_ids).compile().cost_analysis()
+        enc_flops = float(cost.get("flops", 0.0))
+    except Exception:
+        enc_flops = 0.0
+    jax.block_until_ready(enc_once())
+    p50e, _ = queued_timeit(enc_once, iters, 3)
+    result["encoder_p50_ms_b8"] = round(p50e, 3)
+    if enc_flops > 0:
+        result["encoder_tflops"] = round(
+            enc_flops / (p50e / 1e3) / 1e12, 1)
+    log(f"encoder fwd (B={batch}): p50={p50e:.2f}ms "
+        f"~{result.get('encoder_tflops', 'n/a')} TFLOPS "
+        f"(xla flops={enc_flops:.3g})")
 
 
 def run_2m_int4(result, ctx):
@@ -846,6 +921,57 @@ def run_organic(result, ctx):
             [org[s]["hit10"] for s in slices])), 3)
         org["hit10_mean_bm25_only"] = round(float(np.mean(
             [org[s]["hit10_bm25_only"] for s in slices])), 3)
+        # generator-DISJOINT slice (VERDICT r4 next #3): ~40 hand-written
+        # natural questions with keyphrase-anchored gold chunks — the
+        # template slices above sample their vocabulary from the gold
+        # chunk (BM25's best case, saturates 0.85-0.95); these do not.
+        from hybrid_rag_colbertv2_tpu.tools.organic_questions import (
+            evaluate_questions)
+        nat = evaluate_questions(app, k=10)
+        org["questions"] = nat
+        log(f"organic hand-written questions: {json.dumps(nat)}")
+        if nat.get("n"):
+            result["organic_q_hit10"] = nat["hit10"]
+            result["organic_q_bm25_only"] = nat["hit10_bm25_only"]
+        # truncation cost (VERDICT r4 next #6): the dense index scores
+        # only the first doc_max_tokens of a chunk. Re-encode this
+        # corpus at doc_len=64 and measure the dense-only ICT hit@10
+        # drop vs the full-length (192) index — ICT spans sample the
+        # WHOLE chunk, so prefix truncation shows up directly.
+        try:
+            from hybrid_rag_colbertv2_tpu.index.dense import DenseTokenIndex
+            embs64, lens64 = app.encoder.encode_docs(corpus, doc_len=64)
+            idx64 = DenseTokenIndex.build(embs64, lens64, doc_len=64,
+                                          dtype="int8")
+            pairs = pseudo_query_pairs(corpus, n_pairs_per_doc=1, seed=97)
+            rng = np.random.default_rng(97)
+            rng.shuffle(pairs)
+            pairs = pairs[:n_eval]
+            qs = [q for q, _ in pairs]
+            srcs = np.array([i for _, i in pairs])
+            full_dense = app.indexes.dense
+
+            def dense_hit(idx):
+                hits = []
+                for i0 in range(0, len(qs), 8):
+                    qe = app.encoder.encode_queries(qs[i0:i0 + 8])
+                    _, di = idx.search_topk(qe, 10)
+                    di = np.asarray(di)
+                    for j in range(di.shape[0]):
+                        hits.append(srcs[i0 + j] in set(di[j].tolist()))
+                return round(float(np.mean(hits)), 3)
+
+            trunc = {"dense_hit10_full": dense_hit(full_dense),
+                     "dense_hit10_len64": dense_hit(idx64),
+                     "pct_docs_truncated_at_64": round(float(np.mean(
+                         np.asarray(lens64) >= 64)), 3)}
+            trunc["delta"] = round(
+                trunc["dense_hit10_len64"] - trunc["dense_hit10_full"], 3)
+            org["truncation"] = trunc
+            result["trunc64_dense_delta"] = trunc["delta"]
+            log(f"organic truncation probe: {json.dumps(trunc)}")
+        except Exception as e:
+            log(f"truncation probe skipped: {type(e).__name__}: {e}")
         result["organic"] = org
 
 

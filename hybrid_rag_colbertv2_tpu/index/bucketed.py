@@ -236,6 +236,13 @@ class BucketedDenseIndex:
             if sub.is_int8:
                 sc = sub.scales.reshape(sub.n_pad, sub.doc_len)[rows]
                 g = g * sc[..., None]
+            elif sub.doc_scales is not None and sub.doc_scales.ndim == 2:
+                # int4 group scales (G, n_pad) -> per-row (K, L_b);
+                # duplicated padding rows are masked by lens
+                gsz = sub.doc_len // sub.doc_scales.shape[0]
+                sc = jnp.repeat(jnp.transpose(sub.doc_scales[:, rows]),
+                                gsz, axis=1)
+                g = g * sc[..., None]
             elif sub.doc_scales is not None:
                 # "int8-doc": duplicated padding rows are masked by lens
                 g = g * sub.doc_scales[rows][:, None, None]

@@ -49,6 +49,10 @@ def save_sharded(dense: DenseTokenIndex, path) -> None:
         "has_scales": dense.scales is not None,
         "has_pooled": dense.pooled is not None,
         "has_doc_scales": dense.doc_scales is not None,
+        # int4-doc group scales are (G, n_pad) with the doc axis MINOR
+        "doc_scale_groups": (int(dense.doc_scales.shape[0])
+                             if dense.doc_scales is not None
+                             and dense.doc_scales.ndim == 2 else 0),
         # nibble-packed "int4-doc" stores L/2 full-width pair-rows per
         # doc (emb_rows < n_pad * doc_len); emb_width covers checkpoints
         # from the earlier feature-halves layout (width dim/2)
@@ -100,10 +104,28 @@ def load_sharded(path, mesh=None, axis: str = "data") -> DenseTokenIndex:
     if meta["has_pooled"]:
         target["pooled"] = abs_arr((n_pad, dim), "bfloat16", row_s)
     # checkpoints predating the int8-doc layout have no has_doc_scales key
+    ng = meta.get("doc_scale_groups", 0)
     if meta.get("has_doc_scales"):
-        target["doc_scales"] = abs_arr((n_pad,), "float32", vec_s)
+        if ng:
+            # int4-doc group scales: doc axis minor -> sharded on axis 1
+            gs_s = (NamedSharding(mesh, P(None, axis)) if mesh is not None
+                    else vec_s)
+            target["doc_scales"] = abs_arr((ng, n_pad), "float32", gs_s)
+        else:
+            target["doc_scales"] = abs_arr((n_pad,), "float32", vec_s)
     with ocp.StandardCheckpointer() as ckptr:
         tree = ckptr.restore(d / "arrays", target)
+    if (meta.get("has_doc_scales") and not ng
+            and meta.get("emb_rows", n_pad * doc_len) < n_pad * doc_len):
+        # legacy round-4 per-doc int4 checkpoint: uniform broadcast over
+        # the group axis is exact under the group kernel (index/dense.py)
+        from ..ops.quant import int4_group_size
+
+        ng_up = doc_len // int4_group_size(doc_len)
+        gs = jnp.tile(tree["doc_scales"][None, :], (ng_up, 1))
+        if mesh is not None:
+            gs = jax.device_put(gs, NamedSharding(mesh, P(None, axis)))
+        tree["doc_scales"] = gs
     return DenseTokenIndex(
         emb_flat=tree["emb_flat"],
         doc_lengths=tree["doc_lengths"],

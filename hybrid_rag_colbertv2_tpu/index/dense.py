@@ -33,8 +33,9 @@ from ..ops.maxsim import (maxsim_scores, maxsim_scores_exact,
                           maxsim_scores_int4_doc, maxsim_scores_int8,
                           maxsim_scores_int8_doc)
 from ..ops.prefilter import maxsim_topk_pruned, pooled_doc_embeddings
-from ..ops.quant import (quantize_int4_docs, quantize_int8_docs,
-                         quantize_int8_rows, unpack_int4_pairs)
+from ..ops.quant import (int4_group_size, quantize_int4_groups,
+                         quantize_int8_docs, quantize_int8_rows,
+                         unpack_int4_pairs)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -68,6 +69,11 @@ class DenseTokenIndex:
     # masking vanish from the kernel's per-sims-element work — see
     # ops/maxsim.py::maxsim_scores_int8_doc). Padded token rows duplicate
     # the doc's first row in this layout (NOT zeros).
+    # For dtype="int4-doc" this field instead holds PER-TOKEN-GROUP scales
+    # shaped (G, N_pad) f32 with the doc axis MINOR (no 128-lane padding;
+    # sharded on axis 1) — 8 token rows per scale by default
+    # (ops/quant.py::quantize_int4_groups; recall@10 vs exact was 0.938
+    # under per-doc scales, the group grid restores the >=0.99 bar).
     doc_scales: Optional[jax.Array] = None
 
     # ------------------------------------------------------------------
@@ -104,10 +110,10 @@ class DenseTokenIndex:
         elif dtype == "int8-doc":
             flat, doc_scales = quantize_int8_docs(token_embs, lengths)
         elif dtype == "int4-doc":
-            # nibble-packed pair-rows: (n_pad * L/2, D) int8, per-doc
-            # scales — half the HBM of int8 at full lane width
-            # (ops/quant.py::quantize_int4_docs)
-            flat, doc_scales = quantize_int4_docs(token_embs, lengths)
+            # nibble-packed pair-rows: (n_pad * L/2, D) int8, per-token-
+            # group scales (G, n_pad) — half the HBM of int8 at full lane
+            # width (ops/quant.py::quantize_int4_groups)
+            flat, doc_scales = quantize_int4_groups(token_embs, lengths)
         else:
             flat = token_embs.reshape(n_pad * doc_len, d).astype(
                 jnp.dtype(dtype))
@@ -194,8 +200,13 @@ class DenseTokenIndex:
                 [self.scales[: n1 * ld], new.scales[: n2 * ld]]),
                 (0, pad * ld))
         if self.doc_scales is not None:
-            doc_scales = jnp.pad(jnp.concatenate(
-                [self.doc_scales[:n1], new.doc_scales[:n2]]), (0, pad))
+            if self.doc_scales.ndim == 2:      # int4 group scales (G, N)
+                doc_scales = jnp.pad(jnp.concatenate(
+                    [self.doc_scales[:, :n1], new.doc_scales[:, :n2]],
+                    axis=1), ((0, 0), (0, pad)))
+            else:
+                doc_scales = jnp.pad(jnp.concatenate(
+                    [self.doc_scales[:n1], new.doc_scales[:n2]]), (0, pad))
         pooled = jnp.pad(jnp.concatenate(
             [self.ensure_pooled()[:n1], new.pooled[:n2]]),
             ((0, pad), (0, 0)))
@@ -230,16 +241,23 @@ class DenseTokenIndex:
         src_scales = (self.scales.reshape(nb, blk * ld)
                       if self.scales is not None else
                       jnp.zeros((nb, 1), jnp.float32))
-        src_dsc = (self.doc_scales.reshape(nb, blk)
-                   if self.doc_scales is not None else
-                   jnp.zeros((nb, 1), jnp.float32))
+        if self.doc_scales is None:
+            src_dsc = jnp.zeros((nb, 1), jnp.float32)
+        elif self.doc_scales.ndim == 2:        # int4 group scales (G, N)
+            src_dsc = jnp.transpose(self.doc_scales).reshape(
+                nb, blk, self.doc_scales.shape[0])
+        else:
+            src_dsc = self.doc_scales.reshape(nb, blk)
         tok = jnp.arange(ld, dtype=jnp.int32)
 
         def one(c):
             e, sc, dsc, ln = c
             if self.is_int4:
+                # dsc: (blk, G) group scales -> per-row (blk, L)
+                gsz = ld // dsc.shape[-1]
+                sc_rows = jnp.repeat(dsc, gsz, axis=-1)
                 x = (unpack_int4_pairs(e.reshape(blk, rpd, d))
-                     .astype(jnp.float32) * dsc[:, None, None])
+                     .astype(jnp.float32) * sc_rows[:, :, None])
             elif self.scales is not None:
                 x = (e.astype(jnp.float32)
                      * sc[:, None]).reshape(blk, ld, d)
@@ -257,7 +275,7 @@ class DenseTokenIndex:
             if dtype == "int8-doc":
                 return quantize_int8_docs(x, ln)
             if dtype == "int4-doc":
-                return quantize_int4_docs(x, ln)
+                return quantize_int4_groups(x, ln)
             return (x.reshape(blk * ld, d).astype(jnp.dtype(dtype)),
                     jnp.zeros((1,), jnp.float32))
 
@@ -266,7 +284,11 @@ class DenseTokenIndex:
         scales = doc_scales = None
         if dtype == "int8":
             scales = out_s.reshape(n_pad * ld)
-        elif dtype in ("int8-doc", "int4-doc"):
+        elif dtype == "int4-doc":
+            # per-block (nb, G, blk) group scales -> canonical (G, n_pad)
+            doc_scales = jnp.transpose(out_s, (1, 0, 2)).reshape(
+                out_s.shape[1], n_pad)
+        elif dtype == "int8-doc":
             doc_scales = out_s.reshape(n_pad)
         pooled = pooled_doc_embeddings(
             flat, scales, self.doc_lengths, doc_len=ld,
@@ -348,6 +370,13 @@ class DenseTokenIndex:
         if self.is_int8:
             sc = self.scales.reshape(self.n_pad, self.doc_len)[safe]
             gathered = gathered * sc[..., None]
+        elif self.doc_scales is not None and self.doc_scales.ndim == 2:
+            # int4 group scales (G, N): gather per-candidate columns and
+            # expand to per-row scales; duplicated padding rows are
+            # masked by `lens` downstream
+            gsz = self.doc_len // self.doc_scales.shape[0]
+            sc = jnp.moveaxis(self.doc_scales[:, safe], 0, -1)  # (…, G)
+            gathered = gathered * jnp.repeat(sc, gsz, axis=-1)[..., None]
         elif self.doc_scales is not None:
             # duplicated padding rows are masked by `lens` downstream
             gathered = gathered * self.doc_scales[safe][..., None, None]
@@ -415,6 +444,14 @@ class DenseTokenIndex:
         scales = jnp.asarray(arrs["scales"]) if "scales" in arrs else None
         doc_scales = (jnp.asarray(arrs["doc_scales"])
                       if "doc_scales" in arrs else None)
+        if (doc_scales is not None and doc_scales.ndim == 1
+                and meta.get("dtype") == "int4-doc"):
+            # legacy round-4 per-DOC int4 scales: a uniform broadcast over
+            # the group axis is EXACT under the group kernel (every padded
+            # row duplicates the doc's row 0, whose contribution under any
+            # uniform scale equals a valid row's)
+            ng = meta["doc_len"] // int4_group_size(meta["doc_len"])
+            doc_scales = jnp.tile(doc_scales[None, :], (ng, 1))
         pooled = (jnp.asarray(arrs["pooled"]).astype(jnp.bfloat16)
                   if "pooled" in arrs else None)
         return cls(

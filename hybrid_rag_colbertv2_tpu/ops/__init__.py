@@ -14,9 +14,10 @@ from .prefilter import (  # noqa: F401
     pooled_doc_embeddings,
 )
 from .quant import (  # noqa: F401
-    dequantize_int4_docs,
+    dequantize_int4_groups,
     dequantize_int8_rows,
-    quantize_int4_docs,
+    int4_group_size,
+    quantize_int4_groups,
     quantize_int8_rows,
     unpack_int4,
     unpack_int4_pairs,

@@ -291,25 +291,32 @@ def _maxsim_int8_doc_kernel(q_ref, emb_ref, sel_ref, out_ref, *,
     )
 
 
-def _maxsim_int4_doc_kernel(q_ref, emb_ref, sel_ref, out_ref, *,
-                            docs_per_tile, doc_len):
-    """Per-document-scale int4 variant of ``_maxsim_int8_doc_kernel``.
+def _maxsim_int4_group_kernel(q_ref, emb_ref, gs_ref, sel_ref, out_ref, *,
+                              docs_per_tile, doc_len, n_groups):
+    """Per-token-GROUP-scale int4 variant of ``_maxsim_int8_doc_kernel``.
 
     emb_ref holds nibble-packed TOKEN-ROW PAIRS at full lane width
     (rows = docs_per_tile * L/2, D): low nibble = even token row, high
     nibble = odd token row, feature j at byte j
-    (ops/quant.py::quantize_int4_docs — the layout keeps the minor dim
+    (ops/quant.py::quantize_int4_groups — the layout keeps the minor dim
     at the native 128-lane tile; a D/2-wide layout makes XLA relayout
     the whole array around every gather elsewhere). Unpack is two
     arithmetic shifts; the scan is two full-K matmuls over half the
     rows each — the same MACs as int8-doc at HALF the HBM read — and
-    ``max(lo_sims, hi_sims)`` IS the max over each token pair. Same
-    storage contract as int8-doc otherwise: padded token rows duplicate
-    the doc's first row. The per-doc dequant scale is applied OUTSIDE
-    the kernel on the (B, N) output — a positive per-doc scale commutes
-    with both the max and the selector sum, and a per-doc operand would
-    be a single-lane column the (8, 128)-tiled pallas-operand layout
-    pads x128 in HBM.
+    ``max(lo_sims, hi_sims)`` IS the max over each token pair.
+
+    gs_ref: (n_groups, docs_per_tile) f32 — per-(group, doc) dequant
+    scale, DOC AXIS MINOR so the operand needs no 128-lane padding
+    (a (docs, G) layout would pad x128/G in HBM; a per-doc column pads
+    x128 — the measured compile-OOM from CLAUDE.md). A positive scale
+    commutes with the max WITHIN its group, so dequantization applies
+    to the (t, G, B*Lq) per-group maxima — touching 2/(group) of the
+    pair_max elements instead of all of them (the measured 4x VPU tax
+    on the per-token-row int8 kernel). No -inf bias pass: padded token
+    rows duplicate their group's first valid row (or the doc's row 0
+    with group 0's scale for fully-padded groups), so every group's
+    scaled max is exactly a valid row's contribution; zero-length docs
+    are all-zero with all-zero scales and score exactly 0.
     """
     p = emb_ref[:].astype(jnp.int32)                  # (rows, D) packed
     lo = jnp.right_shift(jnp.left_shift(p, 28), 28)   # even token rows
@@ -324,8 +331,11 @@ def _maxsim_int4_doc_kernel(q_ref, emb_ref, sel_ref, out_ref, *,
         preferred_element_type=jnp.float32)
     pair_max = jnp.maximum(sims_lo, sims_hi)          # max over the pair
     blq = pair_max.shape[-1]
-    sims3 = pair_max.reshape(docs_per_tile, doc_len // 2, blq)
-    per_q = jnp.max(sims3, axis=1)                    # (docs_per_tile, B*Lq)
+    pairs_per_group = doc_len // (2 * n_groups)
+    sims4 = pair_max.reshape(docs_per_tile, n_groups, pairs_per_group, blq)
+    gmax = jnp.max(sims4, axis=2)                     # (t, G, B*Lq)
+    gs = jnp.transpose(gs_ref[:])[..., None]          # (t, G, 1)
+    per_q = jnp.max(gmax * gs, axis=1)                # (t, B*Lq)
     out_ref[:, :] = jax.lax.dot_general(
         per_q, sel_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -341,7 +351,8 @@ def _maxsim_int4_doc_kernel(q_ref, emb_ref, sel_ref, out_ref, *,
 def maxsim_scores_int4_doc(
     queries: jax.Array,       # (B, Lq, D) bf16/f32
     emb_flat: jax.Array,      # (N * L // 2, D) int8 nibble-packed pairs
-    doc_scales: jax.Array,    # (N,) float32 per-document dequant scale
+    group_scales: jax.Array,  # (G, N) float32 per-token-group scales,
+                              # doc axis MINOR (quantize_int4_groups)
     doc_lengths: jax.Array,   # (N,) int32 (layout contract only; unused)
     *,
     doc_len: int,
@@ -349,20 +360,23 @@ def maxsim_scores_int4_doc(
     interpret: Optional[bool] = None,
 ) -> jax.Array:               # (B, N) float32
     """int4-doc full scan: half the HBM traffic of the int8-doc kernel at
-    the same MACs (two full-K matmuls over half the rows each)."""
+    the same MACs (two full-K matmuls over half the rows each), with
+    per-token-group dequantization applied to the per-group maxima
+    inside the kernel (see _maxsim_int4_group_kernel)."""
     del doc_lengths  # masking is baked into the index layout (dup rows)
     if interpret is None:
         interpret = _default_interpret()
     b, lq, d = queries.shape
-    n = doc_scales.shape[0]
-    assert doc_len % 2 == 0, doc_len
+    ng, n = group_scales.shape
+    assert doc_len % 2 == 0 and doc_len % ng == 0 \
+        and (doc_len // ng) % 2 == 0, (doc_len, ng)
     assert emb_flat.shape == (n * doc_len // 2, d), (emb_flat.shape, n, d)
     t = docs_per_tile or _fit_tile(
         _pick_docs_per_tile(doc_len, b * lq), n)
     if n % t != 0:
         n_pad = t - n % t
         emb_flat = jnp.pad(emb_flat, ((0, n_pad * doc_len // 2), (0, 0)))
-        doc_scales = jnp.pad(doc_scales, (0, n_pad))
+        group_scales = jnp.pad(group_scales, ((0, 0), (0, n_pad)))
         n_full = n + n_pad
     else:
         n_full = n
@@ -373,13 +387,15 @@ def maxsim_scores_int4_doc(
                    jnp.ones((lq, 1), jnp.float32))      # (B*Lq, B)
 
     out = pl.pallas_call(
-        functools.partial(_maxsim_int4_doc_kernel, docs_per_tile=t,
-                          doc_len=doc_len),
+        functools.partial(_maxsim_int4_group_kernel, docs_per_tile=t,
+                          doc_len=doc_len, n_groups=ng),
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec((b * lq, d), lambda ti: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rows, d), lambda ti: (ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ng, t), lambda ti: (0, ti),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((b * lq, b), lambda ti: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -392,7 +408,7 @@ def maxsim_scores_int4_doc(
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n_full * doc_len * d * lq,
-            bytes_accessed=emb_flat.size + doc_scales.size * 4
+            bytes_accessed=emb_flat.size + group_scales.size * 4
             + b * lq * d * 2 + b * n_full * 4,
             transcendentals=0,
         ),
@@ -400,11 +416,11 @@ def maxsim_scores_int4_doc(
     )(
         q_flat,
         emb_flat,
+        group_scales,
         sel,
     )
-    # dequant outside the kernel (commutes with max + selector sum);
-    # zero-length padding docs have scale 0 and score exactly 0
-    return (out.T * doc_scales[None, :])[:, :n]
+    # zero-length padding docs have all-zero scales and score exactly 0
+    return out.T[:, :n]
 
 
 @functools.partial(

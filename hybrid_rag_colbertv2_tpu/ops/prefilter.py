@@ -74,7 +74,8 @@ def pooled_doc_embeddings(
     doc_lengths: jax.Array,          # (N_pad,) int32
     *,
     doc_len: int,
-    doc_scales: Optional[jax.Array] = None,  # (N_pad,) f32 for "int8-doc"
+    doc_scales: Optional[jax.Array] = None,  # (N_pad,) f32 for
+    # "int8-doc"; (G, N_pad) group scales for "int4-doc"
     packed_int4: bool = False,       # emb_flat is (N_pad * L/2, D) packed
 ) -> jax.Array:                      # (N_pad, D) bf16, L2-normalized
     """Per-document L2-normalized mean token embedding (the proxy vectors).
@@ -96,7 +97,14 @@ def pooled_doc_embeddings(
     rows_per_doc = doc_len // 2 if packed_int4 else doc_len
     embs = emb_flat.reshape(n_blocks, block, rows_per_doc, d)
     if doc_scales is not None:
-        dsc = doc_scales.reshape(n_blocks, block)
+        if doc_scales.ndim == 2:
+            # int4-doc per-token-group scales (G, N) -> per-row (N, L)
+            gsz = doc_len // doc_scales.shape[0]
+            sc_rows = jnp.repeat(jnp.transpose(doc_scales), gsz, axis=1)
+        else:
+            sc_rows = jnp.broadcast_to(doc_scales[:, None],
+                                       (n_pad, doc_len))
+        scs = sc_rows.reshape(n_blocks, block, doc_len)
         lens = doc_lengths.reshape(n_blocks, block)
         tok = jnp.arange(doc_len, dtype=jnp.int32)
 
@@ -105,11 +113,10 @@ def pooled_doc_embeddings(
             if packed_int4:
                 e = unpack_int4_pairs(e)      # (block, L, D) token order
             valid = (tok[None, :] < ln[:, None]).astype(jnp.float32)
-            summed = jnp.sum(e.astype(jnp.float32) * valid[..., None],
-                             axis=1)
-            return summed * s[:, None]
+            return jnp.sum(e.astype(jnp.float32)
+                           * (s * valid)[..., None], axis=1)
 
-        summed = jax.lax.map(fd, (embs, dsc, lens))
+        summed = jax.lax.map(fd, (embs, scs, lens))
     elif scales is not None:
         scs = scales.reshape(n_blocks, block, doc_len)
 
@@ -216,9 +223,17 @@ def exact_maxsim_on_candidates(
             sims = candidate_sims(q, docs, packed_pairs=packed)
             if scs2 is not None:
                 sims = sims * scs2[ib][:, None, :]           # dequant on sims
+            elif doc_scales is not None and doc_scales.ndim == 2:
+                # "int4-doc" per-token-group scales (G, N): expand the
+                # gathered (G, cb) columns to per-row (cb, L) scales;
+                # duplicated padding rows are masked by the lengths below
+                gsz = doc_len // doc_scales.shape[0]
+                sc = jnp.repeat(jnp.transpose(doc_scales[:, ib]),
+                                gsz, axis=1)                 # (cb, L)
+                sims = sims * sc[:, None, :]
             elif doc_scales is not None:
-                # "int8-doc"/"int4-doc": duplicated padding rows are
-                # masked by the lengths below
+                # "int8-doc": duplicated padding rows are masked by the
+                # lengths below
                 sims = sims * doc_scales[ib][:, None, None]
             valid = tok[None, :] < doc_lengths[ib][:, None]  # (cb, L)
             sims = jnp.where(valid[:, None, :], sims, NEG_INF)
@@ -240,7 +255,8 @@ def maxsim_topk_pruned(
     scales: Optional[jax.Array],     # (N_pad * L,) f32 when int8
     doc_lengths: jax.Array,          # (N_pad,) int32
     pooled: jax.Array,               # (N_pad, D) from pooled_doc_embeddings
-    doc_scales: Optional[jax.Array] = None,  # (N_pad,) f32 for "int8-doc"
+    doc_scales: Optional[jax.Array] = None,  # (N_pad,) f32 for
+    # "int8-doc"; (G, N_pad) group scales for "int4-doc"
     *,
     doc_len: int,
     n_docs: int,

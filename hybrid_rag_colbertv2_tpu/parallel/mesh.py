@@ -54,8 +54,14 @@ def shard_dense_index(dense: DenseTokenIndex, mesh: Mesh,
     lengths = jax.device_put(dense.doc_lengths, vec_sharding)
     scales = (jax.device_put(dense.scales, vec_sharding)
               if dense.scales is not None else None)
-    doc_scales = (jax.device_put(dense.doc_scales, vec_sharding)
-                  if dense.doc_scales is not None else None)
+    if dense.doc_scales is None:
+        doc_scales = None
+    elif dense.doc_scales.ndim == 2:
+        # int4-doc group scales (G, N): the doc axis is MINOR (axis 1)
+        doc_scales = jax.device_put(dense.doc_scales,
+                                    NamedSharding(mesh, P(None, axis)))
+    else:
+        doc_scales = jax.device_put(dense.doc_scales, vec_sharding)
     pooled = (jax.device_put(dense.pooled, row_sharding)
               if dense.pooled is not None else None)
     return DenseTokenIndex(

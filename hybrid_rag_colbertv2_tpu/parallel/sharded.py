@@ -78,6 +78,9 @@ def _make_sharded_cascade_impl(
     max_postings: int,
     is_int8: bool,
     has_doc_scales: bool = False,   # "int8-doc" layout (per-doc scales)
+    has_group_scales: bool = False,  # "int4-doc" layout: doc_scales is
+                                     # (G, N) group scales, doc axis MINOR
+                                     # -> sharded on axis 1
     k_each: int = 100,
     k_dense: Optional[int] = None,
     k_fuse: int = 50,
@@ -224,6 +227,12 @@ def _make_sharded_cascade_impl(
             if is_int8:
                 sc = scales_local.reshape(n_local, doc_len)[cand]
                 docs = docs * sc[..., None]
+            elif has_group_scales:
+                # int4 group scales (G, n_local) -> per-row (kf, L)
+                gsz = doc_len // doc_scales_local.shape[0]
+                sc = jnp.repeat(
+                    jnp.transpose(doc_scales_local[:, cand]), gsz, axis=1)
+                docs = docs * sc[..., None]
             elif has_doc_scales:
                 docs = docs * doc_scales_local[cand][..., None, None]
             lens = jnp.where(own, doc_lengths_local[cand], 0)
@@ -247,7 +256,8 @@ def _make_sharded_cascade_impl(
                   rep if not is_int8 else P(axis),
                   P(axis),
                   P(axis, None),
-                  P(axis) if has_doc_scales else rep),
+                  P(None, axis) if has_group_scales
+                  else (P(axis) if has_doc_scales else rep)),
         out_specs=(rep, rep),
         check_vma=False,
     )
@@ -397,7 +407,13 @@ def _make_sharded_bucketed_cascade_impl(
                 gdocs = gdocs.astype(jnp.float32)
                 if quant == "int8":
                     gdocs = gdocs * sc.reshape(n_local, dl)[rows][..., None]
-                elif quant in ("int8-doc", "int4-doc"):
+                elif quant == "int4-doc":
+                    # group scales (G, n_local) -> per-row (kf, dl)
+                    gszb = dl // dsc.shape[0]
+                    scr = jnp.repeat(jnp.transpose(dsc[:, rows]), gszb,
+                                     axis=1)
+                    gdocs = gdocs * scr[..., None]
+                elif quant == "int8-doc":
                     gdocs = gdocs * dsc[rows][:, None, None]
                 if dl < l_max:
                     gdocs = jnp.pad(gdocs,
@@ -425,8 +441,10 @@ def _make_sharded_bucketed_cascade_impl(
             P(axis) if g["quant"] == "int8" else rep,        # scales
             P(axis),                                         # doc_lengths
             P(axis, None),                                   # pooled
-            P(axis) if g["quant"] in ("int8-doc", "int4-doc")
-            else rep,                                        # doc_scales
+            P(None, axis) if g["quant"] == "int4-doc"
+            else (P(axis) if g["quant"] == "int8-doc" else rep),
+            # ^ doc_scales: int4 group scales shard on their MINOR doc
+            #   axis; int8-doc per-doc vectors on axis 0
             P(axis),                                         # global_ids
         ])
     sharded = shard_map(
@@ -605,6 +623,8 @@ class ShardedRetriever:
                 max_postings=self.lexical.max_postings,
                 is_int8=dense.is_int8,
                 has_doc_scales=dense.doc_scales is not None,
+                has_group_scales=(dense.doc_scales is not None
+                                  and dense.doc_scales.ndim == 2),
                 k_each=min(cfg.bm25_top_k, dense.n_docs),
                 k_dense=min(cfg.colbert_top_k, dense.n_docs),
                 k_fuse=min(cfg.fusion_candidates, dense.n_docs),

@@ -120,7 +120,8 @@ def hybrid_cascade(
     scales: Optional[jax.Array],
     doc_lengths: jax.Array,    # (N_pad,)
     pooled: Optional[jax.Array] = None,  # (N_pad, D) — required if prefilter
-    doc_scales: Optional[jax.Array] = None,  # (N_pad,) for "int8-doc"
+    doc_scales: Optional[jax.Array] = None,  # (N_pad,) for "int8-doc";
+                                             # (G, N_pad) for "int4-doc"
     *,
     n_docs: int,
     max_postings: int,
@@ -204,6 +205,12 @@ def hybrid_cascade(
         sims = candidate_sims(q, docs, packed_pairs=packed4)
         if is_int8:
             sims = sims * scales.reshape(n_pad, doc_len)[cand][:, None, :]
+        elif doc_scales is not None and doc_scales.ndim == 2:
+            # int4-doc group scales (G, N) -> per-row (k_fuse, L)
+            gsz = doc_len // doc_scales.shape[0]
+            sc = jnp.repeat(jnp.transpose(doc_scales[:, cand]), gsz,
+                            axis=1)
+            sims = sims * sc[:, None, :]
         elif doc_scales is not None:
             sims = sims * doc_scales[cand][:, None, None]
         lens = jnp.where(live, doc_lengths[cand], 0)
@@ -380,7 +387,13 @@ def fused_bucketed_cascade_fn(model, query_len: int, bucket_geoms,
                         q, docs, packed_pairs=(quant == "int4-doc"))
                     if quant == "int8":
                         sims = sims * sc.reshape(n_b, dl)[rows][:, None, :]
-                    elif quant in ("int8-doc", "int4-doc"):
+                    elif quant == "int4-doc":
+                        # group scales (G, n_b) -> per-row (kf, dl)
+                        gsz = dl // dsc.shape[0]
+                        scr = jnp.repeat(jnp.transpose(dsc[:, rows]),
+                                         gsz, axis=1)
+                        sims = sims * scr[:, None, :]
+                    elif quant == "int8-doc":
                         sims = sims * dsc[rows][:, None, None]
                     lb = jnp.where(own, lens[rows], 0)
                     tokb = jnp.arange(dl, dtype=jnp.int32)

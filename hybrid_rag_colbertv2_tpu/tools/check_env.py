@@ -107,7 +107,7 @@ def _t_pallas_int8_doc() -> str:
 
 def _t_pallas_int4_doc() -> str:
     """Compiled "int4-doc" kernel (nibble-packed token-row pairs at full
-    lane width, per-document scales) vs exact fp32 on dequantized
+    lane width, per-token-group scales) vs exact fp32 on dequantized
     values."""
     import jax.numpy as jnp
     import numpy as np
@@ -115,7 +115,7 @@ def _t_pallas_int4_doc() -> str:
     from hybrid_rag_colbertv2_tpu.index.dense import DenseTokenIndex
     from hybrid_rag_colbertv2_tpu.ops.maxsim import (
         maxsim_scores_exact, maxsim_scores_int4_doc)
-    from hybrid_rag_colbertv2_tpu.ops.quant import dequantize_int4_docs
+    from hybrid_rag_colbertv2_tpu.ops.quant import dequantize_int4_groups
 
     rng = np.random.default_rng(3)
     toks = rng.standard_normal((16, 32, 128)).astype(np.float32)
@@ -125,7 +125,7 @@ def _t_pallas_int4_doc() -> str:
                                 doc_len=32, dtype="int4-doc")
     q = rng.standard_normal((2, 32, 128)).astype(np.float32)
     q /= np.linalg.norm(q, axis=-1, keepdims=True)
-    deq = dequantize_int4_docs(idx.emb_flat, idx.doc_scales).reshape(
+    deq = dequantize_int4_groups(idx.emb_flat, idx.doc_scales).reshape(
         idx.n_pad, 32, 128)
     ref = maxsim_scores_exact(jnp.asarray(q), deq, idx.doc_lengths)
     got = maxsim_scores_int4_doc(jnp.asarray(q), idx.emb_flat,

@@ -191,7 +191,7 @@ def main(argv=None) -> int:
     def gen_index(key, lens):
         k1, k2 = jax.random.split(key)
         # int4 mode generates the nibble-packed PAIR-ROW array directly:
-        # (n_pad * L/2, D) full-width int8 (ops/quant.quantize_int4_docs
+        # (n_pad * L/2, D) full-width int8 (ops/quant.quantize_int4_groups
         # layout). For a latency probe only the byte layout matters, not
         # the values — any int8 array is a valid packed-nibble array;
         # never materialize the full array it would be unpacked from.
@@ -214,7 +214,11 @@ def main(argv=None) -> int:
         q4 = (jax.block_until_ready(
             jax.jit(lambda x: x[: n_pad * doc_len // 2])(base))
             if want_int8 else base)
-        dscales4 = jnp.max(scales.reshape(n_pad, doc_len), axis=1)
+        from hybrid_rag_colbertv2_tpu.ops.quant import int4_group_size
+        gsz = int4_group_size(doc_len)
+        # per-token-GROUP scales, (G, n_pad) doc-axis-minor layout
+        dscales4 = jnp.transpose(jnp.max(
+            scales.reshape(n_pad, doc_len // gsz, gsz), axis=2))
     if want_int8:
         pooled = pooled_doc_embeddings(q8, scales, lens_dev, doc_len=doc_len)
     else:

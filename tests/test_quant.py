@@ -66,15 +66,15 @@ def test_convert_int8_to_int4_composes(rng):
     """convert(int8 -> int4-doc) == quantize_int4(dequantize_int8(x))."""
     import jax.numpy as jnp
 
-    from hybrid_rag_colbertv2_tpu.ops.quant import quantize_int4_docs
+    from hybrid_rag_colbertv2_tpu.ops.quant import quantize_int4_groups
 
     idx, docs, lengths = _mk_idx(rng, "int8")
     out = idx.convert("int4-doc")
     assert out.quant == "int4-doc" and out.n_docs == idx.n_docs
     deq = (np.asarray(idx.emb_flat).astype(np.float32)
            * np.asarray(idx.scales)[:, None]).reshape(idx.n_pad, 16, 128)
-    want_p, want_s = quantize_int4_docs(jnp.asarray(deq),
-                                        idx.doc_lengths)
+    want_p, want_s = quantize_int4_groups(jnp.asarray(deq),
+                                          idx.doc_lengths)
     np.testing.assert_array_equal(np.asarray(out.emb_flat),
                                   np.asarray(want_p))
     np.testing.assert_allclose(np.asarray(out.doc_scales),
@@ -108,12 +108,12 @@ def test_convert_from_int4_roundtrip(rng):
     valid token rows, and restores ZEROS on padding rows (the float
     layout's contract; the int4-doc source stores duplicated rows
     there)."""
-    from hybrid_rag_colbertv2_tpu.ops.quant import dequantize_int4_docs
+    from hybrid_rag_colbertv2_tpu.ops.quant import dequantize_int4_groups
 
     idx, docs, lengths = _mk_idx(rng, "int4-doc")
     out = idx.convert("float32")
     got = np.asarray(out.emb_flat).reshape(idx.n_pad, 16, 128)
-    deq = np.asarray(dequantize_int4_docs(
+    deq = np.asarray(dequantize_int4_groups(
         idx.emb_flat, idx.doc_scales)).reshape(idx.n_pad, 16, 128)
     valid = (np.arange(16)[None, :]
              < np.asarray(idx.doc_lengths)[:, None])
