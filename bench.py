@@ -580,6 +580,8 @@ def _throughput_fields(result, ctx, fix, q4, dsc):
         {"params": p}, x, jax.numpy.ones_like(x)))
     try:
         cost = fwd.lower(params, q_ids).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):   # older jax: one dict/device
+            cost = cost[0] if cost else {}
         enc_flops = float(cost.get("flops", 0.0))
     except Exception:
         enc_flops = 0.0
