@@ -660,6 +660,7 @@ def _seed_eval(td, n_docs, steps, seed, prefilter, postings_cap,
              f"{cfg.encoder_word_dropout}|{cfg.encoder_max_epochs}|"
              f"{cfg.encoder_synonym_prob}|{cfg.encoder_synonym_pairs}|"
              f"{cfg.encoder_tie_weight}|{cfg.encoder_reworded_pairs}|"
+             f"{cfg.encoder_lexical_anchor}|"
              f"{CACHE_VERSION}".encode())
     cdir = cache_root / h.hexdigest()[:16]
     c_params, c_tok = cdir / "encoder_params.npz", cdir / "tokenizer.json"

@@ -677,6 +677,14 @@ class RAGApplication:
         s["final_fusion"] = self.config.final_fusion
         if self.fusion_gate is not None:
             s["fusion_gate"] = self.fusion_gate   # measured calibration
+        lt = getattr(self.retriever, "last_timings", None)
+        if lt:
+            # per-call stage split of the most recent retrieve (the
+            # reference prints BM25/dense/fusion/fetch wall-clock per
+            # query, local_rag_complete.py:901-933; the fused one-
+            # dispatch design collapses those to tokenize / device
+            # dispatch / fetch)
+            s["last_query_timings"] = lt
         return s
 
     def print_stats(self) -> None:
@@ -714,3 +722,7 @@ class _ShardedAdapter:
 
     def retrieve_batch(self, queries, top_k=None):
         return self._r.retrieve_batch(queries, top_k)
+
+    @property
+    def last_timings(self) -> Dict:
+        return getattr(self._r, "last_timings", {})

@@ -482,6 +482,7 @@ class ShardedBucketedRetriever:
         self.encoder = encoder
         self.store = chunk_store
         self.timer = StageTimer()
+        self.last_timings = {}   # per-call stage split (see cascade.HybridRetriever)
         rep = NamedSharding(mesh, P())
         self._lex_dev = (
             jax.device_put(jnp.asarray(lexical.indptr), rep),
@@ -542,6 +543,7 @@ class ShardedBucketedRetriever:
                        ) -> Tuple[np.ndarray, np.ndarray]:
         k = top_k_final or self.config.final_top_k
         fn = self._fn_for(min(k, self.config.fusion_candidates, self._n))
+        snap = self.timer.snapshot()
         with self.timer.stage("tokenize"):
             cfg_t = getattr(self.config, "query_max_terms", None)
             cfg_b = getattr(self.config, "query_term_buckets", None)
@@ -558,6 +560,7 @@ class ShardedBucketedRetriever:
                              *self._maps, *self._flat)
             ids = np.asarray(ids)
             scores = np.asarray(scores)
+        self.last_timings = self.timer.delta(snap)
         return ids[:, :k], scores[:, :k]
 
 
@@ -580,6 +583,7 @@ class ShardedRetriever:
         self.encoder = encoder
         self.store = chunk_store
         self.timer = StageTimer()
+        self.last_timings = {}   # per-call stage split (see cascade.HybridRetriever)
         rep = NamedSharding(mesh, P())
         axis0 = "data"
         self._bm25_sharded = bool(getattr(config.mesh, "shard_bm25", False))
@@ -645,6 +649,7 @@ class ShardedRetriever:
         k = top_k_final or self.config.final_top_k
         fn = self._fn_for(min(k, self.config.fusion_candidates,
                               self.dense.n_docs))
+        snap = self.timer.snapshot()
         with self.timer.stage("tokenize"):
             cfg_t = getattr(self.config, "query_max_terms", None)
             cfg_b = getattr(self.config, "query_term_buckets", None)
@@ -684,4 +689,5 @@ class ShardedRetriever:
                 doc_scales)
             ids = np.asarray(ids)
             scores = np.asarray(scores)
+        self.last_timings = self.timer.delta(snap)
         return ids[:, :k], scores[:, :k]

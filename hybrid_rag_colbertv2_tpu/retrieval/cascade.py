@@ -25,6 +25,7 @@ Implementation differences (deliberate, SURVEY.md section 7):
 from __future__ import annotations
 
 import functools
+import json
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -436,6 +437,11 @@ class HybridRetriever:
         self.encoder = encoder
         self.store = chunk_store
         self.timer = StageTimer()
+        # per-call stage split of the MOST RECENT retrieve/retrieve_batch
+        # (tokenize / encode+cascade / fetch seconds) — the reference's
+        # per-retrieve timing printout (local_rag_complete.py:901-933) as
+        # structured data; surfaced by RAGApplication.stats()
+        self.last_timings: Dict[str, float] = {}
         if indexes.lexical is None or indexes.dense is None:
             raise RuntimeError("indexes not built/loaded")
         self._bind_index()
@@ -587,6 +593,7 @@ class HybridRetriever:
         cfg = self.config
         k = top_k_final or cfg.final_top_k
         self._check_binding()
+        snap = self.timer.snapshot()
         lex = self.indexes.lexical
         dense = self.indexes.dense
         if not isinstance(dense, DenseTokenIndex):
@@ -605,7 +612,10 @@ class HybridRetriever:
                     self._lex_dev["indptr"], self._lex_dev["post_docs"],
                     self._lex_dev["post_weights"],
                     dense.bucket_of, dense.row_of, *self._bucketed_flat)
-                return np.asarray(ids), np.asarray(scores)
+                ids = np.asarray(ids)
+                scores = np.asarray(scores)
+            self.last_timings = self.timer.delta(snap)
+            return ids, scores
         # flat index: encoder + cascade fused into one dispatch, query
         # token ids + BM25 term ids packed into ONE transfer
         with self.timer.stage("tokenize"):
@@ -626,12 +636,14 @@ class HybridRetriever:
                 dense.doc_scales)
             ids = np.asarray(ids)
             scores = np.asarray(scores)
+        self.last_timings = self.timer.delta(snap)
         return ids, scores
 
     def retrieve(self, query: str, top_k_final: Optional[int] = None
                  ) -> List[Dict]:
         """Single-query API with text fetch — parity with reference
         retrieve() (local_rag_complete.py:894-935)."""
+        snap = self.timer.snapshot()
         ids, scores = self.retrieve_batch([query], top_k_final)
         results: List[Dict] = []
         with self.timer.stage("fetch"):
@@ -646,5 +658,6 @@ class HybridRetriever:
                 elif self.indexes.corpus is not None:
                     row["text"] = self.indexes.corpus[int(cid)]
                 results.append(row)
-        log.debug("retrieve timings: %s", self.timer.as_json())
+        self.last_timings = self.timer.delta(snap)   # + the fetch stage
+        log.debug("retrieve timings: %s", json.dumps(self.last_timings))
         return results

@@ -51,6 +51,20 @@ class StageTimer:
                 time.perf_counter() - t0
             )
 
+    def snapshot(self) -> Dict[str, float]:
+        """Current cumulative totals — pair with :meth:`delta` to carve a
+        per-call split out of a long-lived timer (the reference prints
+        per-retrieve stage lines, local_rag_complete.py:901-933; this
+        keeps that surface without resetting the cumulative stats)."""
+        return dict(self.timings)
+
+    def delta(self, snap: Dict[str, float]) -> Dict[str, float]:
+        """Stage seconds accrued since ``snap`` (zero-change stages
+        omitted)."""
+        return {k: round(v - snap.get(k, 0.0), 6)
+                for k, v in self.timings.items()
+                if v - snap.get(k, 0.0) > 0.0}
+
     @property
     def total(self) -> float:
         return sum(self.timings.values())
