@@ -135,14 +135,16 @@ class RAGConfig:
     # parity, local_rag_complete.py:928); "rrf" = fuse the rerank ranking
     # with the candidate-RRF ranking — keeps lexical evidence in the final
     # cut, hedging dense-rerank misses (measured on the 90-chunk real-text
-    # corpus: hit@10 0.906 -> see docs/performance.md). Reported scores
-    # stay exact-MaxSim either way. "auto" (default): the APPLICATION
-    # decides by a measured gate — it evaluates a (mode, leg-weight) menu
-    # on held-out pseudo-queries over the indexed corpus and picks per
-    # the band rule documented in retrieval/gate.py (parity wins inside
-    # the noise band; otherwise the most lexical-protective entry in the
-    # band). Components used standalone (a bare HybridRetriever) treat an
-    # unresolved "auto" as "rerank".
+    # corpus: hit@10 0.906 -> see docs/performance.md); "union" =
+    # guaranteed-floor ordering — the final top-k provably contains BOTH
+    # legs' top-(k/2), making "hybrid >= max(leg)@k/2" structural
+    # (ops/fusion.final_topk_select). Reported scores stay exact-MaxSim
+    # in every mode. "auto" (default): the APPLICATION decides by a
+    # measured gate — it evaluates a (mode, leg-weight) menu on held-out
+    # pseudo-queries over the indexed corpus and picks per the minimax-
+    # regret rule documented in retrieval/gate.py. Components used
+    # standalone (a bare HybridRetriever) treat an unresolved "auto" as
+    # "rerank".
     final_fusion: str = "auto"
     # Calibrated-hybrid leg weight for the candidate RRF (and, in
     # final_fusion="rrf", the final blend): 0.5 = the reference's
@@ -360,9 +362,9 @@ class RAGConfig:
             raise ValueError("final_top_k must be <= fusion_candidates")
         if self.query_max_tokens % 32 != 0:
             raise ValueError("query_max_tokens must be a multiple of 32 (TPU lanes)")
-        if self.final_fusion not in ("rerank", "rrf", "auto"):
+        if self.final_fusion not in ("rerank", "rrf", "union", "auto"):
             raise ValueError(
-                "final_fusion must be 'rerank', 'rrf', or 'auto'")
+                "final_fusion must be 'rerank', 'rrf', 'union', or 'auto'")
         if not 0.0 <= self.fusion_weight_bm25 <= 1.0:
             raise ValueError("fusion_weight_bm25 must be in [0, 1]")
         for b in self.mesh.doc_token_buckets:

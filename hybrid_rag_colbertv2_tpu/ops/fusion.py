@@ -24,7 +24,8 @@ import jax.numpy as jnp
 _BIG = jnp.iinfo(jnp.int32).max
 
 
-@functools.partial(jax.jit, static_argnames=("k", "rrf_k", "weights"))
+@functools.partial(jax.jit,
+                   static_argnames=("k", "rrf_k", "weights", "floor_m"))
 def rrf_from_topk(
     ids_a: jax.Array,      # (B, Ka) int32 doc ids (global id space)
     ids_b: jax.Array,      # (B, Kb) int32
@@ -32,6 +33,7 @@ def rrf_from_topk(
     k: int,                # number of fused candidates to keep
     rrf_k: int = 60,       # reference hard-codes 60 (local_rag_complete.py:964)
     weights: Tuple[float, float] = (1.0, 1.0),
+    floor_m: int = 0,      # >0: each leg's live top-m ALWAYS survive the cut
 ) -> Tuple[jax.Array, jax.Array]:
     """Fuse two ranked id lists -> (fused_scores (B,k), fused_ids (B,k)).
 
@@ -45,6 +47,15 @@ def rrf_from_topk(
     reference's unweighted RRF; asymmetric weights implement the
     calibrated hybrid (retrieval/gate.py) — e.g. (1.5, 0.5) leans on the
     first (BM25) list when the measured gate finds the dense leg weak.
+
+    ``floor_m > 0`` (the ``final_fusion="union"`` contract,
+    final_topk_select): each leg's live top-``floor_m`` ids get a bonus
+    tier far above any reachable rank-weight sum, so BOTH floors provably
+    survive the top-k cut (2*floor_m <= k required) regardless of
+    ``weights`` — without it a leg's top-m id can be crowded out of the
+    candidate set by ids appearing in both lists. The returned SCORES of
+    floored ids include the bonus (candidate order = floored ids first);
+    the union final ordering re-ranks them by best leg rank anyway.
     """
     b, ka = ids_a.shape
     kb = ids_b.shape[1]
@@ -52,6 +63,12 @@ def rrf_from_topk(
 
     wa = weights[0] / (rrf_k + 1.0 + jnp.arange(ka, dtype=jnp.float32))
     wb = weights[1] / (rrf_k + 1.0 + jnp.arange(kb, dtype=jnp.float32))
+    if floor_m > 0:
+        # tier gap 1e3 >> max possible sum (weights sum <= ~4/(rrf_k+1))
+        pa = jnp.arange(ka, dtype=jnp.float32)
+        pb = jnp.arange(kb, dtype=jnp.float32)
+        wa = wa + jnp.where(pa < floor_m, 1e3 * (floor_m - pa), 0.0)
+        wb = wb + jnp.where(pb < floor_m, 1e3 * (floor_m - pb), 0.0)
 
     def fuse_one(ia: jax.Array, ib: jax.Array):
         ids = jnp.concatenate([ia, ib])                       # (Kt,)
@@ -118,6 +135,9 @@ def final_topk_select(
     rrf_k: int = 60,
     final_fusion: str = "rerank",
     weight_cand: float = 0.5,
+    bm25_ids: jax.Array = None,   # (B, >=m) BM25-ordered top ids ("union")
+    dense_ids: jax.Array = None,  # (B, >=m) dense-ordered top ids ("union")
+    union_m: int = 0,             # 0 -> k_final // 2
 ) -> Tuple[jax.Array, jax.Array]:
     """Final top-k over the fused candidates -> (ids (B,k), scores (B,k)).
 
@@ -129,18 +149,66 @@ def final_topk_select(
     ``weight_cand`` (rrf mode only) tilts that blend: 0.5 = equal (the
     round-2 behavior), higher leans on the candidate order — the
     calibrated-hybrid gate raises it when the measured dense leg is weak.
+
+    ``final_fusion="union"``: GUARANTEED-MEMBERSHIP ordering. The final
+    list provably contains every live id of BM25's top-m AND dense's
+    top-m (m = ``union_m`` or k_final // 2, so 2m <= k_final and both
+    floors always fit). Ordering is the same weighted blend as "rrf" —
+    RRF(rerank rank, weighted-leg-RRF rank) at ``weight_cand`` — except
+    the guaranteed ids are HOISTED above the rest (stable within the
+    blend). Membership makes "hybrid >= max(leg) at depth m" a
+    STRUCTURAL invariant instead of a property the scalar weight must
+    achieve on every query regime at once — no single
+    (rerank|rrf, weight) entry can simultaneously hold the BM25 floor
+    on verbatim-anchored paraphrases and the dense floor on
+    synonym-adversarial queries (measured, docs/performance.md round-5)
+    — while the blend keeps the ORDER calibratable: ("union", 0.9)
+    orders like the BM25-protective ("rrf", 0.9) but with the dense
+    floor as insurance. The candidate-order term is recomputed from the
+    TRUE leg ranks (``bm25_ids``/``dense_ids`` at full depth), not from
+    the fused candidate positions — ``rrf_from_topk``'s ``floor_m``
+    bonus distorts those to guarantee candidate-set membership
+    (candidate-crowd-out is real: ids appearing in both lists can fill
+    the whole candidate budget ahead of a single-leg top-m id).
+
     Reported scores are ALWAYS the exact MaxSim values; only the ORDER
     changes. Missing candidates (id < 0) never surface; short candidate
     lists pad with id -1.
     """
     live = fused_ids >= 0
     rerank = jnp.where(live, rerank, -jnp.inf)
-    if final_fusion == "rrf":
+    if final_fusion in ("rrf", "union"):
         kc = rerank.shape[1]
         rr_rank = jnp.argsort(jnp.argsort(-rerank, axis=1), axis=1)
         wc, wr = 2.0 * weight_cand, 2.0 * (1.0 - weight_cand)
-        sel = (wr / (rrf_k + 1.0 + rr_rank)
-               + wc / (rrf_k + 1.0 + jnp.arange(kc, dtype=jnp.float32)))
+        if final_fusion == "union":
+            if bm25_ids is None or dense_ids is None:
+                raise ValueError(
+                    "final_fusion='union' needs bm25_ids and dense_ids")
+            m = union_m if union_m > 0 else max(1, k_final // 2)
+
+            def leg_rank(leg):
+                eq = (fused_ids[:, :, None] == leg[:, None, :]) \
+                    & (leg[:, None, :] >= 0)
+                pos = jnp.arange(leg.shape[1],
+                                 dtype=jnp.float32)[None, None, :]
+                return jnp.min(jnp.where(eq, pos, jnp.inf), axis=-1)
+
+            ra = leg_rank(bm25_ids)              # (B, C) inf = absent
+            rb = leg_rank(dense_ids)
+            # undistorted weighted candidate RRF from true leg ranks
+            # (1/(x+inf) -> 0 for absent legs, no NaN)
+            rrf_true = (wc / (rrf_k + 1.0 + ra)
+                        + (2.0 - wc) / (rrf_k + 1.0 + rb))
+            cand_rank = jnp.argsort(jnp.argsort(-rrf_true, axis=1), axis=1)
+            guaranteed = (ra < m) | (rb < m)
+            sel = (wr / (rrf_k + 1.0 + rr_rank)
+                   + wc / (rrf_k + 1.0 + cand_rank)
+                   # uniform hoist tier >> the blend's max 4/(rrf_k+1)
+                   + jnp.where(guaranteed, 1e3, 0.0))
+        else:
+            sel = (wr / (rrf_k + 1.0 + rr_rank)
+                   + wc / (rrf_k + 1.0 + jnp.arange(kc, dtype=jnp.float32)))
         sel = jnp.where(live, sel, -jnp.inf)
     elif final_fusion == "rerank":
         sel = rerank

@@ -206,9 +206,10 @@ def _make_sharded_cascade_impl(
 
         # --- fusion (replicated, calibrated leg weights) ------------------
         fw = fusion_weight_bm25
+        fm = max(1, kfin // 2) if final_fusion == "union" else 0
         fused_scores, fused_ids = rrf_from_topk(
             bi, ms_ids, k=kf, rrf_k=rrf_k,
-            weights=(2.0 * fw, 2.0 * (1.0 - fw)))
+            weights=(2.0 * fw, 2.0 * (1.0 - fw)), floor_m=fm)
 
         # --- stage 3: rerank owned candidates, psum across shards --------
         local_pos = fused_ids - offset
@@ -244,7 +245,8 @@ def _make_sharded_cascade_impl(
         rerank = jax.lax.psum(partial_rr, axis)
         return final_topk_select(rerank, fused_ids, kfin, rrf_k=rrf_k,
                                  final_fusion=final_fusion,
-                                 weight_cand=fusion_weight_bm25)
+                                 weight_cand=fusion_weight_bm25,
+                                 bm25_ids=bi, dense_ids=ms_ids, union_m=fm)
 
     rep = P()
     lex_spec = P(axis, None) if bm25_sharded else rep
@@ -377,9 +379,10 @@ def _make_sharded_bucketed_cascade_impl(
             k=min(k_each, n_docs))
 
         fw = fusion_weight_bm25
+        fm = max(1, kfin // 2) if final_fusion == "union" else 0
         fused_scores, fused_ids = rrf_from_topk(
             bm_ids, ms_ids, k=kf, rrf_k=rrf_k,
-            weights=(2.0 * fw, 2.0 * (1.0 - fw)))
+            weights=(2.0 * fw, 2.0 * (1.0 - fw)), floor_m=fm)
 
         # --- rerank owned candidates (per-bucket gather), psum ------------
         safe_c = jnp.clip(fused_ids, 0, n_docs - 1)
@@ -431,7 +434,9 @@ def _make_sharded_bucketed_cascade_impl(
         rerank = jax.lax.psum(partial_rr, axis)
         return final_topk_select(rerank, fused_ids, kfin, rrf_k=rrf_k,
                                  final_fusion=final_fusion,
-                                 weight_cand=fusion_weight_bm25)
+                                 weight_cand=fusion_weight_bm25,
+                                 bm25_ids=bm_ids, dense_ids=ms_ids,
+                                 union_m=fm)
 
     rep = P()
     per_bucket_specs = []

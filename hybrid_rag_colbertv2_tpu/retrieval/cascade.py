@@ -184,11 +184,15 @@ def hybrid_cascade(
         q_terms, indptr, post_docs, post_weights,
         n_docs=n_docs, max_postings=max_postings, k=min(k_each, n_docs))
 
-    # Fusion: (weighted) RRF -> k_fuse candidates
+    # Fusion: (weighted) RRF -> k_fuse candidates. In union mode both
+    # legs' top-m are floored into the candidate set so the final
+    # ordering's structural guarantee is exact (ops/fusion.py).
     w = fusion_weight_bm25
+    kf = min(k_final, k_fuse, n_docs)
+    fm = max(1, kf // 2) if final_fusion == "union" else 0
     fused_scores, fused_ids = rrf_from_topk(
         bm25_ids, ms_ids, k=min(k_fuse, n_docs), rrf_k=rrf_k,
-        weights=(2.0 * w, 2.0 * (1.0 - w)))
+        weights=(2.0 * w, 2.0 * (1.0 - w)), floor_m=fm)
 
     # Stage 3: exact fp32 rerank over gathered candidate embeddings.
     # Dequantization applies to the (Lq, L) sims AFTER the fp32 matmul
@@ -222,10 +226,10 @@ def hybrid_cascade(
     rerank = jax.vmap(rerank_one)(q_emb.astype(jnp.float32), safe,
                                   fused_ids >= 0)       # (B, k_fuse)
 
-    kf = min(k_final, k_fuse, fused_ids.shape[1])
     final_ids, top_vals = final_topk_select(
         rerank, fused_ids, kf, rrf_k=rrf_k, final_fusion=final_fusion,
-        weight_cand=fusion_weight_bm25)
+        weight_cand=fusion_weight_bm25,
+        bm25_ids=bm25_ids, dense_ids=ms_ids, union_m=fm)
     debug = {
         "bm25_ids": bm25_ids, "bm25_vals": bm25_vals,
         "ms_ids": ms_ids, "ms_vals": ms_vals,
@@ -357,9 +361,10 @@ def fused_bucketed_cascade_fn(model, query_len: int, bucket_geoms,
                 n_docs=n_docs, max_postings=max_postings,
                 k=min(k_each, n_docs))
 
+            fm = max(1, kfin // 2) if final_fusion == "union" else 0
             fused_scores, fused_ids = rrf_from_topk(
                 bm25_ids, ms_ids, k=kf, rrf_k=rrf_k,
-                weights=(2.0 * w, 2.0 * (1.0 - w)))
+                weights=(2.0 * w, 2.0 * (1.0 - w)), floor_m=fm)
 
             # exact fp32 rerank: route each candidate to its home bucket.
             # Per-bucket sims with dequant applied AFTER the fp32 matmul
@@ -409,7 +414,8 @@ def fused_bucketed_cascade_fn(model, query_len: int, bucket_geoms,
                 fused_ids >= 0)
             final_ids, top_vals = final_topk_select(
                 rerank, fused_ids, kfin, rrf_k=rrf_k,
-                final_fusion=final_fusion, weight_cand=w)
+                final_fusion=final_fusion, weight_cand=w,
+                bm25_ids=bm25_ids, dense_ids=ms_ids, union_m=fm)
             return final_ids.astype(jnp.int32), top_vals
 
         return fused
@@ -575,15 +581,19 @@ class HybridRetriever:
                                    getattr(cfg, "approx_topk_recall", 0.95))
         mi = jnp.where(mv > -1e29, mi, -1).astype(jnp.int32)
         w = getattr(cfg, "fusion_weight_bm25", 0.5)
+        mode = effective_final_fusion(cfg)
+        kfin = min(k_final, cfg.fusion_candidates, n)
+        fm = max(1, kfin // 2) if mode == "union" else 0
         fused_scores, fused_ids = rrf_from_topk(
             bi, mi, k=min(cfg.fusion_candidates, n), rrf_k=cfg.rrf_k,
-            weights=(2.0 * w, 2.0 * (1.0 - w)))
+            weights=(2.0 * w, 2.0 * (1.0 - w)), floor_m=fm)
         rerank = dense.rerank_scores(q_emb, fused_ids)
         final_ids, tv = final_topk_select(
-            rerank, fused_ids, min(k_final, rerank.shape[1]),
+            rerank, fused_ids, min(kfin, rerank.shape[1]),
             rrf_k=cfg.rrf_k,
-            final_fusion=effective_final_fusion(cfg),
-            weight_cand=w)
+            final_fusion=mode,
+            weight_cand=w,
+            bm25_ids=bi, dense_ids=mi, union_m=fm)
         return np.asarray(final_ids), np.asarray(tv)
 
     def retrieve_batch(

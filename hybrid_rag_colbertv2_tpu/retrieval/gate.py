@@ -15,6 +15,17 @@ pseudo-queries over the indexed corpus:
     (rrf,    0.75)  BM25-leaning calibrated hybrid
     (rrf,    0.9)   strongly BM25-leaning (weak/untrained dense leg)
     (rrf,    1.0)   lexical-only ordering (dense leg adds nothing)
+    (union,  0.5)   guaranteed-membership ordering: the final top-k
+                    provably contains BOTH legs' top-(k/2), hoisted above
+                    the equal-weight rrf blend (ops/fusion.py) — the
+                    structural "hybrid >= max(leg)@k/2" entry for corpora
+                    where no scalar weight holds the BM25 floor on
+                    verbatim-anchored queries AND the dense floor on
+                    adversarial ones at once (the measured round-4
+                    paraphrase giveback)
+    (union,  0.9)   the same floors ordered by the BM25-protective 0.9
+                    blend — (rrf, 0.9)'s ordering with dense-floor
+                    insurance on the membership
 
 Selection rule — MINIMAX REGRET ACROSS QUERY REGIMES, one rule
 (mirrored by ``select_entry_regimes`` and property-tested in
@@ -26,9 +37,11 @@ regime's best entry, and its score is its WORST regret over regimes.
 
     Among entries within one smallest-regime query of the minimum
     worst-regret, ship the one with the smallest regret, breaking exact
-    regret ties toward the more BM25-protective (higher weight); an
-    entry that DROPS A LEG from the final ordering may ship only when
-    it is alone in the band.
+    regret ties toward the more protective entry (higher lexical
+    weight; at equal weight union > rrf > rerank — the structural
+    both-leg floor is the distribution-robust tie choice); an entry
+    that DROPS A LEG from the final ordering may ship only when it is
+    alone in the band.
 
 "Drops a leg" (``_drops_leg``) covers parity ``("rerank", ..)`` (a pure
 dense final ordering — lexical evidence never reaches the final cut)
@@ -113,7 +126,7 @@ MIN_GATE_CHUNKS = 16   # below this the eval is meaningless; ship the
 # below only ships it on an OUTRIGHT win, since every in-band tie goes
 # to the more lexical-protective entry.
 GATE_MENU = (("rerank", 0.5), ("rrf", 0.25), ("rrf", 0.5), ("rrf", 0.75),
-             ("rrf", 0.9), ("rrf", 1.0))
+             ("rrf", 0.9), ("rrf", 1.0), ("union", 0.5), ("union", 0.9))
 
 
 def measure_menu(config, indexes, encoder, menu, queries, sources,
@@ -226,12 +239,16 @@ def _drops_leg(entry: Tuple[str, float]) -> bool:
     """True for menu entries whose final ordering removes one leg
     entirely: parity ``("rerank", ..)`` orders purely by the dense
     rerank (the lexical evidence never reaches the final cut), and
-    ``(.., 1.0)`` is lexical-only candidate generation (rrf_from_topk's
-    zero-weight masking drops dense-only docs from the candidate set).
-    Both were measured shipping large held-out losses from inside the
-    noise band (module docstring), so the selection rule requires them
-    to win the band outright."""
+    ``("rrf", 1.0)`` is lexical-only candidate generation
+    (rrf_from_topk's zero-weight masking drops dense-only docs from the
+    candidate set). Both were measured shipping large held-out losses
+    from inside the noise band (module docstring), so the selection
+    rule requires them to win the band outright. ``("union", ..)`` never
+    drops a leg at ANY weight: both legs' top-m are floored into the
+    candidate set and the final cut structurally (ops/fusion.py)."""
     mode, weight = entry
+    if mode == "union":
+        return False
     return mode != "rrf" or weight >= 1.0
 
 
@@ -246,9 +263,10 @@ def select_entry_regimes(
 
         Among entries within one smallest-regime query of the minimum
         worst-regret, ship the one with the smallest regret, breaking
-        exact regret ties toward the more BM25-protective (higher
-        weight); an entry that DROPS A LEG from the final ordering
-        (``_drops_leg``: parity, and weight >= 1.0) may ship only when
+        exact regret ties toward the more protective entry (higher
+        lexical weight; equal weight -> union > rrf > rerank); an
+        entry that DROPS A LEG from the final ordering (``_drops_leg``:
+        parity, and ("rrf", 1.0) — never "union") may ship only when
         it is alone in the band.
 
     An entry's regret in a regime is the gap to that regime's best menu
@@ -283,18 +301,23 @@ def select_entry_regimes(
         contenders = [e for e in menu if not _drops_leg(e)] or list(menu)
     best = min(regret[e] for e in contenders)
     tied = [e for e in contenders if regret[e] <= best + 1e-12]
-    # more protective = higher lexical weight; equal weights (pinned
-    # two-entry menus) prefer the blended ordering over parity
-    return max(tied, key=lambda e: (e[1], e[0] == "rrf"))
+    # more protective = higher lexical weight; at EQUAL weight the
+    # structural both-leg floor ("union") beats the blend ("rrf"),
+    # which beats parity ("rerank") — union is the distribution-robust
+    # choice when the measurement cannot separate them (its guarantee
+    # covers regimes the calibration never sampled)
+    _mode_rank = {"rerank": 0, "rrf": 1, "union": 2}
+    return max(tied, key=lambda e: (e[1], _mode_rank.get(e[0], 0)))
 
 
 def select_entry(menu, hits: Dict[Tuple[str, float], float],
                  n_queries: int) -> Tuple[str, float]:
     """Single-regime degenerate case of ``select_entry_regimes`` (regret
     = gap to the measured max): ship the smallest-regret blended entry
-    in the band, breaking exact regret ties toward the more
-    BM25-protective one; parity ("rerank", ..) and (.., 1.0) must be
-    ALONE in the band to win (see select_entry_regimes)."""
+    in the band, breaking exact regret ties toward the more protective
+    one (higher weight; equal weight -> union > rrf > rerank); parity
+    ("rerank", ..) and ("rrf", 1.0) must be ALONE in the band to win
+    (see select_entry_regimes)."""
     return select_entry_regimes(menu, {"all": hits}, n_queries)
 
 

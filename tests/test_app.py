@@ -443,7 +443,7 @@ def test_fresh_app_auto_train_hybrid_not_below_bm25(tmp_path):
     assert marker.stat().st_mtime_ns == mtime
 
     app.initialize_chatbot(use_mesh=False)
-    assert app.config.final_fusion in ("rerank", "rrf")
+    assert app.config.final_fusion in ("rerank", "rrf", "union")
     corpus = app.store.all_chunk_texts()
     # held-out queries (seed disjoint from training=0 and gate=+7919)
     pairs = pseudo_query_pairs(corpus, n_pairs_per_doc=1, seed=424242,

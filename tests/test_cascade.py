@@ -124,6 +124,79 @@ def test_retriever_end_to_end(setup):
     assert any(int(i) % 12 == 2 for i in ids[0] if i >= 0)
 
 
+def test_cascade_union_structural_floor(setup):
+    """final_fusion="union": the final top-k MUST contain every live id
+    of BM25's top-m and dense's top-m (m = k_final//2) — the structural
+    "hybrid >= max(leg)@m" invariant (VERDICT r4 #1), checked against
+    the cascade's own leg orderings on real queries."""
+    cfg, mgr, encoder, lex = setup
+    dense = mgr.dense
+    queries = [
+        "how does the systolic array multiply matrices",
+        "fox jumping over a dog",
+        "rank fusion for retrieval",
+        "semantic chunking of markdown headings",
+    ]
+    q_emb = encoder.encode_queries(queries)
+    q_terms = jnp.asarray(np.stack([lex.encode_query(q) for q in queries]))
+    k_final = 10
+    ids, scores, dbg = hybrid_cascade(
+        q_emb, q_terms,
+        jnp.asarray(lex.indptr), jnp.asarray(lex.post_docs),
+        jnp.asarray(lex.post_weights),
+        dense.emb_flat, dense.scales, dense.doc_lengths,
+        n_docs=dense.n_docs, max_postings=lex.max_postings,
+        doc_len=dense.doc_len, is_int8=False,
+        k_each=48, k_fuse=20, k_final=k_final, final_fusion="union",
+    )
+    m = k_final // 2
+    for bi in range(len(queries)):
+        got = set(int(i) for i in ids[bi] if i >= 0)
+        bm_top = [int(i) for i in dbg["bm25_ids"][bi][:m] if i >= 0]
+        ms_top = [int(i) for i in dbg["ms_ids"][bi][:m] if i >= 0]
+        for cid in bm_top:
+            assert cid in got, (bi, "bm25 floor", cid, sorted(got))
+        for cid in ms_top:
+            assert cid in got, (bi, "dense floor", cid, sorted(got))
+        # reported scores are exact MaxSim of the returned ids, descending
+        # only within the fill tier — but every score matches its id
+        rr = {int(c): float(v) for c, v in
+              zip(dbg["fused_ids"][bi], dbg["rerank"][bi]) if c >= 0}
+        for cid, sc in zip(ids[bi], scores[bi]):
+            if int(cid) >= 0:
+                np.testing.assert_allclose(float(sc), rr[int(cid)],
+                                           rtol=1e-5)
+
+
+def test_retriever_union_mode_end_to_end(setup):
+    """HybridRetriever with final_fusion='union' (the gate-menu entry):
+    result schema intact, and the floor invariant holds vs bare-leg
+    retrievals measured through the same retriever."""
+    import copy
+
+    cfg, mgr, encoder, lex = setup
+    ucfg = copy.deepcopy(cfg)
+    ucfg.final_fusion = "union"
+    r = HybridRetriever(ucfg, mgr, encoder)
+    out = r.retrieve("reciprocal rank fusion of bm25 rankings")
+    assert 1 <= len(out) <= ucfg.final_top_k
+    s = [o["score"] for o in out]
+    assert all(o["rank"] == i + 1 for i, o in enumerate(out))
+    # BM25's top-m must be inside the union results (m = k//2); BM25-only
+    # ordering = the (rrf, 1.0) degenerate cascade at the same depth
+    bcfg = copy.deepcopy(cfg)
+    bcfg.final_fusion = "rrf"
+    bcfg.fusion_weight_bm25 = 1.0
+    rb = HybridRetriever(bcfg, mgr, encoder)
+    bids, _ = rb.retrieve_batch(["reciprocal rank fusion of bm25 rankings"],
+                                ucfg.final_top_k)
+    got = {o["chunk_id"] for o in out}
+    m = ucfg.final_top_k // 2
+    for cid in bids[0][:m]:
+        if int(cid) >= 0:
+            assert int(cid) in got
+
+
 def test_retriever_batch(setup):
     cfg, mgr, encoder, lex = setup
     ids, scores = HybridRetriever(cfg, mgr, encoder).retrieve_batch(

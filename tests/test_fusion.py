@@ -228,6 +228,118 @@ def test_final_topk_select_rrf_mode_hedges_rerank_miss():
     assert ids_p[0].tolist() == [20, 30]
 
 
+def test_rrf_floor_m_survives_crowd_out():
+    """floor_m: a leg's top-m id must survive the candidate cut even when
+    dual-list ids could otherwise fill the whole candidate budget. Here
+    ids 100..118 appear in BOTH lists at good ranks; id 7 is BM25's #1
+    but dense-absent. With k=19 and no floor, the 19 dual ids crowd id 7
+    out; floor_m=3 must keep it (and dense's top-3) in."""
+    dual = np.arange(100, 120, dtype=np.int32)
+    ids_a = jnp.asarray(np.concatenate([[7], dual[:19]]))[None]  # bm25
+    ids_b = jnp.asarray(np.concatenate([dual[5:], dual[:5]]))[None]  # dense
+    _, ids_no = rrf_from_topk(ids_a, ids_b, k=19)
+    assert 7 not in ids_no[0].tolist()          # crowd-out is real
+    _, ids_fl = rrf_from_topk(ids_a, ids_b, k=19, floor_m=3)
+    got = ids_fl[0].tolist()
+    assert 7 in got
+    # both legs' live top-3 present
+    for want in [7, 100, 101, 105, 106, 107]:
+        assert want in got
+    # floored ids lead the candidate order (bonus tier)
+    assert set(got[:6]) == {7, 100, 101, 105, 106, 107}
+
+
+def test_rrf_floor_m_ignores_missing_ids():
+    ids_a = jnp.asarray([[4, -1, -1]], dtype=jnp.int32)
+    ids_b = jnp.asarray([[-1, -1, -1]], dtype=jnp.int32)
+    _, ids = rrf_from_topk(ids_a, ids_b, k=4, floor_m=2)
+    kept = [int(i) for i in ids[0] if i >= 0]
+    assert kept == [4]                  # -1 slots never get the bonus
+
+
+def test_final_topk_select_union_guarantees_both_floors():
+    """union mode: the final k provably contains BOTH legs' top-m
+    (m = k//2) — membership is structural; ORDER within the hoisted
+    tier follows the rrf blend (rerank rank x true weighted leg-RRF
+    rank); scores stay the exact rerank values."""
+    from hybrid_rag_colbertv2_tpu.ops.fusion import final_topk_select
+
+    # candidate set of 8; bm25's top-2 = [50, 60], dense's top-2 = [70, 80]
+    fused_ids = jnp.asarray([[50, 60, 70, 80, 90, 91, 92, 93]],
+                            dtype=jnp.int32)
+    # rerank HATES the guaranteed ids — pure rerank would drop them all
+    rerank = jnp.asarray([[0.1, 0.2, 0.3, 0.4, 9.0, 8.0, 7.0, 6.0]])
+    bm25_ids = jnp.asarray([[50, 60, 90, 91, 92]], dtype=jnp.int32)
+    dense_ids = jnp.asarray([[70, 80, 93, 92, 91]], dtype=jnp.int32)
+    ids, vals = final_topk_select(rerank, fused_ids, 4,
+                                  final_fusion="union",
+                                  bm25_ids=bm25_ids, dense_ids=dense_ids)
+    got = ids[0].tolist()
+    # all four guaranteed ids fill the final 4 (2m == k here), ordered
+    # by the equal-weight blend: rr_rank 90..93 beat them all, so the
+    # tier order comes from cand_rank (91/92 lead it) + rerank ties ->
+    # 70 (.03078) > 50 (.03058) > 80 (.03054) > 60 (.03031)
+    assert got == [70, 50, 80, 60]
+    # reported scores are the exact rerank values of the returned ids
+    lookup = {50: 0.1, 60: 0.2, 70: 0.3, 80: 0.4}
+    np.testing.assert_allclose(
+        np.asarray(vals[0]), [lookup[i] for i in got], rtol=1e-6)
+    # with k=8 the non-guaranteed slots fill by the rrf blend AFTER the
+    # guaranteed tier
+    ids8, _ = final_topk_select(rerank, fused_ids, 8,
+                                final_fusion="union", union_m=2,
+                                bm25_ids=bm25_ids, dense_ids=dense_ids)
+    assert set(ids8[0].tolist()) == set(fused_ids[0].tolist())
+    assert set(ids8[0][:4].tolist()) == {50, 60, 70, 80}
+
+
+def test_final_topk_select_union_weight_tilts_tier_order():
+    """("union", 0.9): same guaranteed membership, but the tier orders
+    by the BM25-leaning blend — bm25's top-m lead, the dense floor ids
+    trail inside the final k (the (rrf, 0.9)-with-insurance entry)."""
+    from hybrid_rag_colbertv2_tpu.ops.fusion import final_topk_select
+
+    fused_ids = jnp.asarray([[50, 60, 70, 80, 90, 91, 92, 93]],
+                            dtype=jnp.int32)
+    rerank = jnp.asarray([[0.1, 0.2, 0.3, 0.4, 9.0, 8.0, 7.0, 6.0]])
+    bm25_ids = jnp.asarray([[50, 60, 90, 91, 92]], dtype=jnp.int32)
+    dense_ids = jnp.asarray([[70, 80, 93, 92, 91]], dtype=jnp.int32)
+    ids, _ = final_topk_select(rerank, fused_ids, 4,
+                               final_fusion="union", weight_cand=0.9,
+                               bm25_ids=bm25_ids, dense_ids=dense_ids)
+    got = ids[0].tolist()
+    assert set(got) == {50, 60, 70, 80}      # membership unchanged
+    assert got[:2] == [50, 60]               # BM25's top-2 lead the tier
+
+
+def test_final_topk_select_union_requires_leg_ids():
+    from hybrid_rag_colbertv2_tpu.ops.fusion import final_topk_select
+
+    with pytest.raises(ValueError, match="union"):
+        final_topk_select(jnp.ones((1, 4)),
+                          jnp.arange(4, dtype=jnp.int32)[None], 2,
+                          final_fusion="union")
+
+
+def test_final_topk_select_union_ignores_dead_leg_ids():
+    """A leg id of -1 (short BM25 list) must not become 'guaranteed';
+    a leg top-m id that is NOT in the candidate set cannot surface."""
+    from hybrid_rag_colbertv2_tpu.ops.fusion import final_topk_select
+
+    fused_ids = jnp.asarray([[10, 20, 30, -1]], dtype=jnp.int32)
+    rerank = jnp.asarray([[1.0, 2.0, 3.0, 9.9]])
+    bm25_ids = jnp.asarray([[10, -1, -1]], dtype=jnp.int32)
+    dense_ids = jnp.asarray([[20, 10, 30]], dtype=jnp.int32)
+    ids, vals = final_topk_select(rerank, fused_ids, 4,
+                                  final_fusion="union", union_m=2,
+                                  bm25_ids=bm25_ids, dense_ids=dense_ids)
+    got = ids[0].tolist()
+    assert got[-1] == -1                 # dead candidate never surfaces
+    assert set(got[:3]) == {10, 20, 30}
+    # guaranteed tier: 10 (bm25 r0 + dense r1 -> best 0), 20 (dense r0)
+    assert set(got[:2]) == {10, 20}
+
+
 def test_final_topk_select_rejects_unknown_mode():
     from hybrid_rag_colbertv2_tpu.ops.fusion import final_topk_select
 

@@ -82,7 +82,7 @@ def test_gate_resolves_auto_and_records_measurement(small_app):
     app = small_app
     assert app.config.final_fusion == "auto"
     mode = app.resolve_final_fusion()
-    assert mode in ("rerank", "rrf")
+    assert mode in ("rerank", "rrf", "union")
     assert app.config.final_fusion == mode           # resolved in place
     g = app.fusion_gate
     assert g["picked"] == mode
@@ -130,7 +130,7 @@ def test_gate_skips_tiny_corpora():
 def test_bind_retriever_resolves_gate(small_app):
     app = small_app
     app.initialize_chatbot(use_mesh=False)
-    assert app.config.final_fusion in ("rerank", "rrf")
+    assert app.config.final_fusion in ("rerank", "rrf", "union")
     res = app.query("how occupied was the matrix engine", top_k=3)
     assert isinstance(res, list)
 
@@ -202,7 +202,7 @@ def test_pinned_weight_survives_gate(tmp_path):
     app = RAGApplication(cfg, use_ollama=False)
     app.index_documents([str(p) for p in paths])
     mode = app.resolve_final_fusion()
-    assert mode in ("rerank", "rrf")
+    assert mode in ("rerank", "rrf", "union")
     assert app.config.fusion_weight_bm25 == 0.75      # never overridden
     # the gate only measured the two modes at the pinned weight
     assert set(k for k in app.fusion_gate if k.startswith("hit@10")) == {
@@ -260,7 +260,8 @@ def test_gate_band_rule_lexical_only_needs_outright_win():
     menu = GATE_MENU
     # exact tie between 0.9 and 1.0 -> 0.9 wins
     hits = {("rerank", 0.5): 0.3, ("rrf", 0.25): 0.35, ("rrf", 0.5): 0.4,
-            ("rrf", 0.75): 0.5, ("rrf", 0.9): 0.7, ("rrf", 1.0): 0.7}
+            ("rrf", 0.75): 0.5, ("rrf", 0.9): 0.7, ("rrf", 1.0): 0.7,
+            ("union", 0.5): 0.4, ("union", 0.9): 0.6}
     assert select_entry(menu, hits, 64) == ("rrf", 0.9)
     # 1.0 ahead but within the one-query noise band -> still 0.9
     hits[("rrf", 1.0)] = 0.7 + 1.0 / 64
@@ -271,17 +272,18 @@ def test_gate_band_rule_lexical_only_needs_outright_win():
     # parity gets NO in-band priority (it is the LEAST lexical-protective
     # entry; measured on an organic docs corpus, in-band parity cost
     # 9-20pp vs the in-band (rrf, 0.9)): a flat tie ships the most
-    # protective sub-1.0 entry
+    # protective sub-1.0 entry — at equal weight 0.9, union beats rrf
+    # (the structural both-leg floor is free insurance on a tie)
     hits = {e: 0.5 for e in menu}
-    assert select_entry(menu, hits, 64) == ("rrf", 0.9)
+    assert select_entry(menu, hits, 64) == ("union", 0.9)
     # parity wins the band OUTRIGHT -> it ships
     hits = {e: 0.5 for e in menu}
     hits[("rerank", 0.5)] = 0.8
     assert select_entry(menu, hits, 64) == ("rerank", 0.5)
-    # the dense-lean entry ties the band -> the more lexical entry wins
+    # the dense-lean entry ties the band -> the more protective entry wins
     hits = {e: 0.5 for e in menu}
     hits[("rerank", 0.5)] = 0.3
-    assert select_entry(menu, hits, 64) == ("rrf", 0.9)
+    assert select_entry(menu, hits, 64) == ("union", 0.9)
     # dense-lean wins OUTRIGHT (> one-query eps above everything) -> ships
     hits[("rrf", 0.25)] = 0.6
     assert select_entry(menu, hits, 64) == ("rrf", 0.25)
@@ -301,24 +303,29 @@ def test_gate_minimax_regret_catches_regime_collapse():
     hits = {
         "verbatim": {("rerank", 0.5): 0.69, ("rrf", 0.25): 0.69,
                      ("rrf", 0.5): 0.67, ("rrf", 0.75): 0.66,
-                     ("rrf", 0.9): 0.62, ("rrf", 1.0): 0.53},
+                     ("rrf", 0.9): 0.62, ("rrf", 1.0): 0.53,
+                     ("union", 0.5): 0.67, ("union", 0.9): 0.62},
         "long_verbatim": {("rerank", 0.5): 0.48, ("rrf", 0.25): 0.62,
                           ("rrf", 0.5): 0.88, ("rrf", 0.75): 0.95,
-                          ("rrf", 0.9): 0.97, ("rrf", 1.0): 0.98},
+                          ("rrf", 0.9): 0.97, ("rrf", 1.0): 0.98,
+                          ("union", 0.5): 0.88, ("union", 0.9): 0.95},
         "dropout": {("rerank", 0.5): 0.60, ("rrf", 0.25): 0.60,
                     ("rrf", 0.5): 0.62, ("rrf", 0.75): 0.62,
-                    ("rrf", 0.9): 0.60, ("rrf", 1.0): 0.55},
+                    ("rrf", 0.9): 0.60, ("rrf", 1.0): 0.55,
+                    ("union", 0.5): 0.62, ("union", 0.9): 0.60},
         "synonym": {("rerank", 0.5): 0.51, ("rrf", 0.25): 0.50,
                     ("rrf", 0.5): 0.46, ("rrf", 0.75): 0.44,
-                    ("rrf", 0.9): 0.36, ("rrf", 1.0): 0.30},
+                    ("rrf", 0.9): 0.36, ("rrf", 1.0): 0.30,
+                    ("union", 0.5): 0.46, ("union", 0.9): 0.36},
     }
     # worst regrets: parity 0.50 (long_verbatim), 0.25: 0.36, 0.5: 0.10,
-    # 0.75: 0.07, 0.9: 0.15, 1.0: 0.21 -> 0.75 wins, no band ties at 1/16
+    # 0.75: 0.07, 0.9/union0.9: 0.15, 1.0: 0.21 -> 0.75 wins the band
     assert select_entry_regimes(GATE_MENU, hits, 16) == ("rrf", 0.75)
     # saturated regimes (everything ~equal): all in band, most protective
-    # sub-1.0 entry ships (parity gets no priority — see band-rule test)
+    # sub-1.0 entry ships (parity gets no priority — see band-rule test);
+    # equal weight 0.9 -> the structural-floor union entry wins the tie
     flat = {r: {e: 1.0 for e in GATE_MENU} for r in hits}
-    assert select_entry_regimes(GATE_MENU, flat, 16) == ("rrf", 0.9)
+    assert select_entry_regimes(GATE_MENU, flat, 16) == ("union", 0.9)
     # single-regime degenerate case must match the documented band rule
     one = {"all": hits["long_verbatim"]}
     assert select_entry_regimes(GATE_MENU, one, 64) == ("rrf", 0.9)
@@ -339,16 +346,20 @@ def test_gate_band_does_not_override_strictly_smaller_regret():
     hits = {
         "verbatim": {("rerank", 0.5): 0.688, ("rrf", 0.25): 0.75,
                      ("rrf", 0.5): 0.812, ("rrf", 0.75): 0.812,
-                     ("rrf", 0.9): 0.812, ("rrf", 1.0): 0.812},
+                     ("rrf", 0.9): 0.812, ("rrf", 1.0): 0.812,
+                     ("union", 0.5): 0.812, ("union", 0.9): 0.812},
         "long_verbatim": {("rerank", 0.5): 1.0, ("rrf", 0.25): 1.0,
                           ("rrf", 0.5): 1.0, ("rrf", 0.75): 1.0,
-                          ("rrf", 0.9): 0.875, ("rrf", 1.0): 0.875},
+                          ("rrf", 0.9): 0.875, ("rrf", 1.0): 0.875,
+                          ("union", 0.5): 1.0, ("union", 0.9): 0.875},
         "dropout": {("rerank", 0.5): 0.375, ("rrf", 0.25): 0.375,
                     ("rrf", 0.5): 0.438, ("rrf", 0.75): 0.625,
-                    ("rrf", 0.9): 0.625, ("rrf", 1.0): 0.625},
+                    ("rrf", 0.9): 0.625, ("rrf", 1.0): 0.625,
+                    ("union", 0.5): 0.438, ("union", 0.9): 0.625},
         "synonym": {("rerank", 0.5): 0.75, ("rrf", 0.25): 0.75,
                     ("rrf", 0.5): 0.812, ("rrf", 0.75): 0.688,
-                    ("rrf", 0.9): 0.625, ("rrf", 1.0): 0.625},
+                    ("rrf", 0.9): 0.625, ("rrf", 1.0): 0.625,
+                    ("union", 0.5): 0.812, ("union", 0.9): 0.625},
     }
     assert select_entry_regimes(GATE_MENU, hits, 16) == ("rrf", 0.75)
 
@@ -431,7 +442,8 @@ def test_gate_degenerate_band_parity_plus_lexical_only():
 
     base = {("rerank", 0.5): 0.70, ("rrf", 0.25): 0.55, ("rrf", 0.5): 0.58,
             ("rrf", 0.75): 0.60, ("rrf", 0.9): 0.62,
-            ("rrf", 1.0): 0.70 - 1.0 / 32}
+            ("rrf", 1.0): 0.70 - 1.0 / 32, ("union", 0.5): 0.58,
+            ("union", 0.9): 0.61}
     picked = select_entry_regimes(GATE_MENU, {"all": base}, 16)
     # blended entries are 8pp+ out of band; the best of them ships
     assert picked == ("rrf", 0.9)
@@ -455,8 +467,9 @@ def test_gate_band_width_uses_smallest_regime():
     sizes = {"verbatim": 16, "long_verbatim": 5}
     # with the one-query band of the SMALLEST regime (1/5), the blended
     # entries stay in band -> parity has company, a blended entry ships
-    # (equal regrets tie-break to the most protective sub-1.0 one)
-    assert select_entry_regimes(GATE_MENU, hits, sizes) == ("rrf", 0.9)
+    # (equal regrets tie-break to the most protective sub-1.0 one; the
+    # structural-floor union wins the equal-weight tie)
+    assert select_entry_regimes(GATE_MENU, hits, sizes) == ("union", 0.9)
     # an int n_per of 16 (the old behavior) narrows the band to 1/16:
     # the one-query flip in the coarse regime would hand parity an
     # outright win on noise
@@ -468,10 +481,11 @@ def test_gate_rule_matches_oracle_on_randomized_menus():
     the implementation against a literal oracle of that statement on
     randomized menus. Oracle: among entries within one smallest-regime
     query of the minimum worst-regret, ship the smallest-regret entry,
-    ties -> higher weight (rrf beats rerank on equal weight); an entry
-    that drops a leg (rerank mode, or weight >= 1.0) may ship only when
-    it is alone in the band; a band of only leg-droppers falls back to
-    the smallest-regret full-hybrid entry of the whole menu."""
+    ties -> higher weight (equal weight: union beats rrf beats rerank);
+    an entry that drops a leg (rerank mode, or ("rrf", 1.0) — never
+    union) may ship only when it is alone in the band; a band of only
+    leg-droppers falls back to the smallest-regret full-hybrid entry of
+    the whole menu."""
     from hybrid_rag_colbertv2_tpu.retrieval.gate import (
         GATE_MENU, _drops_leg, select_entry_regimes)
 
@@ -490,8 +504,9 @@ def test_gate_rule_matches_oracle_on_randomized_menus():
         if not pool:
             pool = [e for e in menu if not _drops_leg(e)] or list(menu)
         best = min(regret[e] for e in pool)
+        rank = {"rerank": 0, "rrf": 1, "union": 2}
         return max((e for e in pool if regret[e] <= best + 1e-12),
-                   key=lambda e: (e[1], e[0] == "rrf"))
+                   key=lambda e: (e[1], rank[e[0]]))
 
     rng = np.random.default_rng(0)
     regime_names = ["a", "b", "c", "d", "e"]

@@ -110,6 +110,48 @@ def test_sharded_flat_quantized_equals_single_device(setup, dtype,
     np.testing.assert_allclose(scores8, scores1, rtol=1e-4, atol=1e-4)
 
 
+def test_sharded_union_mode_equals_single_device(setup):
+    """final_fusion='union' (the structural both-leg-floor gate entry)
+    must be mesh-invariant like the other modes, and the floor invariant
+    must hold on the sharded results too."""
+    import copy
+
+    cfg0, encoder, lex, dense = setup
+    cfg = copy.deepcopy(cfg0)
+    cfg.final_fusion = "union"
+
+    mgr = IndexManager(cfg, encoder)
+    mgr.lexical = lex
+    mgr.dense = dense
+    single = HybridRetriever(cfg, mgr, encoder)
+    ids1, scores1 = single.retrieve_batch(QUERIES)
+
+    mesh = make_mesh(MeshConfig(mesh_shape=(8, 1)))
+    sharded = shard_dense_index(dense, mesh)
+    r = ShardedRetriever(cfg, mesh, lex, sharded, encoder)
+    ids8, scores8 = r.retrieve_batch(QUERIES)
+
+    assert ids8.shape == ids1.shape == (len(QUERIES), cfg.final_top_k)
+    for b in range(len(QUERIES)):
+        np.testing.assert_allclose(
+            np.sort(scores8[b]), np.sort(scores1[b]), rtol=1e-4,
+            err_msg=f"query {b}")
+        assert set(ids8[b].tolist()) == set(ids1[b].tolist()), f"query {b}"
+
+    # floor invariant on the sharded output: BM25-only top-m present
+    bcfg = copy.deepcopy(cfg0)
+    bcfg.final_fusion = "rrf"
+    bcfg.fusion_weight_bm25 = 1.0
+    rb = HybridRetriever(bcfg, mgr, encoder)
+    bids, _ = rb.retrieve_batch(QUERIES)
+    m = cfg.final_top_k // 2
+    for b in range(len(QUERIES)):
+        got = set(int(i) for i in ids8[b] if i >= 0)
+        for cid in bids[b][:m]:
+            if int(cid) >= 0:
+                assert int(cid) in got, (b, int(cid), sorted(got))
+
+
 @pytest.mark.parametrize("dtype", ["float32", "int8"])
 def test_doc_sharded_bm25_equals_single_device(setup, dtype):
     """MeshConfig.shard_bm25: the lexical CSR sharded on the doc axis
