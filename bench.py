@@ -572,12 +572,14 @@ def _throughput_fields(result, ctx, fix, q4, dsc):
     packed = pack_query_batch(encoder, fix["lex"], fix["queries"])
     q_ids = packed[:, :lq]
 
-    def enc_once():
-        return model.apply({"params": params}, q_ids,
-                           jax.numpy.ones_like(q_ids))
-
     fwd = jax.jit(lambda p, x: model.apply(
         {"params": p}, x, jax.numpy.ones_like(x)))
+
+    def enc_once():
+        # measure the JITTED forward — an eager model.apply dispatches
+        # every op separately through the tunnel (measured 550 ms for a
+        # 3 ms graph)
+        return fwd(params, q_ids)
     try:
         cost = fwd.lower(params, q_ids).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):   # older jax: one dict/device

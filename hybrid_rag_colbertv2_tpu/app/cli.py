@@ -46,10 +46,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--top-k", type=int, default=None,
                    help="results for --query")
     p.add_argument("--final-fusion", type=str, default=None,
-                   choices=["rerank", "rrf", "auto"],
+                   choices=["rerank", "rrf", "union", "auto"],
                    help="final top-k ordering: 'rerank' = exact MaxSim "
                         "alone (reference parity), 'rrf' = fuse in the "
-                        "candidate-RRF ranking, 'auto' (default) = "
+                        "candidate-RRF ranking, 'union' = rrf plus a "
+                        "structural floor guaranteeing both legs' top-k/2 "
+                        "survive into the final top-k, 'auto' (default) = "
                         "calibrate mode + leg weight by a measured gate "
                         "on held-out pseudo-queries (retrieval/gate.py)")
     p.add_argument("--fusion-weight-bm25", type=float, default=None,
