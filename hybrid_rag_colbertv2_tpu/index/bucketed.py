@@ -280,6 +280,17 @@ class BucketedDenseIndex:
                  row_of=np.asarray(self.row_of))
         (path / "meta.json").write_text(json.dumps({
             "n_docs": self.n_docs, "n_buckets": len(self.buckets)}))
+        # Clear the other layout's / a wider save's stale artifacts so a
+        # layout switch never leaves a misdetectable mixed directory.
+        import shutil
+
+        (path / "dense.npz").unlink(missing_ok=True)
+        for sub in path.glob("bucket_*"):
+            if sub.is_dir() and not (
+                    sub.name.removeprefix("bucket_").isdigit()
+                    and int(sub.name.removeprefix("bucket_"))
+                    < len(self.buckets)):
+                shutil.rmtree(sub)
 
     @classmethod
     def load(cls, path: str | Path) -> "BucketedDenseIndex":

@@ -423,6 +423,15 @@ class DenseTokenIndex:
             "emb_dtype": str(np.asarray(self.emb_flat).dtype),
         }
         (path / "meta.json").write_text(json.dumps(meta))
+        # A flat save over a previously-bucketed directory must clear the
+        # other layout's artifacts — a stale mapping.npz/bucket_* makes
+        # loaders misdetect the layout and fail on the flat meta.
+        import shutil
+
+        (path / "mapping.npz").unlink(missing_ok=True)
+        for sub in path.glob("bucket_*"):
+            if sub.is_dir():
+                shutil.rmtree(sub)
 
     @classmethod
     def load(cls, path: str | Path) -> "DenseTokenIndex":

@@ -10,6 +10,7 @@ mismatch, SURVEY.md section 2).
 
 from __future__ import annotations
 
+import json
 from pathlib import Path
 from typing import Optional, Protocol, Sequence, Tuple
 
@@ -159,7 +160,12 @@ class IndexManager:
     def load(self) -> None:
         """Reference: DualIndexer.load_indexes (local_rag_complete.py:876)."""
         self.lexical = LexicalIndex.load(self.config.bm25_index_path)
-        if (Path(self.config.colbert_index_path) / "mapping.npz").exists():
+        # Layout detection keys off meta.json (written LAST by both save
+        # paths), not file presence — a stale mapping.npz from a previous
+        # bucketed save must not misroute a flat index (and vice versa).
+        meta = json.loads(
+            (Path(self.config.colbert_index_path) / "meta.json").read_text())
+        if "n_buckets" in meta:
             from .bucketed import BucketedDenseIndex
 
             self.dense = BucketedDenseIndex.load(

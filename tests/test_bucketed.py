@@ -280,3 +280,45 @@ def test_fused_bucketed_equals_composed(tmp_path):
     ids2c, scores2c = r2._cascade_bucketed_composed(q_emb, q_terms, 8)
     np.testing.assert_array_equal(ids2, ids2c)
     np.testing.assert_allclose(scores2, scores2c, rtol=1e-5, atol=1e-5)
+
+
+def test_layout_switch_save_clears_stale_artifacts(data, tmp_path):
+    """Saving a FLAT index over a previously-BUCKETED directory (and vice
+    versa) must leave a directory the IndexManager loads as the new layout.
+    Regression: a flat save left mapping.npz + bucket_* behind, the loader
+    keyed off mapping.npz presence, and load died on the flat meta
+    (KeyError 'n_buckets')."""
+    from hybrid_rag_colbertv2_tpu.index.manager import IndexManager
+    from hybrid_rag_colbertv2_tpu.config import RAGConfig
+    from hybrid_rag_colbertv2_tpu.index.lexical import LexicalIndex
+
+    q, docs, lengths = data
+    path = tmp_path / "idx"
+    bucketed = BucketedDenseIndex.build(docs, lengths,
+                                        bucket_sizes=(32, 96),
+                                        dtype="float32")
+    bucketed.save(path)
+    assert (path / "mapping.npz").exists()
+
+    flat = DenseTokenIndex.build(docs, lengths, doc_len=96, dtype="float32")
+    flat.save(path)                      # layout switch: bucketed -> flat
+    assert not (path / "mapping.npz").exists()
+    assert not list(path.glob("bucket_*"))
+
+    cfg = RAGConfig()
+    cfg.colbert_index_path = str(path)
+    cfg.bm25_index_path = str(tmp_path / "bm25")
+    LexicalIndex.build(["alpha beta"] * 4).save(cfg.bm25_index_path)
+    mgr = IndexManager(cfg)
+    mgr.load()
+    assert isinstance(mgr.dense, DenseTokenIndex)
+    np.testing.assert_allclose(np.asarray(mgr.dense.search_scores(q)),
+                               np.asarray(flat.search_scores(q)), rtol=1e-6)
+
+    # and the reverse switch: flat -> bucketed (fewer buckets than a
+    # previous wider save would also be cleared)
+    bucketed.save(path)
+    assert not (path / "dense.npz").exists()
+    mgr2 = IndexManager(cfg)
+    mgr2.load()
+    assert isinstance(mgr2.dense, BucketedDenseIndex)
