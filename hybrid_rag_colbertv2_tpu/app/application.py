@@ -145,8 +145,14 @@ class RAGApplication:
                 # MXU throughput for corpus encoding (the indexing hot loop)
                 dtype=enc_dtype,
                 # self-contained encoders only: guaranteed exact-token-match
-                # affinity (see config.encoder_lexical_anchor)
-                lexical_anchor=cfg.encoder_lexical_anchor,
+                # affinity (see config.encoder_lexical_anchor). A
+                # checkpoint WITHOUT config.json also lands here — its
+                # converted params carry no anchor table, so defining the
+                # anchor in the module would crash the first apply
+                # (ScopeParamNotFoundError); honor the documented
+                # "ignored when encoder_checkpoint is set" contract.
+                lexical_anchor=(0.0 if ckpt is not None
+                                else cfg.encoder_lexical_anchor),
             )
         params = None
         if ckpt is not None:
@@ -329,7 +335,20 @@ class RAGApplication:
                 seed=self.config.encoder_seed + 2,
                 synonym_prob=min(0.15, syn_prob),
                 with_mine_text=True)
-        if syn_prob > 0.0 or n_rw > 0:
+        # interrogative-framed share (round 5/6): the reworded queries
+        # wrapped in question scaffolding — matches the natural-question
+        # token distribution the hand-written-questions slice measures
+        # (train/data.py::question_query_pairs docstring has the data)
+        n_qq = (self.config.encoder_question_pairs
+                if len(corpus) >= 16 else 0)
+        if n_qq > 0:
+            from ..train.data import question_query_pairs
+            pairs_idx += question_query_pairs(
+                corpus, n_pairs_per_doc=n_qq,
+                seed=self.config.encoder_seed + 3,
+                synonym_prob=min(0.15, syn_prob),
+                with_mine_text=True)
+        if syn_prob > 0.0 or n_rw > 0 or n_qq > 0:
             import numpy as _np
             _np.random.default_rng(
                 self.config.encoder_seed).shuffle(pairs_idx)

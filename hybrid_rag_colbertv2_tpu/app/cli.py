@@ -50,8 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="final top-k ordering: 'rerank' = exact MaxSim "
                         "alone (reference parity), 'rrf' = fuse in the "
                         "candidate-RRF ranking, 'union' = rrf plus a "
-                        "structural floor guaranteeing both legs' top-k/2 "
-                        "survive into the final top-k, 'auto' (default) = "
+                        "structural floor guaranteeing both legs' top "
+                        "ranks survive into the final top-k (the k-slot "
+                        "floor budget splits by the BM25 leg weight), "
+                        "'auto' (default) = "
                         "calibrate mode + leg weight by a measured gate "
                         "on held-out pseudo-queries (retrieval/gate.py)")
     p.add_argument("--fusion-weight-bm25", type=float, default=None,

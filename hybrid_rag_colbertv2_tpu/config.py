@@ -136,8 +136,11 @@ class RAGConfig:
     # with the candidate-RRF ranking — keeps lexical evidence in the final
     # cut, hedging dense-rerank misses (measured on the 90-chunk real-text
     # corpus: hit@10 0.906 -> see docs/performance.md); "union" =
-    # guaranteed-floor ordering — the final top-k provably contains BOTH
-    # legs' top-(k/2), making "hybrid >= max(leg)@k/2" structural
+    # guaranteed-floor ordering — the final top-k provably contains
+    # BM25's top-m_b AND dense's top-m_d, where the k-slot floor budget
+    # splits by fusion_weight_bm25 (w=0.5 -> symmetric k/2 each; w=0.9,
+    # k=10 -> 9+1; ops/fusion.union_floor_split has the measurement),
+    # making "hybrid >= max(leg)@floor" structural
     # (ops/fusion.final_topk_select). Reported scores stay exact-MaxSim
     # in every mode. "auto" (default): the APPLICATION decides by a
     # measured gate — it evaluates a (mode, leg-weight) menu on held-out
@@ -276,6 +279,15 @@ class RAGConfig:
     # rare anchors under full word-order invariance. Gated on >= 16
     # chunks like the other augmentations.
     encoder_reworded_pairs: int = 6
+    # Interrogative-framed reworded pairs per chunk (train/data.py::
+    # question_query_pairs): the reworded queries above wrapped in
+    # question scaffolding ("how does ... ?"). Real user queries are
+    # questions, and the hand-written-questions eval slice
+    # (tools/organic_questions.py) measured the self-trained encoder's
+    # dense-only hit@10 at 0.275 vs BM25's 0.500 — a query-token
+    # DISTRIBUTION mismatch a 4-layer backbone is sensitive to. Gated on
+    # >= 16 chunks like the other augmentations.
+    encoder_question_pairs: int = 0
     # Total gate calibration queries, split evenly over the gate's query
     # regimes (retrieval/gate.py resolve_final_fusion; 5 regimes -> 32
     # queries per regime at the default). Small corpora bound each

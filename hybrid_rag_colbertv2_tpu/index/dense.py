@@ -141,7 +141,7 @@ class DenseTokenIndex:
     def is_int4(self) -> bool:
         """True for the nibble-packed "int4-doc" layout (emb_flat carries
         L/2 full-width pair-rows per doc — token 2j in low nibbles,
-        2j+1 in high; ops/quant.py::quantize_int4_docs)."""
+        2j+1 in high; ops/quant.py::quantize_int4_groups)."""
         return (self.doc_scales is not None
                 and self.emb_flat.shape[0] * 2
                 == self.n_pad * self.doc_len)

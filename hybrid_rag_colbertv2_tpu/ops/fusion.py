@@ -24,6 +24,38 @@ import jax.numpy as jnp
 _BIG = jnp.iinfo(jnp.int32).max
 
 
+def union_floor_split(k_final: int, weight_bm25: float,
+                      union_m: int = 0) -> Tuple[int, int]:
+    """Weight-tied asymmetric union floors -> (m_bm25, m_dense).
+
+    The total floor budget is 2m (m = ``union_m`` or k_final // 2, so
+    the floors always fit k_final) split by the calibrated BM25 leg
+    weight: m_bm25 = round(2m * w), clamped to [1, 2m-1] so NEITHER
+    floor ever drops to zero for 0 < w < 1 (the gate's protectiveness
+    rationale for union). w = 0.5 gives the symmetric (m, m) split
+    (round-5 behavior, bit-compatible); w = 0.9 at k_final = 10 gives
+    (9, 1) — keep BM25's top-9 and insure with dense's top-1.
+
+    MEASURED (hand-written-questions probe, 2026-08-19, organic corpus):
+    the symmetric (5, 5) split scored 0.500 hit@10 on natural questions
+    vs BM25-only 0.525 — dense's (weak there) top-5 displaced BM25 ranks
+    6-9 where 4 golds lived; the floor-split oracle over the same ranks
+    reads (9,1)=0.600, (8,2)=0.575, (5,5)=0.500. Tying the split to the
+    measured leg weight lets the SAME calibration that discovers "dense
+    is weak here" (w -> 0.9) also protect the deeper BM25 ranks.
+
+    k_final = 1 (m = 0): no two-leg floor fits one slot -> (0, 0), union
+    degenerates to the weighted blend.
+    """
+    m = union_m if union_m > 0 else k_final // 2
+    if m <= 0:
+        return 0, 0
+    tot = 2 * m
+    mb = int(tot * weight_bm25 + 0.5)
+    mb = max(1, min(tot - 1, mb))
+    return mb, tot - mb
+
+
 @functools.partial(jax.jit,
                    static_argnames=("k", "rrf_k", "weights", "floor_m"))
 def rrf_from_topk(
@@ -33,7 +65,8 @@ def rrf_from_topk(
     k: int,                # number of fused candidates to keep
     rrf_k: int = 60,       # reference hard-codes 60 (local_rag_complete.py:964)
     weights: Tuple[float, float] = (1.0, 1.0),
-    floor_m: int = 0,      # >0: each leg's live top-m ALWAYS survive the cut
+    floor_m=0,             # int (symmetric) or (m_a, m_b): each leg's live
+                           # top-m ALWAYS survive the cut
 ) -> Tuple[jax.Array, jax.Array]:
     """Fuse two ranked id lists -> (fused_scores (B,k), fused_ids (B,k)).
 
@@ -48,27 +81,30 @@ def rrf_from_topk(
     calibrated hybrid (retrieval/gate.py) — e.g. (1.5, 0.5) leans on the
     first (BM25) list when the measured gate finds the dense leg weak.
 
-    ``floor_m > 0`` (the ``final_fusion="union"`` contract,
-    final_topk_select): each leg's live top-``floor_m`` ids get a bonus
-    tier far above any reachable rank-weight sum, so BOTH floors provably
-    survive the top-k cut (2*floor_m <= k required) regardless of
-    ``weights`` — without it a leg's top-m id can be crowded out of the
-    candidate set by ids appearing in both lists. The returned SCORES of
-    floored ids include the bonus (candidate order = floored ids first);
-    the union final ordering re-ranks them by best leg rank anyway.
+    ``floor_m`` (the ``final_fusion="union"`` contract,
+    final_topk_select): an int floors each leg's live top-m
+    symmetrically; an (m_a, m_b) pair floors per leg (the weight-tied
+    split, ``union_floor_split``). Floored ids get a bonus tier far
+    above any reachable rank-weight sum, so the floors provably survive
+    the top-k cut (m_a + m_b <= k required) regardless of ``weights`` —
+    without it a leg's top-m id can be crowded out of the candidate set
+    by ids appearing in both lists. The returned SCORES of floored ids
+    include the bonus (candidate order = floored ids first); the union
+    final ordering re-ranks them by best leg rank anyway.
     """
     b, ka = ids_a.shape
     kb = ids_b.shape[1]
     kt = ka + kb
 
+    fa, fb = (floor_m, floor_m) if isinstance(floor_m, int) else floor_m
     wa = weights[0] / (rrf_k + 1.0 + jnp.arange(ka, dtype=jnp.float32))
     wb = weights[1] / (rrf_k + 1.0 + jnp.arange(kb, dtype=jnp.float32))
-    if floor_m > 0:
+    if fa > 0 or fb > 0:
         # tier gap 1e3 >> max possible sum (weights sum <= ~4/(rrf_k+1))
         pa = jnp.arange(ka, dtype=jnp.float32)
         pb = jnp.arange(kb, dtype=jnp.float32)
-        wa = wa + jnp.where(pa < floor_m, 1e3 * (floor_m - pa), 0.0)
-        wb = wb + jnp.where(pb < floor_m, 1e3 * (floor_m - pb), 0.0)
+        wa = wa + jnp.where(pa < fa, 1e3 * (fa - pa), 0.0)
+        wb = wb + jnp.where(pb < fb, 1e3 * (fb - pb), 0.0)
 
     def fuse_one(ia: jax.Array, ib: jax.Array):
         ids = jnp.concatenate([ia, ib])                       # (Kt,)
@@ -151,9 +187,13 @@ def final_topk_select(
     calibrated-hybrid gate raises it when the measured dense leg is weak.
 
     ``final_fusion="union"``: GUARANTEED-MEMBERSHIP ordering. The final
-    list provably contains every live id of BM25's top-m AND dense's
-    top-m (m = ``union_m`` or k_final // 2, so 2m <= k_final and both
-    floors always fit). Ordering is the same weighted blend as "rrf" —
+    list provably contains every live id of BM25's top-m_b AND dense's
+    top-m_d, where (m_b, m_d) is the WEIGHT-TIED split of the 2m floor
+    budget (``union_floor_split``: m = ``union_m`` or k_final // 2;
+    m_b = round(2m * weight_cand) clamped so neither floor is 0 for
+    0 < weight < 1; w=0.5 -> the symmetric (m, m)). m_b + m_d <= k_final
+    always fits; at k_final = 1 the budget is 0 — no two-leg floor fits
+    one slot, and union degenerates to the weighted blend. Ordering is the same weighted blend as "rrf" —
     RRF(rerank rank, weighted-leg-RRF rank) at ``weight_cand`` — except
     the guaranteed ids are HOISTED above the rest (stable within the
     blend). Membership makes "hybrid >= max(leg) at depth m" a
@@ -185,7 +225,11 @@ def final_topk_select(
             if bm25_ids is None or dense_ids is None:
                 raise ValueError(
                     "final_fusion='union' needs bm25_ids and dense_ids")
-            m = union_m if union_m > 0 else max(1, k_final // 2)
+            # weight-tied floor split; (0, 0) at k_final=1 — no floor
+            # can hold both legs in a 1-slot result, so union
+            # degenerates to the weighted blend (previously
+            # max(1, ...) silently dropped one "guaranteed" id)
+            mb, md = union_floor_split(k_final, weight_cand, union_m)
 
             def leg_rank(leg):
                 eq = (fused_ids[:, :, None] == leg[:, None, :]) \
@@ -201,7 +245,7 @@ def final_topk_select(
             rrf_true = (wc / (rrf_k + 1.0 + ra)
                         + (2.0 - wc) / (rrf_k + 1.0 + rb))
             cand_rank = jnp.argsort(jnp.argsort(-rrf_true, axis=1), axis=1)
-            guaranteed = (ra < m) | (rb < m)
+            guaranteed = (ra < mb) | (rb < md)
             sel = (wr / (rrf_k + 1.0 + rr_rank)
                    + wc / (rrf_k + 1.0 + cand_rank)
                    # uniform hoist tier >> the blend's max 4/(rrf_k+1)

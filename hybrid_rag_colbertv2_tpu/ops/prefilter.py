@@ -48,7 +48,7 @@ def candidate_sims(q: jax.Array,     # (Lq, D) f32 query token embeddings
     Shared by every exact-on-candidates site (pruned stage B, the fused
     cascade reranks): the gather stays in the stored dtype and the
     convert is fused into the dot operand. Nibble-packed int4 pair-rows
-    (ops/quant.py::quantize_int4_docs — token 2j in low nibbles, 2j+1 in
+    (ops/quant.py::quantize_int4_groups — token 2j in low nibbles, 2j+1 in
     high, full 128-lane width so the gather never triggers an XLA
     relayout of the whole index) are consumed as two einsums whose sims
     interleave back to token order, so the gather traffic is HALF the

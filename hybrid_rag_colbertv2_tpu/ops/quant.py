@@ -163,7 +163,7 @@ def quantize_int4_groups(
 @jax.jit
 def unpack_int4(packed: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Packed int4 bytes -> (lo, hi) sign-extended values (same shape as
-    ``packed``, int32 in [-8, 7]; quantize_int4_docs only emits [-7, 7]).
+    ``packed``, int32 in [-8, 7]; quantize_int4_groups only emits [-7, 7]).
     lo is the EVEN token row of the pair, hi the ODD one."""
     p = packed.astype(jnp.int32)
     lo = jnp.right_shift(jnp.left_shift(p, 28), 28)   # arithmetic shifts

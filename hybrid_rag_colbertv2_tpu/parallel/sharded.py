@@ -30,7 +30,8 @@ from ..config import RAGConfig, effective_final_fusion
 from ..index.dense import DenseTokenIndex
 from ..index.lexical import LexicalIndex
 from ..ops.bm25 import bm25_topk_device
-from ..ops.fusion import final_topk_select, rrf_from_topk
+from ..ops.fusion import (final_topk_select, rrf_from_topk,
+                          union_floor_split)
 from ..ops.maxsim import (maxsim_scores, maxsim_scores_exact,
                           maxsim_scores_int4_doc, maxsim_scores_int8,
                           maxsim_scores_int8_doc)
@@ -206,7 +207,8 @@ def _make_sharded_cascade_impl(
 
         # --- fusion (replicated, calibrated leg weights) ------------------
         fw = fusion_weight_bm25
-        fm = max(1, kfin // 2) if final_fusion == "union" else 0
+        fm = (union_floor_split(kfin, fusion_weight_bm25)
+              if final_fusion == "union" else (0, 0))
         fused_scores, fused_ids = rrf_from_topk(
             bi, ms_ids, k=kf, rrf_k=rrf_k,
             weights=(2.0 * fw, 2.0 * (1.0 - fw)), floor_m=fm)
@@ -246,7 +248,7 @@ def _make_sharded_cascade_impl(
         return final_topk_select(rerank, fused_ids, kfin, rrf_k=rrf_k,
                                  final_fusion=final_fusion,
                                  weight_cand=fusion_weight_bm25,
-                                 bm25_ids=bi, dense_ids=ms_ids, union_m=fm)
+                                 bm25_ids=bi, dense_ids=ms_ids)
 
     rep = P()
     lex_spec = P(axis, None) if bm25_sharded else rep
@@ -379,7 +381,8 @@ def _make_sharded_bucketed_cascade_impl(
             k=min(k_each, n_docs))
 
         fw = fusion_weight_bm25
-        fm = max(1, kfin // 2) if final_fusion == "union" else 0
+        fm = (union_floor_split(kfin, fusion_weight_bm25)
+              if final_fusion == "union" else (0, 0))
         fused_scores, fused_ids = rrf_from_topk(
             bm_ids, ms_ids, k=kf, rrf_k=rrf_k,
             weights=(2.0 * fw, 2.0 * (1.0 - fw)), floor_m=fm)
@@ -435,8 +438,7 @@ def _make_sharded_bucketed_cascade_impl(
         return final_topk_select(rerank, fused_ids, kfin, rrf_k=rrf_k,
                                  final_fusion=final_fusion,
                                  weight_cand=fusion_weight_bm25,
-                                 bm25_ids=bm_ids, dense_ids=ms_ids,
-                                 union_m=fm)
+                                 bm25_ids=bm_ids, dense_ids=ms_ids)
 
     rep = P()
     per_bucket_specs = []
@@ -548,8 +550,11 @@ class ShardedBucketedRetriever:
                        ) -> Tuple[np.ndarray, np.ndarray]:
         k = top_k_final or self.config.final_top_k
         fn = self._fn_for(min(k, self.config.fusion_candidates, self._n))
-        snap = self.timer.snapshot()
-        with self.timer.stage("tokenize"):
+        # per-call split via a local out dict, not snapshot/delta — two
+        # concurrent callers on one retriever (the server's inflight=2
+        # batcher) would cross-attribute stages (see cascade.py)
+        lt = {}
+        with self.timer.stage("tokenize", out=lt):
             cfg_t = getattr(self.config, "query_max_terms", None)
             cfg_b = getattr(self.config, "query_term_buckets", None)
             if self._model is not None:
@@ -560,12 +565,12 @@ class ShardedBucketedRetriever:
                 q_emb = self.encoder.encode_queries(list(queries))
                 head = (q_emb, jnp.asarray(encode_query_terms(
                     self.lexical, queries, cfg_t, cfg_b)))
-        with self.timer.stage("cascade"):
+        with self.timer.stage("cascade", out=lt):
             ids, scores = fn(*head, *self._lex_dev,
                              *self._maps, *self._flat)
             ids = np.asarray(ids)
             scores = np.asarray(scores)
-        self.last_timings = self.timer.delta(snap)
+        self.last_timings = {n: round(v, 6) for n, v in lt.items()}
         return ids[:, :k], scores[:, :k]
 
 
@@ -654,8 +659,8 @@ class ShardedRetriever:
         k = top_k_final or self.config.final_top_k
         fn = self._fn_for(min(k, self.config.fusion_candidates,
                               self.dense.n_docs))
-        snap = self.timer.snapshot()
-        with self.timer.stage("tokenize"):
+        lt = {}  # per-call split; see cascade.py retrieve_batch
+        with self.timer.stage("tokenize", out=lt):
             cfg_t = getattr(self.config, "query_max_terms", None)
             cfg_b = getattr(self.config, "query_term_buckets", None)
             if self._model is not None:
@@ -666,7 +671,7 @@ class ShardedRetriever:
                 q_emb = self.encoder.encode_queries(list(queries))
                 head = (q_emb, jnp.asarray(encode_query_terms(
                     self.lexical, queries, cfg_t, cfg_b)))
-        with self.timer.stage("cascade"):
+        with self.timer.stage("cascade", out=lt):
             scales = self.dense.scales
             if scales is None:
                 # shard_map needs a concrete array; zero-size placeholder
@@ -694,5 +699,5 @@ class ShardedRetriever:
                 doc_scales)
             ids = np.asarray(ids)
             scores = np.asarray(scores)
-        self.last_timings = self.timer.delta(snap)
+        self.last_timings = {n: round(v, 6) for n, v in lt.items()}
         return ids[:, :k], scores[:, :k]

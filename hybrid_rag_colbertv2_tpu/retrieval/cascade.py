@@ -36,7 +36,8 @@ from ..config import RAGConfig, effective_final_fusion
 from ..index.dense import DenseTokenIndex
 from ..index.manager import IndexManager
 from ..ops.bm25 import bm25_topk_device
-from ..ops.fusion import final_topk_select, rrf_from_topk
+from ..ops.fusion import (final_topk_select, rrf_from_topk,
+                          union_floor_split)
 from ..ops.maxsim import (maxsim_scores, maxsim_scores_int4_doc,
                           maxsim_scores_int8, maxsim_scores_int8_doc)
 from ..ops.prefilter import (approx_or_exact_topk, candidate_sims,
@@ -189,7 +190,8 @@ def hybrid_cascade(
     # ordering's structural guarantee is exact (ops/fusion.py).
     w = fusion_weight_bm25
     kf = min(k_final, k_fuse, n_docs)
-    fm = max(1, kf // 2) if final_fusion == "union" else 0
+    fm = (union_floor_split(kf, w) if final_fusion == "union"
+          else (0, 0))
     fused_scores, fused_ids = rrf_from_topk(
         bm25_ids, ms_ids, k=min(k_fuse, n_docs), rrf_k=rrf_k,
         weights=(2.0 * w, 2.0 * (1.0 - w)), floor_m=fm)
@@ -229,7 +231,7 @@ def hybrid_cascade(
     final_ids, top_vals = final_topk_select(
         rerank, fused_ids, kf, rrf_k=rrf_k, final_fusion=final_fusion,
         weight_cand=fusion_weight_bm25,
-        bm25_ids=bm25_ids, dense_ids=ms_ids, union_m=fm)
+        bm25_ids=bm25_ids, dense_ids=ms_ids)
     debug = {
         "bm25_ids": bm25_ids, "bm25_vals": bm25_vals,
         "ms_ids": ms_ids, "ms_vals": ms_vals,
@@ -361,7 +363,8 @@ def fused_bucketed_cascade_fn(model, query_len: int, bucket_geoms,
                 n_docs=n_docs, max_postings=max_postings,
                 k=min(k_each, n_docs))
 
-            fm = max(1, kfin // 2) if final_fusion == "union" else 0
+            fm = (union_floor_split(kfin, w) if final_fusion == "union"
+                  else (0, 0))
             fused_scores, fused_ids = rrf_from_topk(
                 bm25_ids, ms_ids, k=kf, rrf_k=rrf_k,
                 weights=(2.0 * w, 2.0 * (1.0 - w)), floor_m=fm)
@@ -415,7 +418,7 @@ def fused_bucketed_cascade_fn(model, query_len: int, bucket_geoms,
             final_ids, top_vals = final_topk_select(
                 rerank, fused_ids, kfin, rrf_k=rrf_k,
                 final_fusion=final_fusion, weight_cand=w,
-                bm25_ids=bm25_ids, dense_ids=ms_ids, union_m=fm)
+                bm25_ids=bm25_ids, dense_ids=ms_ids)
             return final_ids.astype(jnp.int32), top_vals
 
         return fused
@@ -583,7 +586,7 @@ class HybridRetriever:
         w = getattr(cfg, "fusion_weight_bm25", 0.5)
         mode = effective_final_fusion(cfg)
         kfin = min(k_final, cfg.fusion_candidates, n)
-        fm = max(1, kfin // 2) if mode == "union" else 0
+        fm = union_floor_split(kfin, w) if mode == "union" else (0, 0)
         fused_scores, fused_ids = rrf_from_topk(
             bi, mi, k=min(cfg.fusion_candidates, n), rrf_k=cfg.rrf_k,
             weights=(2.0 * w, 2.0 * (1.0 - w)), floor_m=fm)
@@ -593,30 +596,38 @@ class HybridRetriever:
             rrf_k=cfg.rrf_k,
             final_fusion=mode,
             weight_cand=w,
-            bm25_ids=bi, dense_ids=mi, union_m=fm)
+            bm25_ids=bi, dense_ids=mi)
         return np.asarray(final_ids), np.asarray(tv)
 
     def retrieve_batch(
-        self, queries: Sequence[str], top_k_final: Optional[int] = None
+        self, queries: Sequence[str], top_k_final: Optional[int] = None,
+        *, timings_out: Optional[Dict[str, float]] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """-> (ids (B, k), scores (B, k)) — device path only."""
+        """-> (ids (B, k), scores (B, k)) — device path only.
+
+        ``timings_out``: optional caller-local dict the per-call stage
+        split is accumulated into. The split must NOT be carved from the
+        shared cumulative timer (snapshot/delta): the server's
+        double-buffered micro-batcher runs two of these concurrently on
+        one retriever, and a shared-totals delta attributes the other
+        in-flight call's stages to this one."""
         cfg = self.config
         k = top_k_final or cfg.final_top_k
         self._check_binding()
-        snap = self.timer.snapshot()
+        lt: Dict[str, float] = {} if timings_out is None else timings_out
         lex = self.indexes.lexical
         dense = self.indexes.dense
         if not isinstance(dense, DenseTokenIndex):
             # bucketed index: same fused single-dispatch contract as the
             # flat path — one packed transfer, one executable
-            with self.timer.stage("tokenize"):
+            with self.timer.stage("tokenize", out=lt):
                 packed = pack_query_batch(
                     self.encoder, lex, queries,
                     getattr(cfg, "query_max_terms", None),
                     getattr(cfg, "query_term_buckets", None))
             kf = min(k, cfg.fusion_candidates, dense.n_docs)
             fused = self._build_fused_bucketed(kf)
-            with self.timer.stage("encode+cascade"):
+            with self.timer.stage("encode+cascade", out=lt):
                 ids, scores = fused(
                     self.encoder.params, packed,
                     self._lex_dev["indptr"], self._lex_dev["post_docs"],
@@ -624,11 +635,11 @@ class HybridRetriever:
                     dense.bucket_of, dense.row_of, *self._bucketed_flat)
                 ids = np.asarray(ids)
                 scores = np.asarray(scores)
-            self.last_timings = self.timer.delta(snap)
+            self.last_timings = {n: round(v, 6) for n, v in lt.items()}
             return ids, scores
         # flat index: encoder + cascade fused into one dispatch, query
         # token ids + BM25 term ids packed into ONE transfer
-        with self.timer.stage("tokenize"):
+        with self.timer.stage("tokenize", out=lt):
             packed = pack_query_batch(
                 self.encoder, lex, queries,
                 getattr(cfg, "query_max_terms", None),
@@ -636,7 +647,7 @@ class HybridRetriever:
         prefilter = getattr(cfg, "dense_prefilter", 0)
         kf = min(k, cfg.fusion_candidates, dense.n_docs)
         fused = self._build_fused(kf)
-        with self.timer.stage("encode+cascade"):
+        with self.timer.stage("encode+cascade", out=lt):
             ids, scores = fused(
                 self.encoder.params, packed,
                 self._lex_dev["indptr"], self._lex_dev["post_docs"],
@@ -646,17 +657,18 @@ class HybridRetriever:
                 dense.doc_scales)
             ids = np.asarray(ids)
             scores = np.asarray(scores)
-        self.last_timings = self.timer.delta(snap)
+        self.last_timings = {n: round(v, 6) for n, v in lt.items()}
         return ids, scores
 
     def retrieve(self, query: str, top_k_final: Optional[int] = None
                  ) -> List[Dict]:
         """Single-query API with text fetch — parity with reference
         retrieve() (local_rag_complete.py:894-935)."""
-        snap = self.timer.snapshot()
-        ids, scores = self.retrieve_batch([query], top_k_final)
+        lt: Dict[str, float] = {}
+        ids, scores = self.retrieve_batch([query], top_k_final,
+                                          timings_out=lt)
         results: List[Dict] = []
-        with self.timer.stage("fetch"):
+        with self.timer.stage("fetch", out=lt):
             for rank, (cid, score) in enumerate(zip(ids[0], scores[0]), 1):
                 if cid < 0:
                     continue
@@ -668,6 +680,7 @@ class HybridRetriever:
                 elif self.indexes.corpus is not None:
                     row["text"] = self.indexes.corpus[int(cid)]
                 results.append(row)
-        self.last_timings = self.timer.delta(snap)   # + the fetch stage
+        self.last_timings = {n: round(v, 6)
+                             for n, v in lt.items()}  # + the fetch stage
         log.debug("retrieve timings: %s", json.dumps(self.last_timings))
         return results

@@ -23,9 +23,13 @@ pseudo-queries over the indexed corpus:
                     verbatim-anchored queries AND the dense floor on
                     adversarial ones at once (the measured round-4
                     paraphrase giveback)
-    (union,  0.9)   the same floors ordered by the BM25-protective 0.9
-                    blend — (rrf, 0.9)'s ordering with dense-floor
-                    insurance on the membership
+    (union,  0.9)   WEIGHT-TIED floors (ops/fusion.union_floor_split):
+                    the 2*(k/2) floor budget splits by the leg weight —
+                    BM25's top-9 + dense's top-1 at k=10 — ordered by
+                    the BM25-protective 0.9 blend. The symmetric split
+                    measurably displaced BM25 ranks 6-9 with dense
+                    misses on dense-weak query families (hand-written
+                    questions probe: (5,5) 0.500 vs (9,1) 0.600 oracle)
 
 Selection rule — MINIMAX REGRET ACROSS QUERY REGIMES, one rule
 (mirrored by ``select_entry_regimes`` and property-tested in
@@ -244,7 +248,9 @@ def _drops_leg(entry: Tuple[str, float]) -> bool:
     candidate set). Both were measured shipping large held-out losses
     from inside the noise band (module docstring), so the selection
     rule requires them to win the band outright. ``("union", ..)`` never
-    drops a leg at ANY weight: both legs' top-m are floored into the
+    drops a leg at ANY weight: the weight-tied floor split is clamped so
+    neither leg's floor reaches zero for 0 < w < 1
+    (ops/fusion.union_floor_split), and both floors are enforced in the
     candidate set and the final cut structurally (ops/fusion.py)."""
     mode, weight = entry
     if mode == "union":
@@ -441,7 +447,11 @@ def resolve_final_fusion(
                "queries": total_queries, "n_per_regime": n_per, "k": k,
                "regime_k": regime_k, "n_by_regime": n_by_regime}
     for mode, weight in menu:
-        details[f"hit@{k}_{mode}_w{weight}"] = round(float(np.mean(
+        # labeled mean_hit, NOT hit@k: regimes are measured at their own
+        # depths (regime_k — long_verbatim runs hit@3), so this average
+        # mixes depths and is not a hit@k number (per-regime values in
+        # details["regimes"] are the depth-faithful record)
+        details[f"mean_hit_{mode}_w{weight}"] = round(float(np.mean(
             [h[(mode, weight)] for h in hits_by_regime.values()])), 3)
     details["regimes"] = {
         name: {f"{m}_w{w}": round(h, 3) for (m, w), h in hits.items()}

@@ -209,15 +209,20 @@ def evaluate_questions(app, k: int = 10, batch: int = 8) -> Dict:
     for i0 in range(0, len(queries), batch):
         qs = queries[i0:i0 + batch]
         rows_b = app.query_batch(qs, top_k=k)
+        # dense leg batched like the configured leg: one encode + one
+        # search dispatch per slice, not one per question (a B=1 call
+        # would also compile a second jit geometry — 30-130 s through
+        # the tunneled TPU)
+        qe = app.encoder.encode_queries(qs)
+        _, di_b = dense.search_topk(qe, k)
+        di_b = np.asarray(di_b)
         for j, q in enumerate(qs):
             g = golds[i0 + j]
             got = {r["chunk_id"] for r in rows_b[j]}
             hits_cfg.append(bool(g & got))
             bm = np.argsort(-lex.score_host(q))[:k]
             hits_bm.append(bool(g & set(int(x) for x in bm)))
-            qe = app.encoder.encode_queries([q])
-            _, di = dense.search_topk(qe, k)
-            hits_dn.append(bool(g & set(int(x) for x in np.asarray(di[0])
+            hits_dn.append(bool(g & set(int(x) for x in di_b[j]
                                         if x >= 0)))
     return {
         "n": len(queries),

@@ -208,6 +208,79 @@ def reworded_query_pairs(
     return pairs
 
 
+# Interrogative frames for question_query_pairs. Heads/tails are
+# deliberately generic English question scaffolding — the point is the
+# DISTRIBUTION (queries that start with frame words and end with "?"),
+# not any particular phrasing. A (head, tail) pair composes as
+# "<head> <content words><tail>?".
+_QUESTION_HEADS = (
+    "what is", "what does", "what happens to", "which", "how does",
+    "how do", "how is", "why does", "why is", "where does", "when is",
+    "can", "is there a way to", "does", "what keeps", "what makes",
+)
+_QUESTION_TAILS = ("", "", "", " work", " mean", " matter",
+                   " come from", " used for", " happen")
+
+
+def question_query_pairs(
+    corpus: Sequence[str],
+    *,
+    n_pairs_per_doc: int = 2,
+    seed: int = 0,
+    synonym_prob: float = 0.0,
+    df: Dict[str, int] = None,
+    with_mine_text: bool = False,
+) -> List[Tuple]:
+    """Interrogative-framed reworded pseudo-queries (round-5/6: the
+    natural-questions gap).
+
+    The generator-disjoint hand-written-questions eval slice
+    (tools/organic_questions.py) measured dense-only hit@10 0.275 vs
+    BM25-only 0.500 on an encoder trained only on span/reworded
+    templates: real user queries are QUESTIONS — they open with frame
+    words ("what is", "how does"), close with "?", and interleave
+    content words with interrogative scaffolding — a token distribution
+    the encoder never saw at train time, and a 4-layer self-trained
+    backbone is strongly distribution-sensitive (frame tokens perturb
+    the content tokens' contextual mixing).
+
+    Each pair is a rarity-aware reworded query (reworded_query_pairs:
+    stopword-free, frame-vocabulary-dropped, shuffled content words of a
+    long or two-span sample) wrapped in a sampled interrogative frame.
+    Mining text stays the verbatim source span (the frame words carry no
+    lexical anchor). The reference needs nothing like this — its
+    pretrained checkpoint saw billions of real questions
+    (local_rag_complete.py:718-724); this is the self-contained
+    analogue.
+
+    MEASURED (2026-08-19, TPU A/B on the organic docs corpus, 2 seeds,
+    default auto-train): n_pairs_per_doc=6 does NOT move the hand-
+    written-questions slice — dense-only hit@10 0.300/0.325 vs control
+    0.325/0.275 (±2 questions = the seed noise band), hybrid likewise;
+    ICT guard slice unchanged. The questions gap is vocabulary
+    ABSTRACTION ("accelerator memory" -> "HBM"), not frame-token
+    distribution — scaffolding around corpus words cannot teach words
+    the corpus pairs never connect. Kept available (config
+    encoder_question_pairs, default 0) for corpora whose prose does
+    connect question vocabulary to answer vocabulary, and as the
+    starting point if a future pretrained backbone wants question-form
+    fine-tuning.
+    """
+    base = reworded_query_pairs(
+        corpus, n_pairs_per_doc=n_pairs_per_doc, seed=seed,
+        query_words=(8, 18), synonym_prob=synonym_prob, df=df,
+        with_mine_text=with_mine_text)
+    rng = np.random.default_rng(seed + 0x5EED)
+    out: List[Tuple] = []
+    for entry in base:
+        head = _QUESTION_HEADS[int(rng.integers(len(_QUESTION_HEADS)))]
+        tail = (_QUESTION_TAILS[int(rng.integers(len(_QUESTION_TAILS)))]
+                if rng.random() < 0.5 else "")
+        q = f"{head} {entry[0]}{tail}?"
+        out.append((q, *entry[1:]))
+    return out
+
+
 def mine_hard_negatives(
     corpus: Sequence[str],
     pairs: Sequence[Tuple[str, int]],

@@ -12,9 +12,10 @@ from __future__ import annotations
 import json
 import logging
 import os
+import threading
 import time
 from contextlib import contextmanager
-from typing import Dict, Iterator
+from typing import Dict, Iterator, Optional
 
 
 def get_logger(name: str) -> logging.Logger:
@@ -40,30 +41,28 @@ class StageTimer:
 
     def __init__(self) -> None:
         self.timings: Dict[str, float] = {}
+        # the server's double-buffered micro-batcher (app/server.py,
+        # inflight=2) runs two retrieve_batch calls concurrently on ONE
+        # retriever: the cumulative accumulate must not lose updates
+        self._lock = threading.Lock()
 
     @contextmanager
-    def stage(self, name: str) -> Iterator[None]:
+    def stage(self, name: str, out: Optional[Dict[str, float]] = None
+              ) -> Iterator[None]:
+        """Time a stage into the cumulative totals, and optionally into
+        ``out`` — a caller-local dict that yields a PER-CALL split safe
+        under concurrent callers (snapshot()/delta() on the shared
+        totals would attribute the other in-flight call's stages to
+        this one)."""
         t0 = time.perf_counter()
         try:
             yield
         finally:
-            self.timings[name] = self.timings.get(name, 0.0) + (
-                time.perf_counter() - t0
-            )
-
-    def snapshot(self) -> Dict[str, float]:
-        """Current cumulative totals — pair with :meth:`delta` to carve a
-        per-call split out of a long-lived timer (the reference prints
-        per-retrieve stage lines, local_rag_complete.py:901-933; this
-        keeps that surface without resetting the cumulative stats)."""
-        return dict(self.timings)
-
-    def delta(self, snap: Dict[str, float]) -> Dict[str, float]:
-        """Stage seconds accrued since ``snap`` (zero-change stages
-        omitted)."""
-        return {k: round(v - snap.get(k, 0.0), 6)
-                for k, v in self.timings.items()
-                if v - snap.get(k, 0.0) > 0.0}
+            dt = time.perf_counter() - t0
+            with self._lock:
+                self.timings[name] = self.timings.get(name, 0.0) + dt
+            if out is not None:
+                out[name] = out.get(name, 0.0) + dt
 
     @property
     def total(self) -> float:

@@ -87,7 +87,7 @@ def test_gate_resolves_auto_and_records_measurement(small_app):
     g = app.fusion_gate
     assert g["picked"] == mode
     assert app.config.fusion_weight_bm25 == g["picked_weight"]
-    hits = {(m, w): g[f"hit@10_{m}_w{w}"] for m, w in GATE_MENU}
+    hits = {(m, w): g[f"mean_hit_{m}_w{w}"] for m, w in GATE_MENU}
     assert all(0.0 <= h <= 1.0 for h in hits.values())
     # per-regime breakdown is recorded and the winner satisfies the
     # minimax-regret rule: its worst regret over regimes is within the
@@ -205,8 +205,8 @@ def test_pinned_weight_survives_gate(tmp_path):
     assert mode in ("rerank", "rrf", "union")
     assert app.config.fusion_weight_bm25 == 0.75      # never overridden
     # the gate only measured the two modes at the pinned weight
-    assert set(k for k in app.fusion_gate if k.startswith("hit@10")) == {
-        "hit@10_rerank_w0.75", "hit@10_rrf_w0.75"}
+    assert set(k for k in app.fusion_gate if k.startswith("mean_hit")) == {
+        "mean_hit_rerank_w0.75", "mean_hit_rrf_w0.75"}
     # a pinned-run verdict must NOT be adopted by an unpinned process
     # (restricted menu != the full-menu calibration it promises)
     import dataclasses
@@ -220,7 +220,7 @@ def test_pinned_weight_survives_gate(tmp_path):
     app2 = _App(cfg2, use_ollama=False)
     app2.initialize_chatbot(use_mesh=False)
     # full menu re-measured: entries beyond the pinned pair are present
-    assert any(k.startswith("hit@10_rrf_w0.9")
+    assert any(k.startswith("mean_hit_rrf_w0.9")
                for k in app2.fusion_gate), app2.fusion_gate
 
 
@@ -585,6 +585,56 @@ def test_reworded_query_pairs_shape():
     rare_rate = kept[True][0] / max(kept[True][1], 1)
     common_rate = kept[False][0] / max(kept[False][1], 1)
     assert rare_rate > common_rate
+
+
+def test_question_query_pairs_shape():
+    """The interrogative-framed generator: every query is a reworded
+    bag-of-content-words wrapped in question scaffolding (frame head,
+    trailing '?'), the content words still come from the source chunk,
+    and mine_text stays a verbatim substring (frame words carry no
+    lexical anchor, so mining must run on the span)."""
+    from hybrid_rag_colbertv2_tpu.tools.sample_corpus import generate_corpus
+    from hybrid_rag_colbertv2_tpu.train.data import (_QUESTION_HEADS,
+                                                     question_query_pairs)
+
+    docs = generate_corpus(n_docs=8, seed=0)
+    chunks = [line for d in docs for line in d.splitlines()
+              if line and not line.startswith("#")]
+    pairs = question_query_pairs(chunks, n_pairs_per_doc=2, seed=1,
+                                 with_mine_text=True)
+    assert len(pairs) >= len(chunks)
+    heads_seen = set()
+    for q, idx, mine in pairs:
+        assert q.endswith("?")
+        head = next(h for h in sorted(_QUESTION_HEADS, key=len,
+                                      reverse=True) if q.startswith(h))
+        heads_seen.add(head)
+        # strip frame, optional tail, and '?': the content words all
+        # come from the source chunk
+        body = q[len(head):].rstrip("?").strip()
+        src_words = set(chunks[idx].split())
+        content = [w for w in body.split() if w in src_words]
+        assert len(content) >= 4
+        assert mine in chunks[idx]
+    # the frame is sampled, not constant
+    assert len(heads_seen) >= 4
+
+
+def test_question_pairs_in_auto_train_recipe():
+    """encoder_question_pairs > 0 adds the family to the auto-train
+    recipe (application._train_encoder) — verified through the pair
+    builder the app calls, not by retraining."""
+    from hybrid_rag_colbertv2_tpu.train.data import question_query_pairs
+
+    chunks = [f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i} "
+              f"eta{i} theta{i} iota{i} kappa{i}" for i in range(20)]
+    pairs = question_query_pairs(chunks, n_pairs_per_doc=2, seed=3,
+                                 synonym_prob=0.15, with_mine_text=True)
+    assert pairs and all(len(p) == 3 for p in pairs)
+    cfg = RAGConfig()
+    assert cfg.encoder_question_pairs == 0     # off until measured
+    cfg.encoder_question_pairs = 4
+    cfg.validate()
 
 
 def test_gate_tiny_corpus_fallback_respects_checkpoint():
